@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import QueryPack._
+
+/** SURVEY.md §2.5 — aggregations (A1–A10).
+  *
+  * All groupBys here hash-aggregate with map-side partial aggregation
+  * (Spark's default two-phase HashAggregate), so the shuffle carries one row
+  * per (partition, group), not per input row — the property that keeps these
+  * plans viable at 100 TB. Money sums use the cents trick (see QueryPack)
+  * for cross-engine bit-exactness.
+  */
+object AggQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // A1 — additive hash group-by (team totals, fact_team_game_stats.sql:34-51).
+    "a1_sum_groupby" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // quantities are integral doubles: exact
+          centsSum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+    },
+
+    // A2 — AVG/SUM/COUNT + min/max derived stats (player_shot_metrics.sql:114-170).
+    "a2_avg_derived" -> { (s, dir) =>
+      Tables.supplier(s, dir)
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          centsAvg(col("s_acctbal")).as("avg_bal"),
+          min("s_acctbal").as("min_bal"),
+          max("s_acctbal").as("max_bal"))
+    },
+
+    // A3 — conditional aggregation SUM(CASE WHEN ...) (rpt_sog_props_performance.sql:26-118).
+    "a3_conditional_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          (sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L)) / 100.0).as("purchase_value"))
+    },
+
+    // A4 — pivot via MAX(CASE) → Over/Under columns (fact_player_sog_props_v2.sql:57-72).
+    "a4_pivot_maxcase" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("purchase", "click"))
+        .agg(max("value"))
+    },
+
+    // A5 — DISTINCT set projection (dim_team.sql:13-29).
+    "a5_distinct" -> { (s, dir) =>
+      Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority").distinct()
+    },
+
+    // A6 — COUNT(DISTINCT) — exact, as the reference's validators use
+    // (query/validate_bronze.py:65-96). At 100 TB scale the approx_count_distinct
+    // variant is the right default; exact is what the oracle checks.
+    "a6_count_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+    },
+
+    // A7 — GROUP BY + HAVING min-sample gate (HAVING COUNT(*) >= 5,
+    // rpt_sog_props_performance.sql:73).
+    "a7_having" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 250)
+    },
+
+    // A9 — group-by over computed bins (heatmap cells, player_shot_locations.sql:37-80).
+    "a9_binned_groupby" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_bin", (floor(col("value") / 50) * 50).cast("int"))
+        .groupBy("event_type", "value_bin")
+        .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_value"))
+    },
+
+    // A10 — programmatic per-column null-drift aggregate
+    // (time_travel_validator.py:129-149): one SUM(CASE WHEN col IS NULL) per column.
+    "a10_null_drift" -> { (s, dir) =>
+      val df = Tables.events(s, dir)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        df.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls")): _*)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_sum_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         |${centsSumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
+         |FROM lineitem GROUP BY 1,2""".stripMargin,
+    "a2_avg_derived" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n, ${centsAvgSql("s_acctbal")} AS avg_bal,
+         |MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal
+         |FROM supplier GROUP BY 1""".stripMargin,
+    "a3_conditional_agg" ->
+      """SELECT user_id,
+        |SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
+        |SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END)/100.0 AS purchase_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "a4_pivot_maxcase" ->
+      """SELECT user_id,
+        |MAX(CASE WHEN event_type='purchase' THEN value END) AS purchase,
+        |MAX(CASE WHEN event_type='click' THEN value END) AS click
+        |FROM events GROUP BY 1""".stripMargin,
+    "a5_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "a6_count_distinct" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events GROUP BY 1",
+    "a7_having" ->
+      "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 HAVING COUNT(*) >= 250",
+    "a9_binned_groupby" ->
+      s"""SELECT event_type, CAST(floor(value/50)*50 AS INTEGER) AS value_bin,
+         |COUNT(*) AS n, ${centsSumSql("value")} AS sum_value
+         |FROM events GROUP BY 1,2""".stripMargin,
+    "a10_null_drift" ->
+      """SELECT COUNT(*) AS n_rows,
+        |SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
+        |SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
+        |SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+        |SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+        |SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+        |SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.AsOf
+import QueryPack._
+
+/** SURVEY.md §2.4 — joins (J1–J10 + semi).
+  *
+  * Strategy notes for scale: dimension sides get explicit `broadcast()`
+  * hints (J1/J3/J8) so no shuffle of the fact side ever happens for
+  * enrichment; fact-fact joins shuffle on their equi keys and rely on AQE
+  * for skew splitting; the as-of join (J7) is the union+window form that
+  * avoids candidate-pair fanout entirely (see graft.ops.AsOf).
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // J1 — dim enrichment: left equi join, broadcast the small side
+    // (fact_player_game_stats.sql:139-140).
+    "j1_broadcast_dim" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"), "left")
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+    },
+
+    // J2 — multi-key left join (fact_team_game_stats.sql:158).
+    "j2_multikey_left" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val agg = li.groupBy("l_orderkey", "l_partkey").agg(sum("l_quantity").as("tot_qty"))
+      li.join(agg, Seq("l_orderkey", "l_partkey"), "left")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "tot_qty")
+    },
+
+    // J3 — 4-way inner equi chain (fact_player_sog_props_v2.sql:82-86).
+    "j3_4way_chain" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select("l_orderkey", "l_linenumber", "c_name", "n_name")
+    },
+
+    // J4 — generated date spine LEFT JOIN daily counts (dim_date.sql:112-113).
+    "j4_spine_left" -> { (s, dir) =>
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1998-12-31")),
+        expr("interval 1 day"))).as("d"))
+      val perDay = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("od"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(perDay, col("d") === col("od"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
+    },
+
+    // J5 — expression-key equi join on precomputed normalized keys
+    // (stg_player_name_crosswalk.sql:76,89-90): normalize THEN equi-join so
+    // Catalyst can hash-partition on the derived key.
+    "j5_exprkey_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val a = c.select(col("c_custkey"), upper(trim(col("c_name"))).as("k"))
+      val b = c.select(col("c_custkey").as("matched_custkey"), upper(trim(col("c_name"))).as("k"))
+      a.join(b, "k").select("c_custkey", "matched_custkey")
+    },
+
+    // J6 — theta join: equi key + non-equi OR residual evaluated post-probe
+    // (fact_player_sog_props.sql:121-127).
+    "j6_theta_residual" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            (col("o_orderstatus") === "F" || col("l_extendedprice") > col("o_totalprice") * 0.5))
+        .select("l_orderkey", "l_linenumber", "o_orderstatus")
+    },
+
+    // J7 — as-of join: each event gets the latest signup of the same user at
+    // or before its timestamp (the reference's rank-over-candidates pick,
+    // fact_player_sog_props_v2.sql:115-144, in the scale-safe form).
+    "j7_asof" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+      AsOf.asOfJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("signup_event_id"))
+        .select("event_id", "user_id", "signup_event_id")
+    },
+
+    // J8 — 1-row cross join to attach scalar context (dim_player.sql:79).
+    "j8_cross_scalar" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val per = li.groupBy("l_returnflag").agg(centsAvg(col("l_extendedprice")).as("avg_price"))
+      val glob = li.agg(centsAvg(col("l_extendedprice")).as("global_avg"))
+      per.crossJoin(broadcast(glob))
+        .select(col("l_returnflag"), col("avg_price"), col("global_avg"),
+          (col("avg_price") / col("global_avg")).as("ratio"))
+    },
+
+    // J9 — anti join (NOT IN set difference, stg_player_name_crosswalk.sql:91).
+    "j9_anti" -> { (s, dir) =>
+      val heavy = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("p_partkey")).distinct()
+      Tables.part(s, dir).join(heavy, Seq("p_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    },
+
+    // J10 — join of two derivations of the same table
+    // (player_shot_metrics.sql:71-81).
+    "j10_self_derived" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
+      val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      purchases.join(counts, Seq("user_id"))
+        .select("user_id", "event_id", "n_events")
+    },
+
+    // Semi join — EXISTS (not in the reference's surface but part of a
+    // complete join family; Spark left_semi never duplicates the left side).
+    "j11_semi" -> { (s, dir) =>
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir).join(urgent, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_broadcast_dim" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "j2_multikey_left" ->
+      """WITH agg AS (SELECT l_orderkey, l_partkey, SUM(l_quantity) AS tot_qty
+        |             FROM lineitem GROUP BY 1,2)
+        |SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, a.tot_qty
+        |FROM lineitem l LEFT JOIN agg a
+        |  ON l.l_orderkey = a.l_orderkey AND l.l_partkey = a.l_partkey""".stripMargin,
+    "j3_4way_chain" ->
+      """SELECT l_orderkey, l_linenumber, c_name, n_name
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "j4_spine_left" ->
+      """SELECT s.d, COALESCE(o.n, 0) AS n_orders
+        |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1998-12-31',
+        |                                         INTERVAL 1 DAY)) AS DATE) AS d) s
+        |LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n
+        |           FROM orders GROUP BY 1) o ON s.d = o.od""".stripMargin,
+    "j5_exprkey_join" ->
+      """SELECT a.c_custkey, b.c_custkey AS matched_custkey
+        |FROM customer a JOIN customer b ON upper(trim(a.c_name)) = upper(trim(b.c_name))""".stripMargin,
+    "j6_theta_residual" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND (o_orderstatus = 'F' OR l_extendedprice > o_totalprice * 0.5)""".stripMargin,
+    "j7_asof" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+    "j8_cross_scalar" ->
+      s"""WITH per AS (SELECT l_returnflag, ${centsAvgSql("l_extendedprice")} AS avg_price
+         |             FROM lineitem GROUP BY 1),
+         |     g AS (SELECT ${centsAvgSql("l_extendedprice")} AS global_avg FROM lineitem)
+         |SELECT l_returnflag, avg_price, global_avg, avg_price/global_avg AS ratio
+         |FROM per CROSS JOIN g""".stripMargin,
+    "j9_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_quantity > 45 AND l_partkey = p.p_partkey)""".stripMargin,
+    "j10_self_derived" ->
+      """SELECT e.user_id, e.event_id, c.n_events
+        |FROM (SELECT event_id, user_id FROM events WHERE event_type='purchase') e
+        |JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) c
+        |  ON e.user_id = c.user_id""".stripMargin,
+    "j11_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderpriority = '1-URGENT' AND o_custkey = c.c_custkey)""".stripMargin
+  )
+}

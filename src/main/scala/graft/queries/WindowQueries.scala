@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2.6 — window functions (W1–W8, plus lag/first-value extensions).
+  *
+  * Every ordering carries a unique tiebreaker (`event_id`) so results are
+  * deterministic across engines and partitionings — the reference relies on
+  * physically-impossible ties (SURVEY §7.4.5); we don't. Rolling money
+  * averages use integer cents inside the frame so the frame sum is exact on
+  * both engines regardless of accumulation order.
+  *
+  * Scale note: all windows partition by `user_id` (high cardinality), so the
+  * single shuffle distributes evenly; none of these windows is a global
+  * ORDER BY (which would serialize onto one task at 100 TB).
+  */
+object WindowQueries extends QueryPack {
+
+  private def cents = round(col("value") * 100, 0).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // W1 — THE core idiom: latest-snapshot dedup, QUALIFY ROW_NUMBER()=1
+    // (stg_games.sql:32 et al.) as window + filter.
+    "w1_latest_snapshot" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"), col("value"))
+    },
+
+    // W2 — best-match ranking with CASE-ordered preference
+    // (fact_player_sog_props_v2.sql:33-44).
+    "w2_rank_caseorder" -> { (s, dir) =>
+      val pref = when(col("event_type") === "purchase", 1)
+        .when(col("event_type") === "signup", 2)
+        .when(col("event_type") === "click", 3)
+        .otherwise(4)
+      val w = Window.partitionBy("user_id")
+        .orderBy(pref.asc, col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+    },
+
+    // W3 — uniqueness gate via windowed COUNT (stg_player_name_crosswalk.sql:111).
+    "w3_count_gate" -> { (s, dir) =>
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+      val w = Window.partitionBy("user_id")
+      signups.withColumn("c", count(lit(1)).over(w))
+        .filter(col("c") === 1)
+        .select("user_id", "event_id")
+    },
+
+    // W4 — rolling average, ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    // (team_shot_metrics.sql:33-77), exact via integer cents.
+    "w4_rolling_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("roll3_value",
+          sum(cents).over(w) / (lit(100.0) * count(lit(1)).over(w)))
+        .select("event_id", "user_id", "roll3_value")
+    },
+
+    // W5 — running (season-to-date) aggregate, UNBOUNDED PRECEDING
+    // (team_shot_metrics.sql:66-77).
+    "w5_running_sum" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("running_value", sum(cents).over(w) / 100.0)
+        .select("event_id", "user_id", "running_value")
+    },
+
+    // W6 — sequence numbering (games_played_in_season, team_shot_metrics.sql:80-84).
+    "w6_rownum_seq" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("seq", row_number().over(w))
+        .select("event_id", "user_id", "seq")
+    },
+
+    // W7 — partition-wide count, no ORDER BY → whole-partition frame
+    // (player_shot_metrics.sql:66).
+    "w7_partition_count" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .withColumn("user_total", count(lit(1)).over(w))
+        .select("event_id", "user_id", "user_total")
+    },
+
+    // W8 — rank-gated conditional rolling average: recency rank, then
+    // last-3 average nulled out for users without enough history
+    // (player_shot_metrics.sql:84-111,172-209).
+    "w8_rank_gated_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          when(count(lit(1)) >= 3,
+            sum(when(col("rn") <= 3, cents)) / (lit(100.0) * count(when(col("rn") <= 3, lit(1)))))
+            .as("last3_avg"))
+    },
+
+    // LAG (beyond the reference — completes the window family): microseconds
+    // since the user's previous event, exact integer arithmetic.
+    "w9_lag_gap" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .select("event_id", "user_id", "gap_us")
+    },
+
+    // FIRST_VALUE/LAST_VALUE (beyond the reference): first and most recent
+    // event type per user in one pass.
+    "w10_first_last" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("first_type", first(col("event_type")).over(frame))
+        .withColumn("last_type", last(col("event_type")).over(frame))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "first_type", "last_type")
+    }
+  )
+
+  private val tsUs = "CAST(ts AS TIMESTAMP)"
+  private val centsSql = "CAST(round(value*100,0) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "w1_latest_snapshot" ->
+      s"""SELECT user_id, event_type, event_id AS latest_event_id, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                               ORDER BY $tsUs DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+    "w2_rank_caseorder" ->
+      s"""SELECT user_id, event_id, event_type FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY
+         |    CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+         |         WHEN 'click' THEN 3 ELSE 4 END ASC, $tsUs DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+    "w3_count_gate" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS c
+        |  FROM events WHERE event_type = 'signup') WHERE c = 1""".stripMargin,
+    "w4_rolling_avg" ->
+      s"""SELECT event_id, user_id,
+         |  SUM($centsSql) OVER w / (100.0 * COUNT(*) OVER w) AS roll3_value
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w5_running_sum" ->
+      s"""SELECT event_id, user_id, SUM($centsSql) OVER w / 100.0 AS running_value
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w6_rownum_seq" ->
+      s"""SELECT event_id, user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC) AS seq
+         |FROM events""".stripMargin,
+    "w7_partition_count" ->
+      "SELECT event_id, user_id, COUNT(*) OVER (PARTITION BY user_id) AS user_total FROM events",
+    "w8_rank_gated_avg" ->
+      s"""WITH ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |                               ORDER BY $tsUs DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  CASE WHEN COUNT(*) >= 3 THEN
+         |    SUM(CASE WHEN rn <= 3 THEN $centsSql END)
+         |      / (100.0 * SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END))
+         |  END AS last3_avg
+         |FROM ranked GROUP BY 1""".stripMargin,
+    "w9_lag_gap" ->
+      s"""SELECT event_id, user_id,
+         |  epoch_us($tsUs) - lag(epoch_us($tsUs), 1)
+         |    OVER (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC) AS gap_us
+         |FROM events""".stripMargin,
+    "w10_first_last" ->
+      s"""SELECT user_id, first_type, last_type FROM (
+         |  SELECT user_id,
+         |    first_value(event_type) OVER wf AS first_type,
+         |    last_value(event_type) OVER wf AS last_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC) AS rn
+         |  FROM events
+         |  WINDOW wf AS (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |WHERE rn = 1""".stripMargin
+  )
+}
