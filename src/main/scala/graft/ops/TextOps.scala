@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `Column` combinators over built-ins — they fuse into the scan's
+  * whole-stage codegen and never leave the JVM (no UDF serialization), which
+  * is what makes a 100 TB document sweep CPU-bound instead of
+  * serialization-bound.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: runs of alphanumerics or single non-space symbols
+    * (a cheap proxy for subword token counts over clean text).
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z0-9]+|[^a-z0-9 ]"))
+
+  /** Distinct n-word shingles ("a b c" style), the MinHash/Jaccard unit.
+    * Documents shorter than n tokens get an empty set.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val StopWords = Seq("the", "and", "of", "is", "in", "to", "a")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(StopWords: _*))).cast("double") / size(t)
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-z0-9 ]")).cast("double") / length(text)
+
+  /** Mean token length in characters (spaces excluded). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** Composite quality score in [0,1]: length credit + stopword naturalness,
+    * penalized by symbol noise — the length/punct/stopword heuristic family
+    * used to filter web corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenCredit = least(size(tokens(text)).cast("double") / 100.0, lit(1.0))
+    val stopCredit = least(stopwordRatio(text) * 5.0, lit(1.0))
+    greatest(lit(0.0), lenCredit * 0.5 + stopCredit * 0.5 - punctRatio(text))
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "in", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
+
+  /** Marker-token language ID (n-gram-free heuristic): count language-
+    * specific function words, argmax with a fixed preference order so ties
+    * are deterministic.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> size(filter(t, w => w.isin(ws: _*)))
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** OpenRefine-style structural fingerprint: md5 of the sorted distinct
+    * token set — whitespace/order/duplication-insensitive document identity.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** 64-bit content fingerprint: min of rolling shingle hashes (winnowing
+    * with window = whole doc). Engine-internal (xxhash64-based) — compare
+    * only against itself.
+    */
+  def minShingleHash(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+}

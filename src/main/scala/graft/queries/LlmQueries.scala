@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators (the beyond-the-reference surface):
+  * deduplication (dd_*), similarity search (ann_*), text analysis (ta_*),
+  * multimodal plumbing (mm_*) over the `documents` and `embeddings` tables.
+  *
+  * Oracle-checkable queries carry DuckDB twins. xxhash64-based operators
+  * (MinHash bands, SimHash) have no cross-engine hash twin: minhash-LSH is
+  * oracled through its OUTPUT contract (≡ exact n-gram Jaccard at the same
+  * threshold, miss probability ~1e-9 with k=32/b=8); SimHash and bucketed
+  * ANN are rows-only here and asserted against brute-force in ScalaTest.
+  */
+object LlmQueries extends QueryPack {
+
+  // ~0.99-Jaccard planted near-dups vs ~0 background at every SF: 0.8 is a
+  // threshold in a wide empirical gap, robust to any float representation.
+  private val JaccardThreshold = 0.8
+
+  private val Planes = Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy to canonical row (one shuffle on md5 key).
+    "dd_exact_hash" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+    "dd_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = JaccardThreshold)
+    },
+
+    // MinHash+LSH near-dup pairs (banded candidates + exact verification);
+    // output contract equals dd_ngram_jaccard — same oracle.
+    "dd_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, k = 32, bands = 8, threshold = JaccardThreshold)
+    },
+
+    // SimHash near-dup pairs (hash-internal values → rows-only; asserted
+    // against the Jaccard pairs in DedupSpec).
+    "dd_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+    },
+
+    // Embedding cosine near-dup pairs, exact over all pairs (threshold in
+    // the empirical gap below the 0.6 max; cosine is bit-exact cross-engine
+    // via index-ordered double accumulation).
+    "dd_embedding_cosine" -> { (s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+    },
+
+    // Brute-force exact ANN: top-5 cosine neighbors for query vecs id<50.
+    "ann_topk_brute" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
+    },
+
+    // LSH-bucketed ANN (scale path): same shape, bucket-local candidates;
+    // recall vs brute force measured in SimilaritySpec.
+    "ann_lsh_bucketed" -> { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), Planes, k = 5)
+    },
+
+    // Text quality metrics: token/char counts, avg token length, stopword
+    // ratio, composite quality score.
+    "ta_quality" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextOps.tokens(t)).as("n_tokens"),
+        TextOps.regexTokenCount(t).as("n_regex_tokens"),
+        length(t).as("n_chars_measured"),
+        TextOps.avgTokenLen(t).as("avg_token_len"),
+        TextOps.stopwordRatio(t).as("stopword_ratio"),
+        TextOps.qualityScore(t).as("quality_score"))
+    },
+
+    // Marker-based language ID with deterministic tie order, scored against
+    // the labeled lang column.
+    "ta_langid" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        (TextOps.langId(col("text")) === col("lang")).as("is_correct"))
+    },
+
+    // Structural fingerprint (sorted distinct token set → md5): dup groups.
+    "ta_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        md5(col("text")).as("content_md5"))
+    },
+
+    // Multimodal metadata: binary payload + typed metadata columns
+    // (the SQL-expressible half; batched decode below).
+    "mm_binary_meta" -> { (s, dir) =>
+      Multimodal.asMediaTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("mime"), col("n_bytes"))
+    },
+
+    // Multimodal feature extraction through the batched mapPartitions stub
+    // decoder (rows-only: byte-histogram features; plumbing under test in
+    // MultimodalSpec).
+    "mm_feature_stub" -> { (s, dir) =>
+      Multimodal.decodeStub(s, Multimodal.asMediaTable(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          element_at(col("feature"), 1).as("f0"),
+          element_at(col("feature"), 2).as("f1"))
+    }
+  )
+
+  // single-line so embedding in an outer .stripMargin can't eat a '||'
+  private val shingleSql =
+    "SELECT doc_id, list_distinct(list_transform(range(greatest(len(string_split(text,' '))-2,0)), " +
+      "i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || " +
+      "string_split(text,' ')[i+3])) AS sh FROM documents"
+
+  private val jaccardPairsSql =
+    s"""WITH toks AS ($shingleSql),
+       |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co,
+       |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2)
+       |SELECT id_a, id_b, co*1.0/(n_a+n_b-co) AS jaccard
+       |FROM pairs WHERE co*1.0/(n_a+n_b-co) >= 0.8""".stripMargin
+
+  // index-ordered double dot product — the bit-exact twin of Similarity.dot
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_hash" ->
+      """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_id,
+        |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+    "dd_ngram_jaccard" -> jaccardPairsSql,
+    "dd_minhash_lsh" -> jaccardPairsSql,
+    "dd_embedding_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+    "ann_topk_brute" ->
+      s"""SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 50) WHERE rank <= 5""".stripMargin,
+    "ta_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
+        |  length(text) AS n_chars_measured,
+        |  CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) AS avg_token_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    w -> w IN ('the','and','of','is','in','to','a'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stopword_ratio,
+        |  greatest(0.0,
+        |    least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5
+        |    + least(CAST(len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','and','of','is','in','to','a'))) AS DOUBLE)
+        |        / len(string_split(text,' ')) * 5.0, 1.0)*0.5
+        |    - CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text))
+        |    AS quality_score
+        |FROM documents""".stripMargin,
+    "ta_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the','and','of','is','in','to'))) AS s_en,
+        |    len(list_filter(string_split(text,' '),
+        |      w -> w IN ('el','la','de','que','los','una'))) AS s_es,
+        |    len(list_filter(string_split(text,' '),
+        |      w -> w IN ('der','die','und','das','ist','nicht'))) AS s_de,
+        |    len(list_filter(string_split(text,' '),
+        |      w -> w IN ('le','les','des','est','une','dans'))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+        |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_correct
+        |FROM scored""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+    (3L, "completely different text about spark query engines and shuffle plans here"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (5L, "unrelated short words nothing shared with any other document in corpus")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to one canonical id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length === 4) // 1&4 share a hash
+    val dupGroup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("ngramJaccardPairs finds near-dup and exact-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhashLshPairs output equals exact ngram pairs at same threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("minhashLshPairs matches exact pairs on real documents at sf0.001") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, "text", "doc_id").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs finds exact and near dups at small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → hamming 0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // 1-word swap
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash is deterministic and 0-distance on identical text") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(4L))
+    assert(sims(1L) !== sims(3L))
+  }
+}

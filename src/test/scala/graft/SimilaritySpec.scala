@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  test("cosine is 1.0 for identical vectors, bit-deterministic") {
+    val self = emb.limit(10)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("bruteForceTopK returns k neighbors per query, ranked by cosine desc") {
+    val topk = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, k = 5).collect()
+    assert(topk.length === 25)
+    topk.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK candidates agree with brute force within the shared bucket") {
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    val lsh = Similarity.lshTopK(emb, planes, k = 5)
+    // every LSH neighbor must actually share the query's bucket and the
+    // cosine must equal the brute-force cosine for that pair
+    val brute = Similarity.bruteForceTopK(emb, emb, k = 2000)
+      .select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    val joined = lsh.join(brute, Seq("query_id", "neighbor_id"))
+    val mismatches = joined.filter(abs($"cos" - $"bcos") > 1e-12).count()
+    assert(mismatches === 0)
+  }
+
+  test("lshTopK achieves nontrivial recall@5 vs brute force") {
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    val bruteSet = Similarity.bruteForceTopK(emb, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshSet = Similarity.lshTopK(emb, planes, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bruteSet intersect lshSet).size.toDouble / bruteSet.size
+    info(f"LSH recall@5 = $recall%.3f (4 planes, single probe)")
+    assert(recall > 0.1, s"recall $recall suspiciously low — bucketing broken?")
+  }
+
+  test("hyperplanes are deterministic under a fixed seed") {
+    val a = Similarity.hyperplanes(4, 8, 7L)
+    val b = Similarity.hyperplanes(4, 8, 7L)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+  }
+}
