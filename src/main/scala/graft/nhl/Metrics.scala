@@ -1,0 +1,162 @@
+package graft.nhl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Rolling / seasonal window-metric models (`team_shot_metrics.sql`,
+  * `player_shot_metrics.sql`, `team_shots_against_by_position.sql`) and the
+  * shot-location binning models (`player_shot_locations.sql`,
+  * `team_shot_locations.sql`).
+  *
+  * All windows partition by (team|player, season) and order by
+  * (game_date, game_id) with exclusively ROWS frames — the reference uses
+  * no RANGE frames (SURVEY §2.6). Partition keys are entity-level, so the
+  * shuffle distributes by team/player and no window ever needs a global
+  * sort.
+  */
+object Metrics {
+
+  private def regSeason(df: DataFrame): DataFrame = df.filter(col("game_type") === 2) // P4
+
+  /** `team_shot_metrics.sql`: per team-game SOG with 3/5/10-game rolling
+    * averages (W4), season-to-date average (W5), and sequence number (W6).
+    */
+  def teamShotMetrics(factTeamGameStats: DataFrame): DataFrame = {
+    val w = Window.partitionBy("team_id", "season")
+      .orderBy(col("game_date").asc, col("game_id").asc)
+    def roll(n: Int) = round(avg(col("sog")).over(w.rowsBetween(-(n - 1), 0)), 2)
+    regSeason(factTeamGameStats)
+      .select(col("team_id"), col("team_abbrev"), col("season"), col("game_id"),
+        col("game_date"), col("sog"), col("sog_against"), col("goals"))
+      .withColumn("sog_avg_last3", roll(3))
+      .withColumn("sog_avg_last5", roll(5))
+      .withColumn("sog_avg_last10", roll(10))
+      .withColumn("sog_avg_season",
+        round(avg(col("sog")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("games_played_in_season", row_number().over(w))
+  }
+
+  /** `player_shot_metrics.sql`: season totals + per-game averages (A2),
+    * team-game recency rank join (J10/W6 DESC), partition-wide team game
+    * count (W7), and the rank-gated last-N conditional averages with the
+    * eligibility gate (W8, `:84-111,172-209`) — the subtlest window logic
+    * in the reference.
+    */
+  def playerShotMetrics(factPlayerGameStats: DataFrame): DataFrame = {
+    val reg = regSeason(factPlayerGameStats)
+
+    // team-game recency rank: 1 = team's most recent game in season
+    val teamGames = reg.select("team_id", "season", "game_id", "game_date").distinct()
+    val wDesc = Window.partitionBy("team_id", "season")
+      .orderBy(col("game_date").desc, col("game_id").desc)
+    val ranked = teamGames
+      .withColumn("team_game_rank", row_number().over(wDesc))
+      .withColumn("team_total_games",
+        count(lit(1)).over(Window.partitionBy("team_id", "season")))
+
+    val joined = reg.join(ranked, Seq("team_id", "season", "game_id", "game_date"))
+
+    def lastN(n: Int) = {
+      val gamesInWindow = count(when(col("team_game_rank") <= n, lit(1)))
+      // eligibility gate (`player_shot_metrics.sql:178-203`): need at least
+      // LEAST(n, team_total) - 1 appearances in the window, else NULL
+      when(gamesInWindow >= least(lit(n), first(col("team_total_games"))) - 1,
+        round(avg(when(col("team_game_rank") <= n, col("sog"))), 2))
+    }
+
+    joined.groupBy("player_id", "player_name", "position", "team_id", "team_abbrev", "season")
+      .agg(
+        count(lit(1)).as("games_played"),
+        first(col("team_total_games")).as("team_total_games"),
+        sum("sog").as("total_sog"),
+        sum("goals").as("total_goals"),
+        round(avg(col("sog")), 2).as("sog_per_game"),
+        round(lit(100.0) * sum("goals").cast("double") /
+          nullif(sum("sog").cast("double"), lit(0.0)), 2).as("shooting_pct"),
+        lastN(3).as("sog_avg_last3_team_games"),
+        lastN(5).as("sog_avg_last5_team_games"),
+        lastN(10).as("sog_avg_last10_team_games"))
+  }
+
+  /** `team_shots_against_by_position.sql`: opposing-skater SOG conceded per
+    * team-game split by F/D (A3), with rolling and season-to-date windows
+    * (W4/W5) over the defending team's games.
+    */
+  def teamShotsAgainstByPosition(factPlayerGameStats: DataFrame): DataFrame = {
+    val reg = regSeason(factPlayerGameStats)
+    // shots by players AGAINST the opposing team: re-key each player-game
+    // row to the defending side
+    val against = reg.withColumn("defending_home_away",
+      when(col("home_away") === "home", "away").otherwise("home"))
+    val teamGameSides = reg.select("game_id", "team_id", "team_abbrev", "home_away",
+      "season", "game_date").distinct()
+    val conceded = against
+      .groupBy(col("game_id"), col("season"), col("game_date"),
+        col("defending_home_away").as("home_away"))
+      .agg(
+        sum(when(col("position_type") === "F", col("sog")).otherwise(0)).as("sog_against_forwards"),
+        sum(when(col("position_type") === "D", col("sog")).otherwise(0)).as("sog_against_defense"),
+        sum(col("sog")).as("sog_against_total"))
+    val perTeam = teamGameSides.join(conceded, Seq("game_id", "season", "game_date", "home_away"))
+
+    val w = Window.partitionBy("team_id", "season")
+      .orderBy(col("game_date").asc, col("game_id").asc)
+    def roll(c: String, n: Int) = round(avg(col(c)).over(w.rowsBetween(-(n - 1), 0)), 2)
+    perTeam
+      .withColumn("fwd_sog_against_last5", roll("sog_against_forwards", 5))
+      .withColumn("def_sog_against_last5", roll("sog_against_defense", 5))
+      .withColumn("total_sog_against_season",
+        round(avg(col("sog_against_total")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("team_game_number", row_number().over(w))
+      .withColumn("fwd_share_pct",
+        round(lit(100.0) * col("sog_against_forwards").cast("double") /
+          nullif(col("sog_against_total").cast("double"), lit(0.0)), 2))
+  }
+
+  /** `team_shot_locations.sql`: 5-ft |coord| bins (M6/A9), offense+defense
+    * contexts unioned with the `goals_against_pct AS shooting_pct` rename
+    * (U1 gotcha, `:117`; SURVEY §7.4.7).
+    */
+  def teamShotLocations(factShotEvents: DataFrame): DataFrame = {
+    val shots = regSeason(factShotEvents)
+      .filter(col("x_coord").isNotNull && col("y_coord").isNotNull) // P5
+      .withColumn("x_bin", Fns.binCoord(col("x_coord"), 5))
+      .withColumn("y_bin", Fns.binCoord(col("y_coord"), 5))
+
+    def cell(teamCol: String, context: String) = shots
+      .groupBy(col(teamCol).as("team_id"), col("season"), col("x_bin"), col("y_bin"))
+      .agg(
+        count(lit(1)).as("shot_attempts"),
+        sum(when(col("is_goal"), 1).otherwise(0)).as("goals"),
+        sum(when(col("event_type") === "shot-on-goal", 1).otherwise(0)).as("shots_on_goal"),
+        sum(when(col("event_type") === "missed-shot", 1).otherwise(0)).as("missed_shots"),
+        sum(when(col("shot_type") === "wrist", 1).otherwise(0)).as("wrist_shots"),
+        sum(when(col("shot_type") === "slap", 1).otherwise(0)).as("slap_shots"))
+      .withColumn("shooting_pct",
+        round(lit(100.0) * col("goals").cast("double") /
+          nullif(col("shot_attempts").cast("double"), lit(0.0)), 2))
+      .withColumn("shot_context", lit(context))
+
+    cell("shooting_team_id", "offense")
+      .unionByName(cell("defending_team_id", "defense"))
+  }
+
+  /** `player_shot_locations.sql`: per-player heatmap cells (A9 + A3). */
+  def playerShotLocations(factShotEvents: DataFrame): DataFrame =
+    regSeason(factShotEvents)
+      .filter(col("x_coord").isNotNull && col("y_coord").isNotNull &&
+        col("shooter_player_id").isNotNull)
+      .withColumn("x_bin", Fns.binCoord(col("x_coord"), 5))
+      .withColumn("y_bin", Fns.binCoord(col("y_coord"), 5))
+      .groupBy("shooter_player_id", "season", "x_bin", "y_bin")
+      .agg(
+        count(lit(1)).as("shot_attempts"),
+        sum(when(col("is_goal"), 1).otherwise(0)).as("goals"),
+        sum(when(col("event_type") === "shot-on-goal", 1).otherwise(0)).as("shots_on_goal"))
+      .withColumn("shooting_pct",
+        round(lit(100.0) * col("goals").cast("double") /
+          nullif(col("shot_attempts").cast("double"), lit(0.0)), 2))
+}

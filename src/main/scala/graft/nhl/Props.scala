@@ -1,0 +1,207 @@
+package graft.nhl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Betting-odds staging, fuzzy player-name crosswalking, SOG-prop outcome
+  * facts, and the performance report — the reference's most complex
+  * pipeline (`stg_odds_player_props.sql`, `stg_player_name_crosswalk.sql`,
+  * `fact_player_sog_props_v2.sql` (255 lines, 8 CTEs),
+  * `rpt_sog_props_performance.sql`; lifecycle SURVEY §3.2).
+  */
+object Props {
+
+  /** `stg_odds_player_props.sql:36-91` (F4): the triple LATERAL FLATTEN —
+    * bookmakers[] → markets[] → outcomes[] — as three chained explodes,
+    * with the null-description guard (P5).
+    */
+  def stgOddsPlayerProps(oddsBronze: DataFrame): DataFrame =
+    oddsBronze.select(
+      col("payload.event_id").as("event_id"),
+      col("payload.market").as("market"),
+      to_date(col("payload.game_date")).as("game_date"),
+      col("payload.home_team").as("home_team"),
+      col("payload.away_team").as("away_team"),
+      to_timestamp(col("payload.extracted_at")).as("extracted_at"),
+      to_timestamp(col("payload.data.commence_time")).as("commence_time"),
+      explode(col("payload.data.bookmakers")).as("bk"))
+      .select(col("event_id"), col("market"), col("game_date"), col("home_team"),
+        col("away_team"), col("extracted_at"), col("commence_time"),
+        col("bk.key").as("bookmaker_key"),
+        col("bk.title").as("bookmaker_title"),
+        explode(col("bk.markets")).as("mk"))
+      .select(col("event_id"), col("market"), col("game_date"), col("home_team"),
+        col("away_team"), col("extracted_at"), col("commence_time"),
+        col("bookmaker_key"), col("bookmaker_title"),
+        col("mk.key").as("market_key"),
+        to_timestamp(col("mk.last_update")).as("last_update"),
+        explode(col("mk.outcomes")).as("oc"))
+      .filter(col("oc.description").isNotNull)
+      .select(col("event_id"), col("market"), col("game_date"), col("home_team"),
+        col("away_team"), col("extracted_at"), col("commence_time"),
+        col("bookmaker_key"), col("bookmaker_title"), col("market_key"),
+        col("last_update"),
+        col("oc.name").as("bet_type"),
+        col("oc.description").as("odds_player_name"),
+        col("oc.point").as("line_value"),
+        col("oc.price").as("odds_american"))
+
+  /** `stg_player_name_crosswalk.sql`: 3-strategy cascade — exact → accent/
+    * punct-normalized → (last name, first initial) — each strategy excluding
+    * names already matched (J9 anti-joins, `:91,108-109`), unioned (U1),
+    * then the ambiguity gate `QUALIFY COUNT(*) OVER (PARTITION BY
+    * odds_player_name) = 1` (W3, `:111`).
+    */
+  def stgPlayerNameCrosswalk(oddsNames: DataFrame, nhlPlayers: DataFrame): DataFrame = {
+    val odds = oddsNames.select(col("odds_player_name")).distinct()
+      .withColumn("odds_norm", Fns.normalizeName(col("odds_player_name")))
+    val nhl = nhlPlayers
+      .select(col("player_id"), col("player_name")).distinct()
+      .withColumn("nhl_norm", Fns.normalizeName(col("player_name")))
+
+    val exact = odds.join(nhl, upper(trim(col("odds_player_name"))) === upper(trim(col("player_name"))))
+      .select(col("odds_player_name"), col("player_id"), col("player_name"),
+        lit("exact").as("match_method"))
+
+    val rest1 = odds.join(exact.select("odds_player_name"), Seq("odds_player_name"), "left_anti")
+    val normalized = rest1.join(nhl, col("odds_norm") === col("nhl_norm"))
+      .select(col("odds_player_name"), col("player_id"), col("player_name"),
+        lit("normalized").as("match_method"))
+
+    val rest2 = rest1.join(normalized.select("odds_player_name"), Seq("odds_player_name"), "left_anti")
+    val lastInitial = rest2
+      .withColumn("o_last", Fns.lastToken(col("odds_norm")))
+      .withColumn("o_init", Fns.firstInitial(col("odds_norm")))
+      .join(nhl
+        .withColumn("n_last", Fns.lastToken(col("nhl_norm")))
+        .withColumn("n_init", Fns.firstInitial(col("nhl_norm"))),
+        col("o_last") === col("n_last") && col("o_init") === col("n_init"))
+      .select(col("odds_player_name"), col("player_id"), col("player_name"),
+        lit("last_name_initial").as("match_method"))
+
+    val all = exact.unionByName(normalized).unionByName(lastInitial)
+    val wGate = Window.partitionBy("odds_player_name")
+    all.withColumn("__c", count(lit(1)).over(wGate))
+      .filter(col("__c") === 1) // unambiguous matches only
+      .drop("__c")
+  }
+
+  private val BookmakerPreference =
+    when(col("bookmaker_key") === "draftkings", 1)
+      .when(col("bookmaker_key") === "fanduel", 2)
+      .when(col("bookmaker_key") === "betmgm", 3)
+      .otherwise(9)
+
+  /** `fact_player_sog_props_v2.sql` — the 8-stage pipeline:
+    * market filter (P8) → bookmaker preference rank (W2) → Over/Under pivot
+    * (A4) → 180-day roster window (P9, anchored on `runDate`, not
+    * wall-clock) → crosswalk join → actuals join → outcome / push /
+    * implied-probability derivation (`:198-253`).
+    */
+  def factPlayerSogPropsV2(
+      stgOdds: DataFrame,
+      crosswalk: DataFrame,
+      factPlayerGameStats: DataFrame,
+      runDate: String): DataFrame = {
+
+    val sog = stgOdds.filter(col("market_key") === "player_shots_on_goal") // P8
+
+    // best line per (event, player, bet side): preferred bookmaker, then
+    // freshest update (W2)
+    val wBest = Window.partitionBy("event_id", "game_date", "odds_player_name", "bet_type")
+      .orderBy(BookmakerPreference.asc, col("last_update").desc, col("bookmaker_key").asc)
+    val best = sog.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+
+    // Over/Under pivot (A4: MAX(CASE ...))
+    val pivoted = best.groupBy("event_id", "game_date", "odds_player_name")
+      .agg(
+        max(when(col("bet_type") === "Over", col("line_value"))).as("line_value"),
+        max(when(col("bet_type") === "Over", col("odds_american"))).as("over_odds"),
+        max(when(col("bet_type") === "Under", col("odds_american"))).as("under_odds"),
+        max(col("bookmaker_key")).as("bookmaker_key"))
+
+    // 180-day active roster (P9) — injected anchor (SURVEY §7.4.5)
+    val roster = factPlayerGameStats
+      .filter(col("game_date") >= date_sub(to_date(lit(runDate)), 180))
+      .select("player_id", "player_name", "team_abbrev").distinct()
+
+    val matched = pivoted
+      .join(broadcast(crosswalk.select(col("odds_player_name"),
+        col("player_id"), col("player_name"), col("match_method"))),
+        Seq("odds_player_name"), "left")
+      .join(broadcast(roster.select(col("player_id"), col("team_abbrev"))),
+        Seq("player_id"), "left")
+
+    // actuals: the player's SOG in the game on the prop date
+    val actuals = factPlayerGameStats
+      .groupBy("player_id", "game_date")
+      .agg(sum("sog").as("actual_sog"), max("game_id").as("game_id"))
+
+    matched.join(actuals, Seq("player_id", "game_date"), "left")
+      .select(
+        col("event_id"), col("game_date"), col("odds_player_name"),
+        col("player_id"), col("player_name"), col("team_abbrev"),
+        coalesce(col("match_method"), lit("unmatched")).as("match_method"),
+        col("bookmaker_key"), col("line_value"), col("over_odds"), col("under_odds"),
+        col("game_id"), col("actual_sog"),
+        // outcome derivation (`:224-237`)
+        when(col("player_id").isNull, "unmatched")
+          .when(col("actual_sog").isNull, "pending")
+          .when(col("actual_sog") > col("line_value"), "over")
+          .when(col("actual_sog") < col("line_value"), "under")
+          .otherwise("push").as("outcome"),
+        when(col("actual_sog").isNotNull && col("actual_sog") > col("line_value"), true)
+          .when(col("actual_sog").isNotNull, false).as("hit_over"),
+        // implied probabilities (`:245-253`)
+        Fns.impliedProb(col("over_odds")).as("over_implied_prob"),
+        Fns.impliedProb(col("under_odds")).as("under_implied_prob"),
+        (col("actual_sog") - col("line_value")).as("beat_line_by"))
+  }
+
+  /** `rpt_sog_props_performance.sql` — all five cuts as REAL outputs (the
+    * reference computes four of them into dead CTEs, `:48-118`; SURVEY
+    * §7.4.11 says implement them as actual outputs). Settled props only.
+    */
+  object Report {
+    private def settled(v2: DataFrame) = v2.filter(col("outcome").isin("over", "under", "push"))
+
+    private def hitStats(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      grouped.agg(
+        count(lit(1)).as("n_props"),
+        sum(when(col("outcome") === "over", 1).otherwise(0)).as("n_over"),
+        sum(when(col("outcome") === "under", 1).otherwise(0)).as("n_under"),
+        sum(when(col("outcome") === "push", 1).otherwise(0)).as("n_push"),
+        round(lit(100.0) *
+          sum(when(col("outcome") === "over", 1).otherwise(0)).cast("double") /
+          nullif(count(when(col("outcome") =!= "push", lit(1))).cast("double"), lit(0.0)), 2)
+          .as("over_hit_pct"),
+        round(avg(col("beat_line_by")), 2).as("avg_beat_line_by"))
+
+    def overall(v2: DataFrame): DataFrame =
+      hitStats(settled(v2).groupBy(lit("overall").as("scope")))
+
+    /** Line buckets (`rpt:50-57`). */
+    def byLineBucket(v2: DataFrame): DataFrame =
+      hitStats(settled(v2)
+        .withColumn("line_bucket",
+          when(col("line_value") <= 1.5, "low (<=1.5)")
+            .when(col("line_value") <= 2.5, "mid (2.0-2.5)")
+            .when(col("line_value") <= 3.5, "high (3.0-3.5)")
+            .otherwise("elite (4.0+)"))
+        .groupBy("line_bucket"))
+
+    def byMatchMethod(v2: DataFrame): DataFrame =
+      hitStats(settled(v2).groupBy("match_method"))
+
+    /** Per player with the HAVING >= 5 min-sample gate (A7, `rpt:73`). */
+    def byPlayer(v2: DataFrame, minProps: Long = 5): DataFrame =
+      hitStats(settled(v2).groupBy("player_id", "player_name"))
+        .filter(col("n_props") >= minProps)
+
+    def byDay(v2: DataFrame): DataFrame =
+      hitStats(settled(v2).groupBy("game_date"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference has NO streaming operators
+  * (SURVEY §2.10 — its near-real-time behavior is schedule-driven
+  * re-ingestion + latest-wins batch dedup), so this module is the
+  * parity-plus mapping of those batch idioms onto streams:
+  *
+  *  - ingest idempotency (COPY FORCE=FALSE / S5) → watermarked
+  *    `dropDuplicates` on the natural key;
+  *  - windowed activity metrics → tumbling event-time windows;
+  *  - per-entity running state (the snapshot-upsert pattern, W1) →
+  *    `mapGroupsWithState` keeping the latest snapshot per key.
+  *
+  * Every transform takes/returns DataFrames so the same code runs in batch
+  * (processAllAvailable in tests) and continuous mode on a cluster.
+  */
+object Streaming {
+
+  /** Exactly-once-per-key ingest dedup: first event wins within the
+    * watermark horizon (late duplicates beyond it are dropped by design).
+    */
+  def dedupIngest(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(Seq(idCol))
+
+  /** Tumbling event-time aggregation with watermark: counts + exact-cents
+    * value sums per (window, event_type).
+    */
+  def windowedActivity(events: DataFrame, tsCol: String,
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class UserSession(user_id: Long, n_events: Long, last_type: String, last_ts: Long)
+
+  /** Stateful per-key running snapshot (`mapGroupsWithState`): the
+    * latest-wins upsert the reference emulates with batch W1, kept as live
+    * state keyed by user. Runs identically in batch and streaming.
+    */
+  def runningUserState(spark: SparkSession, events: DataFrame): Dataset[UserSession] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, "", Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            val (_, typ, ts) = r
+            val latest = if (ts >= acc.last_ts) (typ, ts) else (acc.last_type, acc.last_ts)
+            UserSession(uid, acc.n_events + 1, latest._1, latest._2)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a streaming DataFrame to an in-memory sink and drain it — the
+    * local harness for the transforms above (format("memory") +
+    * processAllAvailable), mirroring how a cluster job would use a real
+    * sink.
+    */
+  def drainToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import graft.streaming.Streaming
+
+/** Drives the streaming transforms end-to-end over the real events table
+  * through a file-source → memory-sink streaming query.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream = spark.readStream.schema(eventsSchema)
+    .parquet(streamDir)
+    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private def eventsBatch = graft.sources.Tables.events(spark, sf("sf0.001"))
+
+  test("windowed activity over a stream matches the same aggregation in batch") {
+    // Complete mode: emit ALL windows (Append would hold back windows newer
+    // than the watermark at end-of-input — correct streaming behavior, but
+    // here we want the full batch-parity comparison)
+    Streaming.drainToMemory(
+      Streaming.windowedActivity(eventsStream, "ts"), "win_out", OutputMode.Complete())
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n", "sum_value").collect().toSet
+    val batch = eventsBatch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming ingest dedup drops duplicate event_ids") {
+    // duplicate the source file → every event arrives twice
+    val d = Files.createTempDirectory("graft_stream_dup")
+    Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"), d.resolve("a.parquet"))
+    Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"), d.resolve("b.parquet"))
+    val dupStream = spark.readStream.schema(eventsSchema).parquet(d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Streaming.drainToMemory(
+      Streaming.dedupIngest(dupStream, "event_id", "ts"), "dedup_out", OutputMode.Append())
+    assert(spark.table("dedup_out").count() === eventsBatch.count())
+  }
+
+  test("mapGroupsWithState running user state matches batch latest-event per user") {
+    val state = Streaming.runningUserState(spark, eventsBatch).collect()
+      .map(s => s.user_id -> s).toMap
+    val expected = eventsBatch
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type")).as[(Long, String)].collect().toMap
+    val counts = eventsBatch.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    expected.foreach { case (uid, latestType) =>
+      assert(state(uid).last_type === latestType, s"user $uid latest type")
+      assert(state(uid).n_events === counts(uid), s"user $uid count")
+    }
+  }
+}
