@@ -10,9 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-time session costs (codegen compiler, parquet reader,
+    // shuffle machinery) so per-query timings measure the queries
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val wa = spark.range(100000).selectExpr("id % 7 as k", "id as v")
+    val wb = spark.range(1000).selectExpr("id as k", "id * 2 as w")
+    wa.join(wb, "k").groupBy("k").sum("v", "w").collect()
+    wa.selectExpr("k", "sum(v) over (partition by k order by v rows between 2 preceding and current row) as r")
+      .filter("r > 0").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -21,12 +21,18 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle inverted index: (id, shingle, setSize). */
-  private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+  /** (id, sh array, set_size) with tokens materialized before the shingle
+    * lambda (see TextOps.shinglesFromTokens for why).
+    */
+  private def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
-    sh.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
-  }
+
+  /** Distinct-shingle inverted index: (id, shingle, setSize). */
+  private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleSets(df, textCol, idCol, n)
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
 
   /** N-gram Jaccard near-dup pairs via shared-shingle join: candidates are
     * pairs sharing ≥1 shingle; Jaccard computed from co-occurrence counts
@@ -35,13 +41,29 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val ix = shingleIndex(df, textCol, idCol, n)
-    val a = ix.select(col("id").as("id_a"), col("set_size").as("n_a"), col("shingle"))
-    val b = ix.select(col("id").as("id_b"), col("set_size").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // materialize the inverted index once — it feeds the frequency filter
+    // and BOTH sides of the self-join (the dbt table-materialization
+    // analog; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
+    val ix0 = shingleIndex(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frequency pruning: a shingle appearing in exactly one document cannot
+    // produce a pair — drop it before the self-join. On a real corpus most
+    // shingles are unique, so this shrinks the join input by ~an order of
+    // magnitude (and is the knob that keeps the join bounded at 100 TB:
+    // also cap ultra-hot shingles here if the corpus has boilerplate).
+    val shared = ix0.groupBy("shingle").count().filter(col("count") > 1).select("shingle")
+    val ix = ix0.join(shared, Seq("shingle")).select("id", "shingle")
+    // slim self-join: shuffle only (shingle, id); set sizes re-attach after
+    // the aggregation via a broadcast of the per-doc size table
+    val a = ix.select(col("id").as("id_a"), col("shingle"))
+    val b = ix.select(col("id").as("id_b"), col("shingle"))
+    val co = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("co"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .agg(count(lit(1)).as("co"))
+    val sizes = ix0.select("id", "set_size").distinct()
+    co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
       .withColumn("jaccard",
         col("co").cast("double") / (col("n_a") + col("n_b") - col("co")))
       .filter(col("jaccard") >= threshold)
@@ -68,18 +90,34 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sigs.select(col("id"), col("sh"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
-    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bh"))
-    val rr = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bh"))
-    l.join(rr, Seq("band", "bh"))
+    // materialized once: feeds signature hashing AND both verification joins
+    val sets = shingleSets(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // k seeded hashes per exploded shingle as flat columns (codegen'd, no
+    // per-element lambdas), then min per doc → the signature slots
+    val hashed = sets.select(col("id"), explode(col("sh")).as("shingle"))
+      .select(col("id") +:
+        (0 until k).map(i => xxhash64(concat(col("shingle"), lit(s"#$i"))).as(s"h$i")): _*)
+    val sigs = hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+
+    // banding: one (band, bandHash) per signature slice
+    val banded = sigs.select(col("id"), explode(array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
+    }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+
+    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+
+    // exact verification on the candidate pairs only
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -100,13 +138,33 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash per document via explode + 64 codegen'd conditional aggregates
+    * — the column-expression variant in [[simhash]] is correct but its
+    * higher-order `filter` lambdas are interpreted (measured ~4× slower);
+    * this shape keeps the whole computation in whole-stage codegen.
+    */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+    }
+    toks.groupBy("id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { b =>
+          shiftleft(when(col(s"b$b") > 0, lit(1L)).otherwise(lit(0L)), b)
+        }.reduce(_ bitwiseOR _).as("sim"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤3 default):
     * candidates via the pigeonhole 16-bit-chunk join (a pair within Hamming
     * 3 of 64 bits must agree on ≥1 of 4 chunks), verified with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val withSim = simhashTable(df, textCol, idCol)
     val chunked = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

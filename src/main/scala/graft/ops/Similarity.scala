@@ -4,41 +4,55 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.DotF
+
 /** Embedding similarity search: brute-force cosine top-k as the exactness
   * baseline, random-hyperplane LSH bucketing as the scale path.
   *
   * Numeric contract: dot products accumulate in DOUBLE in strict index
-  * order (`aggregate` is a sequential left fold), so the same expression in
-  * any engine that evaluates IEEE doubles sequentially produces bit-equal
-  * cosines — thresholds and rankings are reproducible, not
+  * order via the codegen'd [[graft.expressions.DotF]] kernel, so the same
+  * formula in any engine that evaluates IEEE doubles sequentially produces
+  * bit-equal cosines — thresholds and rankings are reproducible, not
   * tolerance-dependent.
+  *
+  * Scale notes: norms are computed once per vector (a projection), never
+  * per pair; pair generation broadcasts the smaller side so candidate
+  * scoring parallelizes across the big side's partitions instead of
+  * hash-colliding on one key. At a 100 TB corpus the same code runs per
+  * LSH bucket (bucket id = hash partition key), which bounds each task's
+  * candidate set.
   */
 object Similarity {
 
-  /** Index-ordered double dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Index-ordered double dot product of two float vectors (codegen'd). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(DotF(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Vectors with their norm precomputed once. */
+  private def withNorm(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+    df.select(col("vec_id").as(id), col("embedding").as(vec),
+      l2Norm(col("embedding")).as(norm))
+
   /** Exact top-k neighbors of each query vector by brute force.
     *
-    * The corpus side is broadcast when it fits (queries stream past it, no
-    * shuffle); at 100 TB-corpus scale this becomes the per-bucket scorer
-    * behind [[lshBuckets]] — the API stays the same.
+    * The corpus side is broadcast (queries stream past it in parallel — no
+    * shuffle, no single-key hotspot); at 100 TB-corpus scale this becomes
+    * the per-bucket scorer behind [[lshTopK]] — the API stays the same.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     broadcastCorpus: Boolean = true): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c0 = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val c = if (broadcastCorpus) broadcast(c0) else c0
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries, "query_id", "qv", "qn")
+    val c = broadcast(withNorm(corpus, "neighbor_id", "cv", "cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
@@ -53,16 +67,14 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id for each vector: bit i = sign(v · plane_i).
-    * Vectors in the same bucket are near-angular-neighbors with high
-    * probability; ANN = brute-force within bucket (plus optional
-    * multi-probe). Bucket key is what the 100 TB corpus is hash-partitioned
-    * on, turning ANN into co-partitioned bucket-local scans.
+    * Bucket key is what a 100 TB corpus is hash-partitioned on, turning ANN
+    * into co-partitioned bucket-local scans.
     */
   def lshBuckets(df: DataFrame, planes: Array[Array[Double]]): DataFrame = {
-    val vec = col("embedding")
+    val vec = col("embedding").cast("array<double>")
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(vec, planeLit, (x, y) => x.cast("double") * y),
+      val planeLit = array(p.map(lit): _*).cast("array<double>")
+      val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
       shiftleft(when(d >= 0, lit(1L)).otherwise(lit(0L)), i)
     }.reduce(_ bitwiseOR _)
@@ -75,30 +87,45 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
     val bucketed = lshBuckets(df, planes)
-    val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      l2Norm(col("embedding")).as("cn"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via bucketed
-    * candidates (exact over the full corpus when `planes` is empty).
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact over all
+    * pairs when `planes` is empty (broadcast nested-loop, parallel over the
+    * left side); bucket-local when LSH planes are given.
     */
   def cosineDupPairs(df: DataFrame, threshold: Double,
                      planes: Array[Array[Double]] = Array.empty): DataFrame = {
-    val src = if (planes.isEmpty) df.withColumn("bucket", lit(0L)) else lshBuckets(df, planes)
-    val a = src.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("bucket"))
-    val b = src.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+    if (planes.isEmpty) {
+      val a = withNorm(df, "id_a", "va", "na_")
+      val b = broadcast(withNorm(df, "id_b", "vb", "nb_"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    } else {
+      val src = lshBuckets(df, planes)
+      val a = src.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        l2Norm(col("embedding")).as("na_"), col("bucket"))
+      val b = src.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        l2Norm(col("embedding")).as("nb_"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    }
   }
 }

@@ -22,16 +22,22 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z0-9]+|[^a-z0-9 ]"))
 
-  /** Distinct n-word shingles ("a b c" style), the MinHash/Jaccard unit.
-    * Documents shorter than n tokens get an empty set.
+  /** Distinct n-word shingles from an ALREADY-MATERIALIZED token-array
+    * column, via the native [[graft.expressions.Shingles]] kernel (the
+    * higher-order-function formulation is interpreted and ~10× slower).
+    * Taking the token array (not the text) also matters: a lambda over
+    * `split(text)` would re-evaluate the split per shingle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.Shingles(GraftSqlBridge.expression(toks), n))
   }
+
+  /** Distinct n-word shingles ("a b c" style), the MinHash/Jaccard unit.
+    * Documents shorter than n tokens get an empty set. Prefer
+    * [[shinglesFromTokens]] inside pipelines that already split.
+    */
+  def shingles(text: Column, n: Int = 3): Column = shinglesFromTokens(tokens(text), n)
 
   private val StopWords = Seq("the", "and", "of", "is", "in", "to", "a")
 

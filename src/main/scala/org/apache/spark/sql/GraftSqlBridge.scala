@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column ↔ Expression converters, the
+  * standard pattern for libraries that ship custom Catalyst expressions
+  * (Spark 4 removed the public `new Column(expr)` / `Column.expr` surface).
+  * Keep this the ONLY file inside the spark namespace.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
