@@ -138,6 +138,14 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Collapse a corpus to near-dup survivors: greedy keep-lowest-id policy —
+    * any document named as the HIGHER id of a qualifying pair is dropped.
+    * (Greedy-by-id, not transitive clustering: the standard corpus-dedup
+    * policy, deterministic and one anti-join.)
+    */
+  def collapseNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** SimHash per document via explode + 64 codegen'd conditional aggregates
     * — the column-expression variant in [[simhash]] is correct but its
     * higher-order `filter` lambdas are interpreted (measured ~4× slower);

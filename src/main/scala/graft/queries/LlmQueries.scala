@@ -41,6 +41,15 @@ object LlmQueries extends QueryPack {
         n = 3, k = 32, bands = 8, threshold = JaccardThreshold)
     },
 
+    // Corpus collapse: survivors after greedy near-dup removal (drop the
+    // higher id of every qualifying pair).
+    "dd_dedup_corpus" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.collapseNearDups(docs,
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = JaccardThreshold),
+        "doc_id").select("doc_id", "lang", "source")
+    },
+
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
     // against the Jaccard pairs in DedupSpec).
     "dd_simhash" -> { (s, dir) =>
@@ -145,6 +154,10 @@ object LlmQueries extends QueryPack {
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> jaccardPairsSql,
     "dd_minhash_lsh" -> jaccardPairsSql,
+    "dd_dedup_corpus" ->
+      s"""WITH p AS ($jaccardPairsSql)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM p)""".stripMargin,
     "dd_embedding_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import QueryPack._
+
+/** Headline composite queries — TPC-H-shaped pricing/revenue workloads over
+  * the testdata star schema, combining the §2 operators end-to-end (scan →
+  * pushdown filter → broadcast/shuffle joins → partial+final hash agg →
+  * top-k). These are the bench's "does the whole plan hold together"
+  * queries, not new operator classes.
+  */
+object TpchQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Q1-shaped pricing summary: scan + filter + wide hash agg.
+    "tpch_q1" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Q3-shaped shipping priority: 3-way join + agg + top-k.
+    "tpch_q3" -> { (s, dir) =>
+      val cutoff = lit("1995-03-15").cast("timestamp")
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // Q6-shaped forecast revenue: pure pushdown filter + global agg.
+    "tpch_q6" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * col("l_discount") * 100, 0)
+          .cast("long")) / 100.0).as("revenue"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         |${centsSumSql("l_extendedprice")} AS sum_base_price, COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q6" ->
+      """SELECT SUM(CAST(round(l_extendedprice*l_discount*100,0) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+  )
+}
