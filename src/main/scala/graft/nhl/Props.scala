@@ -128,10 +128,41 @@ object Props {
       .filter(col("game_date") >= date_sub(to_date(lit(runDate)), 180))
       .select("player_id", "player_name", "team_abbrev").distinct()
 
-    val matched = pivoted
+    val viaCrosswalk = pivoted
       .join(broadcast(crosswalk.select(col("odds_player_name"),
         col("player_id"), col("player_name"), col("match_method"))),
         Seq("odds_player_name"), "left")
+
+    // fuzzy candidate fallback for names the crosswalk couldn't place
+    // unambiguously (the reference's J7 idiom, `v2.sql:115-144`): candidates
+    // on (last name, first initial) restricted to HISTORICAL appearances
+    // (rp.game_date <= prop date), ranked by recency with match_rank = 1
+    // kept inside the same stage to bound the fanout (SURVEY §7.4.8).
+    val stillUnmatched = viaCrosswalk.filter(col("player_id").isNull)
+      .drop("player_id", "player_name", "match_method")
+      .withColumn("o_last", Fns.lastToken(Fns.normalizeName(col("odds_player_name"))))
+      .withColumn("o_init", Fns.firstInitial(Fns.normalizeName(col("odds_player_name"))))
+    val appearances = factPlayerGameStats
+      .select(col("player_id").as("cand_player_id"),
+        col("player_name").as("cand_player_name"),
+        col("game_date").as("app_date"))
+      .withColumn("n_last", Fns.lastToken(Fns.normalizeName(col("cand_player_name"))))
+      .withColumn("n_init", Fns.firstInitial(Fns.normalizeName(col("cand_player_name"))))
+    val wCand = Window.partitionBy("event_id", "game_date", "odds_player_name")
+      .orderBy(col("app_date").desc, col("cand_player_id").asc)
+    val viaFuzzy = stillUnmatched
+      .join(appearances,
+        col("o_last") === col("n_last") && col("o_init") === col("n_init") &&
+          col("app_date") <= col("game_date"), "left")
+      .withColumn("match_rank", row_number().over(wCand))
+      .filter(col("match_rank") === 1)
+      .select(stillUnmatched.columns.filterNot(Seq("o_last", "o_init").contains).map(col) :+
+        col("cand_player_id").as("player_id") :+
+        col("cand_player_name").as("player_name") :+
+        when(col("cand_player_id").isNotNull, "fuzzy_fallback").as("match_method"): _*)
+
+    val matched = viaCrosswalk.filter(col("player_id").isNotNull)
+      .unionByName(viaFuzzy)
       .join(broadcast(roster.select(col("player_id"), col("team_abbrev"))),
         Seq("player_id"), "left")
 

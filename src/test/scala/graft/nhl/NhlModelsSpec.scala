@@ -168,19 +168,25 @@ class NhlModelsSpec extends SparkTestBase {
     assert(v2(("e1", "J.T. Miller")).getAs[String]("outcome") === "push") // 3 == 3.0
     assert(v2(("e1", "D. Pastrnak")).getAs[String]("outcome") === "over") // 5 > 4.5 via initial match
     assert(v2(("e1", "Nobody Unknown")).getAs[String]("outcome") === "unmatched")
-    assert(v2(("e1", "M. Marner")).getAs[String]("outcome") === "unmatched") // ambiguous
+    // ambiguous for the crosswalk gate, but the in-pipeline fuzzy candidate
+    // rank (v2.sql:115-144) picks the deterministic best: Mitch (lower id),
+    // actual 4 SOG > 2.5
+    val marner = v2(("e1", "M. Marner"))
+    assert(marner.getAs[String]("match_method") === "fuzzy_fallback")
+    assert(marner.getAs[Long]("player_id") === NhlFixtures.Marner)
+    assert(marner.getAs[String]("outcome") === "over")
     assert(v2(("e3", "David Pastrnak")).getAs[String]("outcome") === "pending")
   }
 
   test("rpt overall: settled props only, over-hit pct excludes pushes") {
     val r = out.rptOverall.collect()(0)
     // settled: Pastrnak over, Pastrnak under, Draisaitl under, Miller push,
-    // D. Pastrnak over
-    assert(r.getAs[Long]("n_props") === 5L)
-    assert(r.getAs[Long]("n_over") === 2L)
+    // D. Pastrnak over, M. Marner over (fuzzy fallback)
+    assert(r.getAs[Long]("n_props") === 6L)
+    assert(r.getAs[Long]("n_over") === 3L)
     assert(r.getAs[Long]("n_under") === 2L)
     assert(r.getAs[Long]("n_push") === 1L)
-    assert(r.getAs[Double]("over_hit_pct") === 50.0) // 2 of 4 non-push
+    assert(r.getAs[Double]("over_hit_pct") === 60.0) // 3 of 5 non-push
   }
 
   test("extracts: final-game selection and next-opponent derivation") {
