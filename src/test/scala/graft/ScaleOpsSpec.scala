@@ -1,0 +1,116 @@
+package graft
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.ops.Skew
+import graft.sources.Http
+
+/** HTTP ingestion (against a local stub server — zero egress), salted skew
+  * join, and bucketed co-located joins.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- HTTP
+
+  private def withServer(handler: HttpExchange => Unit)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = handler(ex)
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  test("fetchWithRetry retries through 429/500 then lands the payload in a DataFrame") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex =>
+      hits.incrementAndGet() match {
+        case 1 => respond(ex, 429, "slow down")
+        case 2 => respond(ex, 500, "boom")
+        case _ => respond(ex, 200, """{"id": 7, "gameState": "OFF"}""")
+      }
+    } { base =>
+      val r = Http.fetchWithRetry(s"$base/x", retries = 5, backoffMs = 1)
+      assert(r.status === 200 && r.attempts === 3)
+      val df = Http.toDF(spark, Seq(r.body), StructType.fromDDL("id LONG, gameState STRING"))
+      assert(df.select("payload.id").as[Long].collect()(0) === 7L)
+    }
+  }
+
+  test("fetchWithRetry gives up after N attempts on persistent failure") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex => hits.incrementAndGet(); respond(ex, 503, "down") } { base =>
+      val r = Http.fetchWithRetry(s"$base/x", retries = 3, backoffMs = 1)
+      assert(r.status === 503 && hits.get() === 3)
+    }
+  }
+
+  test("fetchPaged stops on the first short page and caps pages") {
+    withServer { ex =>
+      val q = ex.getRequestURI.getQuery // start=N&limit=M
+      val start = q.split("&")(0).split("=")(1).toInt
+      val n = if (start == 0) 3 else 1 // second page is short
+      respond(ex, 200, s"""{"items": ${(0 until n).mkString("[", ",", "]")}}""")
+    } { base =>
+      val pages = Http.fetchPaged(s"$base/stats", pageSize = 3, maxPages = 50,
+        countInPage = b => b.count(_ == ',') + (if (b.contains("[]")) 0 else 1))
+      assert(pages.length === 2)
+    }
+  }
+
+  // ------------------------------------------------------------ skew salt
+
+  test("saltedJoin spreads a hot key and matches the plain join result") {
+    // 10k rows all on one key + a long tail
+    val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(100).select((col("id") + 2).as("k"), col("id").as("v")))
+    val right = Seq((1L, "hot"), (5L, "cold")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).groupBy("k", "name").count()
+      .as[(Long, String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8).groupBy("k", "name").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(salted === plain)
+    assert(plain.exists(_._3 == 10000L))
+  }
+
+  // ------------------------------------------------------------ bucketing
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // in-memory catalog forgets tables between JVMs but the files persist —
+    // clear them so saveAsTable doesn't trip over a previous run
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get(new java.net.URI(wh).getPath, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val o = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle, plan was:\n$plan")
+    assert(joined.count() === li.count())
+    info(s"warehouse at $wh, bucketed join shuffle-free")
+  }
+}
