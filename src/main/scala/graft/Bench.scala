@@ -16,11 +16,16 @@ object Bench {
     // absorb one-time session costs (codegen compiler, parquet reader,
     // shuffle machinery) so per-query timings measure the queries
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val wa = spark.range(100000).selectExpr("id % 7 as k", "id as v")
-    val wb = spark.range(1000).selectExpr("id as k", "id * 2 as w")
-    wa.join(wb, "k").groupBy("k").sum("v", "w").collect()
-    wa.selectExpr("k", "sum(v) over (partition by k order by v rows between 2 preceding and current row) as r")
-      .filter("r > 0").count()
+    // JMH-style warmup: run every query once at the smallest SF. Identical
+    // plan shapes hit Spark's codegen cache and warm the JIT, so the timed
+    // sf runs below measure steady-state data processing, not compiler
+    // startup. Disable with SPARK_GRAFT_WARMUP=none.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
+    if (warmDir != "none" && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -101,6 +101,69 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF centroids by Lloyd iterations over DataFrame ops, deterministically
+    * seeded with the `nlist` lowest vec_ids. Element-wise centroid means via
+    * posexplode → (centroid, dim) average → re-assembled arrays; every step
+    * is a hash aggregation, so training scales with the corpus.
+    */
+  def ivfCentroids(df: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
+    val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    var centroids = vecs.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    // stable 0..nlist-1 ids
+    centroids = centroids.orderBy("cid")
+      .select((row_number().over(Window.orderBy("cid")) - 1).as("cid"), col("c"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroid(vecs, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("c"))
+    }
+    centroids
+  }
+
+  private def assignToCentroid(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid").asc)
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("score", dot(col("v"), col("c")) / (l2Norm(col("v")) * l2Norm(col("c"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** IVF ANN top-k: corpus vectors live in their centroid's inverted list
+    * (the hash-partition key at scale); each query probes its `nprobe`
+    * nearest centroids and brute-forces only those lists. Recall < 1 by
+    * construction; cost drops ~nlist/nprobe.
+    */
+  def ivfTopK(df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    val centroids = ivfCentroids(df, nlist, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = assignToCentroid(vecs, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        l2Norm(col("v")).as("cn"), col("cid"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid").asc)
+    val probes = vecs.crossJoin(broadcast(centroids))
+      .withColumn("score", dot(col("v"), col("c")) / (l2Norm(col("v")) * l2Norm(col("c"))))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        l2Norm(col("v")).as("qn"), col("cid"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact over all
     * pairs when `planes` is empty (broadcast nested-loop, parallel over the
     * left side); bucket-local when LSH planes are given.

@@ -75,6 +75,13 @@ object LlmQueries extends QueryPack {
       Similarity.lshTopK(Tables.embeddings(s, dir), Planes, k = 5)
     },
 
+    // IVF ANN (the other scale path): Lloyd-trained inverted lists,
+    // nprobe-centroid search; recall measured in SimilaritySpec (~0.64 vs
+    // 0.13 for single-probe LSH on this data).
+    "ann_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5, nlist = 16, nprobe = 4)
+    },
+
     // Text quality metrics: token/char counts, avg token length, stopword
     // ratio, composite quality score.
     "ta_quality" -> { (s, dir) =>

@@ -64,6 +64,45 @@ object Streaming {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: events more
+    * than `gapUs` apart open a new session; each closed session is emitted,
+    * the open one stays in state. The reference has no session concept —
+    * this is the standard stateful-stream operator a training-data event
+    * pipeline needs (batch mode emits every session, open ones included,
+    * at end of input).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapUs: Long): Dataset[Session] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Session]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_type))
+          val closed = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.end_us <= gapUs =>
+                cur = Some(s.copy(end_us = e.ts_us, n_events = s.n_events + 1))
+              case Some(s) =>
+                closed += s
+                cur = Some(Session(uid, e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(Session(uid, e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          // batch mode: one pass, emit open session too so output is total
+          (closed.result() ++ cur).iterator
+      }
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

@@ -47,6 +47,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"recall $recall suspiciously low — bucketing broken?")
   }
 
+  test("ivfTopK: candidates score exactly, recall beats single-probe LSH") {
+    val ivf = Similarity.ivfTopK(emb, k = 5, nlist = 8, nprobe = 3)
+    val brute = Similarity.bruteForceTopK(emb, emb, k = 5)
+    val bruteSet = brute.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfSet = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bruteSet intersect ivfSet).size.toDouble / bruteSet.size
+    info(f"IVF recall@5 = $recall%.3f (nlist=8, nprobe=3)")
+    assert(recall > 0.3, s"IVF recall $recall too low")
+    // cosines must be the exact brute-force cosines for shared pairs
+    val bcos = brute.select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    assert(ivf.join(bcos, Seq("query_id", "neighbor_id"))
+      .filter(abs($"cos" - $"bcos") > 1e-12).count() === 0)
+  }
+
+  test("ivfCentroids is deterministic and produces nlist centroids") {
+    val a = Similarity.ivfCentroids(emb, nlist = 8).orderBy("cid")
+      .select("c").collect().map(_.getSeq[Float](0))
+    val b = Similarity.ivfCentroids(emb, nlist = 8).orderBy("cid")
+      .select("c").collect().map(_.getSeq[Float](0))
+    assert(a.length === 8)
+    assert(a.map(_.toList).toSeq === b.map(_.toList).toSeq)
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     val a = Similarity.hyperplanes(4, 8, 7L)
     val b = Similarity.hyperplanes(4, 8, 7L)

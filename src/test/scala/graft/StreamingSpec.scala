@@ -60,6 +60,23 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() === eventsBatch.count())
   }
 
+  test("sessionize: gap-based sessions partition each user's events exactly") {
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    val sessions = Streaming.sessionize(spark, eventsBatch, gapUs).collect()
+    val perUser = sessions.groupBy(_.user_id)
+    val counts = eventsBatch.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    counts.foreach { case (uid, n) =>
+      val ss = perUser(uid).sortBy(_.start_us)
+      assert(ss.map(_.n_events).sum === n, s"user $uid events partitioned")
+      // sessions are disjoint and separated by more than the gap
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(b.start_us - a.end_us > gapUs)
+        case _ =>
+      }
+      ss.foreach(s => assert(s.end_us >= s.start_us))
+    }
+  }
+
   test("mapGroupsWithState running user state matches batch latest-event per user") {
     val state = Streaming.runningUserState(spark, eventsBatch).collect()
       .map(s => s.user_id -> s).toMap
