@@ -93,6 +93,19 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** PII masking for training corpora: emails, long digit runs (phone/SSN/
+    * card shapes), and IPv4 literals replaced with typed placeholder tokens.
+    * Pure regexp_replace chain — codegen'd, order-stable (emails first so
+    * their digits don't half-match the number rule).
+    */
+  def maskPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUMBER>")
+  }
+
   /** 64-bit content fingerprint: min of rolling shingle hashes (winnowing
     * with window = whole doc). Engine-internal (xxhash64-based) — compare
     * only against itself.

@@ -86,6 +86,22 @@ object AggQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_value"))
     },
 
+    // ROLLUP (beyond the reference — SURVEY notes grouping sets absent;
+    // a complete engine has them): subtotals per (status, priority),
+    // per status, and grand total.
+    "a11_rollup" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+    },
+
+    // CUBE (beyond the reference): all grouping-set combinations.
+    "a12_cube" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .cube(col("event_type"), pmod(col("user_id"), lit(10)).as("user_mod"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // A10 — programmatic per-column null-drift aggregate
     // (time_travel_validator.py:129-149): one SUM(CASE WHEN col IS NULL) per column.
     "a10_null_drift" -> { (s, dir) =>
@@ -122,6 +138,13 @@ object AggQueries extends QueryPack {
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events GROUP BY 1",
     "a7_having" ->
       "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 HAVING COUNT(*) >= 250",
+    "a11_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |${centsSumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a12_cube" ->
+      """SELECT event_type, user_id % 10 AS user_mod, COUNT(*) AS n
+        |FROM events GROUP BY CUBE (event_type, user_id % 10)""".stripMargin,
     "a9_binned_groupby" ->
       s"""SELECT event_type, CAST(floor(value/50)*50 AS INTEGER) AS value_bin,
          |COUNT(*) AS n, ${centsSumSql("value")} AS sum_value

@@ -105,6 +105,16 @@ object LlmQueries extends QueryPack {
         (TextOps.langId(col("text")) === col("lang")).as("is_correct"))
     },
 
+    // PII masking: emails / long digit runs / IPv4 → typed placeholders
+    // (synthesized PII appended to the clean corpus text so the rule fires).
+    "ta_pii_mask" -> { (s, dir) =>
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 5551234567 at 10.0.0."),
+        (col("doc_id") % 255).cast("string"))
+      Tables.documents(s, dir).select(col("doc_id"), TextOps.maskPii(dirty).as("masked"))
+    },
+
     // Structural fingerprint (sorted distinct token set → md5): dup groups.
     "ta_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -215,6 +225,14 @@ object LlmQueries extends QueryPack {
         |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
         |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_correct
         |FROM scored""".stripMargin,
+    "ta_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 5551234567 at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUMBER>', 'g') AS masked
+        |FROM documents""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
