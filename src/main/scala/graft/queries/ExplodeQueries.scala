@@ -58,10 +58,34 @@ object ExplodeQueries extends QueryPack {
           explode(col("ord.items")).as("it"))
         .select(col("o_custkey"), col("o_orderkey"),
           col("it.l_linenumber").as("l_linenumber"), col("it.l_quantity").as("l_quantity"))
-    }
+    },
+
+    "f5_triple_nest_roundtrip" -> tripleNest
   )
 
+  // F4/F5 full shape — TRIPLE nesting (region → nations[] → customers[]),
+  // recovered with three chained explodes, oracle = the flat 3-way join
+  // (the odds bookmakers→markets→outcomes shape on relational data).
+  private lazy val tripleNest: Q = { (s, dir) =>
+    val custPerNation = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("n_nationkey"))
+      .agg(collect_list(struct(col("c_custkey"), col("c_mktsegment"))).as("custs"))
+    val nationsNested = Tables.nation(s, dir)
+      .join(custPerNation, Seq("n_nationkey"))
+      .groupBy(col("n_regionkey").as("r_regionkey"))
+      .agg(collect_list(struct(col("n_nationkey"), col("n_name"), col("custs"))).as("nations"))
+    Tables.region(s, dir).join(nationsNested, Seq("r_regionkey"))
+      .select(col("r_name"), explode(col("nations")).as("n"))
+      .select(col("r_name"), col("n.n_name").as("n_name"), explode(col("n.custs")).as("c"))
+      .select(col("r_name"), col("n_name"),
+        col("c.c_custkey").as("c_custkey"), col("c.c_mktsegment").as("c_mktsegment"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "f5_triple_nest_roundtrip" ->
+      """SELECT r_name, n_name, c_custkey, c_mktsegment
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
     "f1_explode_tokens" ->
       "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents",
     "f2_combo_union" ->

@@ -123,6 +123,15 @@ object LlmQueries extends QueryPack {
         md5(col("text")).as("content_md5"))
     },
 
+    // Rolling-hash content fingerprint (winnowing, window = doc): min of
+    // shingle hashes — engine-internal values (xxhash64) → rows-only; the
+    // invariant (near-dups share fingerprints with high probability) is
+    // asserted in DedupSpec via the minhash machinery it feeds.
+    "ta_rolling_fp" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.minShingleHash(col("text")).as("rolling_fp"))
+    },
+
     // Multimodal metadata: binary payload + typed metadata columns
     // (the SQL-expressible half; batched decode below).
     "mm_binary_meta" -> { (s, dir) =>

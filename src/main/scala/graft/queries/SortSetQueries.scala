@@ -31,6 +31,15 @@ object SortSetQueries extends QueryPack {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // O3 — plain LIMIT-N capping with a total order (analysis queries,
+    // odds_matching_queries.sql:29-176).
+    "o3_limit" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+
     // O5 — order-preserving dedup then cap (first event per user, earliest 30
     // users; gamecenter_selection.py:51-72).
     "o5_capped_dedup" -> { (s, dir) =>
@@ -84,6 +93,9 @@ object SortSetQueries extends QueryPack {
     "o4_topk" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "o3_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
     "o5_capped_dedup" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id, ts, row_number() OVER (PARTITION BY user_id

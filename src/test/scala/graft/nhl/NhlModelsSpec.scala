@@ -199,6 +199,17 @@ class NhlModelsSpec extends SparkTestBase {
     assert(!next.getAs[Boolean]("is_home"))
   }
 
+  test("typed facade: Dataset[GameResult] round-trips with compile-time fields") {
+    val ds = Typed.gameResults(spark, out.factGameResults)
+    val g1 = ds.collect().find(_.game_id == 2024020001L).get
+    assert(g1.winning_team_id === Some(6L))
+    assert(!g1.went_to_overtime)
+    // typed transformations work (filter on case-class fields)
+    assert(ds.filter(_.goal_differential >= 4).count() === 1)
+    val lines = Typed.playerGameLines(spark, out.factPlayerGameStats)
+    assert(lines.filter(_.player_id == NhlFixtures.Pastrnak).map(_.sog).collect().sum === 8)
+  }
+
   test("quality: dbt-equivalent assertions pass on the silver outputs") {
     Quality.checkUnique(out.factGameResults, Seq("game_id"))
     Quality.checkUnique(out.factPlayerGameStats, Seq("game_id", "player_id"))
