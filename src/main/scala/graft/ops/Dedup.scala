@@ -70,8 +70,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: k independent hash slots via seeded xxhash64 over
-    * the shingle set (deterministic; no RNG at runtime).
+  /** MinHash signature as a single Column (k seeded slots over a shingle
+    * array). Column-level variant for ad-hoc use; [[minhashLshPairs]] uses
+    * the equivalent exploded/codegen'd formulation internally (same values:
+    * min over identical per-shingle hashes).
     */
   def minhashSignature(sh: Column, k: Int = 32): Column =
     array((0 until k).map { i =>

@@ -64,6 +64,30 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream inner join: purchases joined to the same
+    * user's signups within `window` before the purchase. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so state
+    * for either side is evicted once the watermark passes — the only shape
+    * in which unbounded streams can join with bounded state.
+    */
+  def purchasesWithRecentSignup(events: DataFrame, window: String = "1 hour",
+                                watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    purchases.join(signups,
+      purchases("user_id") === signups("user_id") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), purchases("user_id"), col("purchase_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
   case class SessionEvent(user_id: Long, ts_us: Long, event_type: String)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

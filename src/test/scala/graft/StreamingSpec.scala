@@ -60,6 +60,20 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() === eventsBatch.count())
   }
 
+  test("stream-stream join matches the equivalent batch interval join") {
+    Streaming.drainToMemory(
+      Streaming.purchasesWithRecentSignup(eventsStream), "ss_join_out", OutputMode.Append())
+    val streamed = spark.table("ss_join_out")
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    val ev = eventsBatch
+    val batch = Streaming.purchasesWithRecentSignup(ev)
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    // streaming append emits only pairs the watermark has sealed; every
+    // emitted pair must be a true batch pair, and most batch pairs seal
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size / 2, s"${streamed.size} of ${batch.size} sealed")
+  }
+
   test("sessionize: gap-based sessions partition each user's events exactly") {
     val gapUs = 30L * 60 * 1000000 // 30 min
     val sessions = Streaming.sessionize(spark, eventsBatch, gapUs).collect()
