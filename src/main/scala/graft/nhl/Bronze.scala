@@ -60,6 +60,13 @@ object Bronze {
                        mode: String = "append"): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** S3: raw JSON sink under Hive-style keys — partition columns replace
+    * the reference's hand-built `date=/hour=` key strings
+    * (`utils/paths.py:36-117`); one JSON line per row.
+    */
+  def writeRawJson(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).json(path)
+
   /** S5: idempotent re-load — dynamic partition overwrite replaces only the
     * partitions present in `df` (the `_SUCCESS`-marker / FORCE=FALSE analog).
     */

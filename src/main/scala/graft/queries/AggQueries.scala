@@ -102,6 +102,17 @@ object AggQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Percentiles (beyond the reference): exact interpolated median/p90 —
+    // both engines sort the same exact 2-decimal doubles and interpolate
+    // with the same IEEE arithmetic.
+    "a13_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+    },
+
     // A10 — programmatic per-column null-drift aggregate
     // (time_travel_validator.py:129-149): one SUM(CASE WHEN col IS NULL) per column.
     "a10_null_drift" -> { (s, dir) =>
@@ -138,6 +149,11 @@ object AggQueries extends QueryPack {
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events GROUP BY 1",
     "a7_having" ->
       "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 HAVING COUNT(*) >= 250",
+    "a13_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "a11_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          |${centsSumSql("o_totalprice")} AS total

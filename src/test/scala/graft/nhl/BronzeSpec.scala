@@ -59,6 +59,31 @@ class BronzeSpec extends SparkTestBase {
       === Array("b2"))
   }
 
+  test("raw JSON sink writes Hive-partitioned documents (S3)") {
+    val root = Files.createTempDirectory("graft_rawjson").toString
+    val df = Seq(("2024-10-09", "03", """{"id": 1}"""), ("2024-10-10", "04", """{"id": 2}"""))
+      .toDF("date", "hour", "doc")
+    Bronze.writeRawJson(df, s"$root/raw", Seq("date", "hour"))
+    assert(Files.exists(Paths.get(s"$root/raw/date=2024-10-09/hour=03")))
+    val back = spark.read.json(s"$root/raw")
+    assert(back.count() === 2)
+    assert(back.columns.toSet === Set("doc", "date", "hour"))
+  }
+
+  test("quality gates reject violations (negative cases)") {
+    val dup = Seq((1, "a"), (1, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException](Quality.checkUnique(dup, Seq("k")))
+    val withNull = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException](Quality.checkNotNull(withNull, Seq("k")))
+    intercept[IllegalArgumentException](
+      Quality.checkAcceptedValues(dup, "v", Seq("a")))
+    val child = Seq(1, 2, 99).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    intercept[IllegalArgumentException](
+      Quality.checkReferentialIntegrity(child, "fk", parent, "pk"))
+    assert(Quality.countOutOfRange(Seq(5.0, 150.0).toDF("pct"), "pct", 0, 100) === 1)
+  }
+
   test("incremental anti-join load skips already-present ids (S7)") {
     val existing = Seq(("e1", 1), ("e2", 2)).toDF("event_id", "x")
     val incoming = Seq(("e2", 20), ("e3", 30)).toDF("event_id", "x")
