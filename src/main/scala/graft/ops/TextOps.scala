@@ -93,6 +93,19 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Overlapping token-window chunks — the context-window packing op of a
+    * training pipeline: windows of `size` tokens advancing by
+    * `size - overlap`, last partial window kept. Chunk i covers tokens
+    * [i*stride, i*stride+size).
+    */
+  def chunkTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val nChunks = greatest(ceil((size(toks) - lit(overlap)).cast("double") / stride), lit(1.0))
+    transform(sequence(lit(0), (nChunks - 1).cast("int")),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+  }
+
   /** PII masking for training corpora: emails, long digit runs (phone/SSN/
     * card shapes), and IPv4 literals replaced with typed placeholder tokens.
     * Pure regexp_replace chain — codegen'd, order-stable (emails first so

@@ -123,6 +123,16 @@ object LlmQueries extends QueryPack {
         md5(col("text")).as("content_md5"))
     },
 
+    // Context-window chunking: 64-token windows with 16-token overlap, one
+    // row per (doc, chunk index) — the packing step before tokenization.
+    "ta_chunk" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(col("toks"), chunkSize = 64, overlap = 16))
+            .as(Seq("chunk_idx", "chunk")))
+    },
+
     // Rolling-hash content fingerprint (winnowing, window = doc): min of
     // shingle hashes — engine-internal values (xxhash64) → rows-only; the
     // invariant (near-dups share fingerprints with high probability) is
@@ -234,6 +244,14 @@ object LlmQueries extends QueryPack {
         |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
         |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_correct
         |FROM scored""".stripMargin,
+    "ta_chunk" ->
+      """SELECT d.doc_id, CAST(p.i AS INTEGER) AS chunk_idx,
+        |  array_to_string(d.toks[p.i*48+1 : p.i*48+64], ' ') AS chunk
+        |FROM (SELECT doc_id, string_split(text,' ') AS toks,
+        |        CAST(greatest(ceil((len(string_split(text,' ')) - 16)/48.0), 1) AS INTEGER) AS nc
+        |      FROM documents) d
+        |CROSS JOIN (SELECT unnest(range(0, 64)) AS i) p
+        |WHERE p.i < d.nc""".stripMargin,
     "ta_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -70,6 +70,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.map(_.toList).toSeq === b.map(_.toList).toSeq)
   }
 
+  test("bucketed cosineDupPairs is a sound subset of the exact variant") {
+    val exact = Similarity.cosineDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosineDupPairs(emb, threshold = 0.4,
+      planes = Similarity.hyperplanes(4, 64, 42L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(bucketed.subsetOf(exact)) // bucket-local candidates, same scoring
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     val a = Similarity.hyperplanes(4, 8, 7L)
     val b = Similarity.hyperplanes(4, 8, 7L)

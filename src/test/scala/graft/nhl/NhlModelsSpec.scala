@@ -132,6 +132,14 @@ class NhlModelsSpec extends SparkTestBase {
     assert(goalCell.getAs[Double]("shooting_pct") === 100.0)
   }
 
+  test("playerShotLocations: per-shooter heatmap cells with binned coords") {
+    val loc = out.playerShotLocations.collect()
+    assert(loc.map(_.getAs[Long]("shot_attempts")).sum === 3L) // coordless excluded
+    val pastrnak = loc.filter(_.getAs[Long]("shooter_player_id") == NhlFixtures.Pastrnak)
+    assert(pastrnak.map(r => (r.getAs[Int]("x_bin"), r.getAs[Int]("y_bin"))).toSet
+      === Set((60, 20), (75, 5)))
+  }
+
   test("crosswalk: exact, normalized-accent, last-name-initial; ambiguity gate") {
     val xw = out.crosswalk.collect()
       .map(r => r.getAs[String]("odds_player_name") ->
