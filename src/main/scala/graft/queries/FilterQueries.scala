@@ -24,6 +24,16 @@ object FilterQueries extends QueryPack {
         .filter(col("j.k").isNotNull)
     },
 
+    // P1b — Spark 4 VariantType path: parse_json once, typed variant_get
+    // (SURVEY §1.2's alternative to from_json for pass-through payloads
+    // when the contract isn't pinned).
+    "p11_variant_path" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_val"))
+        .filter(col("k_val").isNotNull)
+    },
+
     // P2 — equality filter on a status column (gameState='OFF' analog,
     // fact_game_results.sql:83).
     "p2_filter_eq" -> { (s, dir) =>
@@ -104,6 +114,9 @@ object FilterQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "p1_json_path" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k_val
+        |FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL""".stripMargin,
+    "p11_variant_path" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k_val
         |FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL""".stripMargin,
     "p2_filter_eq" ->
