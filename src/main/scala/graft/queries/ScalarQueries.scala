@@ -120,6 +120,18 @@ object ScalarQueries extends QueryPack {
         (col("o_orderstatus") === "F").as("is_final"))
     },
 
+    // Edit-distance family (the quantitative backbone of fuzzy name
+    // matching, stg_player_name_crosswalk.sql's cascade): levenshtein
+    // against a perturbed twin of each name.
+    "sc_fuzzy" -> { (s, dir) =>
+      val perturbed = concat(expr("replace(c_name, '0', 'O')"), lit("x"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        perturbed.as("perturbed"),
+        levenshtein(col("c_name"), perturbed).as("edit_dist"),
+        (levenshtein(col("c_name"), perturbed) <= 3).as("is_close"))
+    },
+
     // NHL domain: American-odds implied probability
     // (fact_player_sog_props_v2.sql:245-253) and "MM:SS" TOI parsing
     // (boxscore.yml:316-321), built from the JSON k field.
@@ -216,6 +228,12 @@ object ScalarQueries extends QueryPack {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor_int,
         |  o_orderstatus = 'F' AS is_final
         |FROM orders""".stripMargin,
+    "sc_fuzzy" ->
+      """SELECT c_custkey,
+        |  replace(c_name, '0', 'O') || 'x' AS perturbed,
+        |  levenshtein(c_name, replace(c_name, '0', 'O') || 'x') AS edit_dist,
+        |  levenshtein(c_name, replace(c_name, '0', 'O') || 'x') <= 3 AS is_close
+        |FROM customer""".stripMargin,
     "sc_odds_toi" ->
       """SELECT event_id,
         |  CASE WHEN k >= 50 THEN k + 100 ELSE -(k + 100) END AS odds_american,
