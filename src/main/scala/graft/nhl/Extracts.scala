@@ -61,6 +61,27 @@ object Extracts {
       .join(broadcast(nextOpp.select(col("opponent_abbrev"))),
         col("team_abbrev") === col("opponent_abbrev"))
 
+  /** `bruins_player_shot_locations.sql:9-11`: Bruins-only player heatmap
+    * cells for the sheet-sized serving layer — dim join for the abbrev
+    * (broadcast: 32 teams), then the P2 filter.
+    */
+  def bruinsPlayerShotLocations(playerShotLocations: DataFrame, dimTeam: DataFrame,
+                                teamAbbrev: String = "BOS"): DataFrame =
+    playerShotLocations
+      .join(broadcast(dimTeam.select(col("team_id"), col("team_abbrev"))),
+        col("shooting_team_id") === col("team_id"))
+      .drop("team_id")
+      .filter(col("team_abbrev") === teamAbbrev)
+
+  /** `bruins_team_shot_locations.sql:9-13`: Bruins-only team heatmap cells,
+    * keeping BOTH contexts — offense (shots by) and defense (shots against).
+    */
+  def bruinsTeamShotLocations(teamShotLocations: DataFrame, dimTeam: DataFrame,
+                              teamAbbrev: String = "BOS"): DataFrame =
+    teamShotLocations
+      .join(broadcast(dimTeam.select(col("team_id"), col("team_abbrev"))), Seq("team_id"))
+      .filter(col("team_abbrev") === teamAbbrev)
+
   /** S8: full-table export sink — header CSV, single file for sheet-sized
     * extracts (collect-to-driver-scale tables only; big tables export
     * partitioned).
@@ -68,5 +89,34 @@ object Extracts {
   def exportCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** S8 both-modes export: tables at or under the serving ceiling (the
+    * reference's ~25k-row Sheets/Tableau limit, `.context/DECISIONS.md:482-487`)
+    * export as ONE headered CSV; bigger tables export partitioned, plus a
+    * `_manifest.json` listing the part files and the row count so a serving
+    * loader can stitch or reject deterministically.
+    *
+    * Returns the exported row count. The count() is one extra job over the
+    * (already small, already computed) extract — not a scale risk; the data
+    * itself never funnels through the driver.
+    */
+  def exportCsvWithManifest(df: DataFrame, path: String,
+                            servingCeiling: Long = 25000L): Long = {
+    val n = df.count()
+    val single = n <= servingCeiling
+    exportCsv(df, path, singleFile = single)
+
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val parts = fs.listStatus(p).map(_.getPath.getName)
+      .filter(f => f.startsWith("part-") && f.endsWith(".csv")).sorted
+    val manifest =
+      s"""{"row_count": $n, "mode": "${if (single) "single_file" else "partitioned"}",
+         | "files": [${parts.map(f => "\"" + f + "\"").mkString(", ")}]}""".stripMargin
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "_manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    n
   }
 }

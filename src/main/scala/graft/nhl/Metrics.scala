@@ -144,14 +144,17 @@ object Metrics {
       .unionByName(cell("defending_team_id", "defense"))
   }
 
-  /** `player_shot_locations.sql`: per-player heatmap cells (A9 + A3). */
+  /** `player_shot_locations.sql`: per-player heatmap cells (A9 + A3).
+    * `shooting_team_id` stays in the grain as in the reference (`:69-77`) —
+    * it is what the Bruins serving extract filters on.
+    */
   def playerShotLocations(factShotEvents: DataFrame): DataFrame =
     regSeason(factShotEvents)
       .filter(col("x_coord").isNotNull && col("y_coord").isNotNull &&
         col("shooter_player_id").isNotNull)
       .withColumn("x_bin", Fns.binCoord(col("x_coord"), 5))
       .withColumn("y_bin", Fns.binCoord(col("y_coord"), 5))
-      .groupBy("shooter_player_id", "season", "x_bin", "y_bin")
+      .groupBy("shooter_player_id", "shooting_team_id", "season", "x_bin", "y_bin")
       .agg(
         count(lit(1)).as("shot_attempts"),
         sum(when(col("is_goal"), 1).otherwise(0)).as("goals"),

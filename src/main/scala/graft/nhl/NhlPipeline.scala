@@ -29,6 +29,7 @@ final case class NhlOutputs(
     playerShotLocations: DataFrame,
     stgOddsPlayerProps: DataFrame,
     crosswalk: DataFrame,
+    factPlayerSogPropsV1: DataFrame,
     factPlayerSogPropsV2: DataFrame,
     rptOverall: DataFrame)
 
@@ -72,11 +73,12 @@ object NhlPipeline {
     val stgOdds = Props.stgOddsPlayerProps(oddsBronze)
     val crosswalk = Props.stgPlayerNameCrosswalk(
       stgOdds.select("odds_player_name"), factPgs.select("player_id", "player_name"))
+    val v1 = Props.factPlayerSogPropsV1(stgOdds, factPgs)
     val v2 = Props.factPlayerSogPropsV2(stgOdds, crosswalk, factPgs, runDate)
     val rpt = Props.Report.overall(v2)
 
     NhlOutputs(stgGames, dimTeam, dimPlayer, dimDate, factGameResults, factPgs,
       factTgs, factShots, teamShotMetrics, playerShotMetrics, shotsAgainst,
-      teamLoc, playerLoc, stgOdds, crosswalk, v2, rpt)
+      teamLoc, playerLoc, stgOdds, crosswalk, v1, v2, rpt)
   }
 }

@@ -95,6 +95,76 @@ object Props {
       .when(col("bookmaker_key") === "betmgm", 3)
       .otherwise(9)
 
+  /** `fact_player_sog_props.sql` (v1) — the original SOG-prop outcome model,
+    * kept as a named twin of the reference's v1 table: bookmaker preference
+    * rank incl. caesars (`:31-40`), per-bookmaker Over/Under pivot
+    * (`:52-67`, note bookmaker_key stays in the grain, so split-book lines
+    * yield one row per book), and the LIKE-containment fuzzy matcher
+    * (`:121-127`): `UPPER(odds_name) = UPPER(nhl_name) OR UPPER(odds_name)
+    * LIKE '%'||UPPER(last_word(nhl_name))||'%'`.
+    *
+    * Faithfully preserves v1's two sharp edges (why v2 exists): the
+    * containment matcher FANS OUT on shared surnames (both Marner brothers
+    * match "M. Marner" → duplicate rows), and an unmatched prop falls into
+    * the CASE ELSE arm as outcome='push' (`:130-135`). The join is an equi
+    * join on game_date with the name predicate as a residual filter — at
+    * scale it shuffles on the date key only, no cross join.
+    */
+  def factPlayerSogPropsV1(stgOdds: DataFrame, factPlayerGameStats: DataFrame): DataFrame = {
+    val prefV1 = when(col("bookmaker_key") === "draftkings", 1)
+      .when(col("bookmaker_key") === "fanduel", 2)
+      .when(col("bookmaker_key") === "betmgm", 3)
+      .when(col("bookmaker_key") === "caesars", 4)
+      .otherwise(5)
+
+    val sog = stgOdds.filter(col("market_key") === "player_shots_on_goal")
+    val wBook = Window
+      .partitionBy("game_date", "event_id", "odds_player_name", "bet_type")
+      .orderBy(prefV1.asc, col("last_update").desc, col("bookmaker_key").asc)
+    val best = sog.withColumn("book_rank", row_number().over(wBook))
+      .filter(col("book_rank") === 1)
+
+    val pivoted = best
+      .groupBy("game_date", "event_id", "home_team", "away_team",
+        "commence_time", "odds_player_name", "bookmaker_key")
+      .agg(
+        max("line_value").as("sog_line"),
+        max(when(col("bet_type") === "Over", col("odds_american"))).as("over_odds"),
+        max(when(col("bet_type") === "Under", col("odds_american"))).as("under_odds"),
+        max("last_update").as("line_last_update"))
+
+    val actuals = factPlayerGameStats
+      .filter(col("sog").isNotNull)
+      .select(col("game_date").as("a_game_date"),
+        col("player_name").as("nhl_player_name"),
+        col("sog").as("actual_sog"), col("game_id"),
+        col("team_abbrev"), col("home_away"))
+
+    pivoted
+      .join(actuals,
+        col("game_date") === col("a_game_date") && (
+          upper(col("odds_player_name")) === upper(col("nhl_player_name")) ||
+            upper(col("odds_player_name"))
+              .contains(upper(Fns.lastToken(col("nhl_player_name"))))),
+        "left")
+      .select(
+        col("game_date"), col("event_id"),
+        col("home_team").as("odds_home_team"),
+        col("away_team").as("odds_away_team"),
+        col("odds_player_name"), col("bookmaker_key"),
+        col("sog_line"), col("over_odds"), col("under_odds"),
+        col("line_last_update"),
+        col("nhl_player_name"), col("team_abbrev"), col("home_away"),
+        col("actual_sog"), col("game_id"),
+        // v1 outcome CASE (`:130-135`): NULL actual falls through to 'push'
+        when(col("actual_sog") > col("sog_line"), "over")
+          .when(col("actual_sog") < col("sog_line"), "under")
+          .otherwise("push").as("outcome"),
+        when(col("actual_sog") > col("sog_line"), true)
+          .when(col("actual_sog") < col("sog_line"), false).as("hit_over"),
+        (col("actual_sog") - col("sog_line")).as("sog_vs_line"))
+  }
+
   /** `fact_player_sog_props_v2.sql` — the 8-stage pipeline:
     * market filter (P8) → bookmaker preference rank (W2) → Over/Under pivot
     * (A4) → 180-day roster window (P9, anchored on `runDate`, not

@@ -134,8 +134,8 @@ object AggQueries extends QueryPack {
          |FROM supplier GROUP BY 1""".stripMargin,
     "a3_conditional_agg" ->
       """SELECT user_id,
-        |SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
+        |CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END)/100.0 AS purchase_value
         |FROM events GROUP BY 1""".stripMargin,
     "a4_pivot_maxcase" ->
@@ -167,12 +167,12 @@ object AggQueries extends QueryPack {
          |FROM events GROUP BY 1,2""".stripMargin,
     "a10_null_drift" ->
       """SELECT COUNT(*) AS n_rows,
-        |SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
-        |SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
-        |SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-        |SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
-        |SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-        |SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls
+        |CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+        |CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+        |CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        |CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+        |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        |CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
         |FROM events""".stripMargin
   )
 }

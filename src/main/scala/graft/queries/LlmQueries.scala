@@ -56,6 +56,27 @@ object LlmQueries extends QueryPack {
       Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
     },
 
+    // SimHash containment invariant — the oracle-able face of dd_simhash.
+    // GUARANTEED (not probabilistic): two docs with the same distinct-token
+    // SET have identical SimHash signatures (hamming 0), collide in every
+    // pigeonhole chunk, and so MUST appear in simhashPairs. Semi-joining the
+    // fingerprint-equal pairs against the SimHash pairs must return ALL of
+    // them; the oracle computes the fingerprint pairs directly, so any
+    // candidate-generation or verify regression shows up as a row deficit.
+    // (High-Jaccard ⊆ simhash(≤3) does NOT hold — measured hamming of
+    // ≥0.9-Jaccard pairs spans 0–12 on this corpus — so token-set identity
+    // is the strongest driver-checkable invariant.)
+    "dd_simhash_contains" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      fp.select(col("doc_id").as("id_a"), col("fp"))
+        .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .join(Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+          .select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    },
+
     // Embedding cosine near-dup pairs, exact over all pairs (threshold in
     // the empirical gap below the 0.6 max; cosine is bit-exact cross-engine
     // via index-ordered double accumulation).
@@ -167,7 +188,7 @@ object LlmQueries extends QueryPack {
       "i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || " +
       "string_split(text,' ')[i+3])) AS sh FROM documents"
 
-  private val jaccardPairsSql =
+  private def jaccardPairsSqlAt(threshold: Double) =
     s"""WITH toks AS ($shingleSql),
        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
        |pairs AS (
@@ -176,7 +197,9 @@ object LlmQueries extends QueryPack {
        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1,2)
        |SELECT id_a, id_b, co*1.0/(n_a+n_b-co) AS jaccard
-       |FROM pairs WHERE co*1.0/(n_a+n_b-co) >= 0.8""".stripMargin
+       |FROM pairs WHERE co*1.0/(n_a+n_b-co) >= $threshold""".stripMargin
+
+  private val jaccardPairsSql = jaccardPairsSqlAt(JaccardThreshold)
 
   // index-ordered double dot product — the bit-exact twin of Similarity.dot
   private def dotSql(a: String, b: String) =
@@ -190,6 +213,12 @@ object LlmQueries extends QueryPack {
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> jaccardPairsSql,
     "dd_minhash_lsh" -> jaccardPairsSql,
+    "dd_simhash_contains" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     "dd_dedup_corpus" ->
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents

@@ -186,6 +186,42 @@ class NhlModelsSpec extends SparkTestBase {
     assert(v2(("e3", "David Pastrnak")).getAs[String]("outcome") === "pending")
   }
 
+  test("factPlayerSogPropsV1: LIKE-containment matcher fans out on shared surnames; v2 does not") {
+    val v1 = out.factPlayerSogPropsV1.collect()
+
+    // v1's `LIKE '%'||last_name||'%'` matcher (fact_player_sog_props.sql:121-127)
+    // matches BOTH Marner brothers for "M. Marner" → two rows, conflicting outcomes
+    val marnerV1 = v1.filter(_.getAs[String]("odds_player_name") == "M. Marner")
+    assert(marnerV1.length === 2)
+    assert(marnerV1.map(_.getAs[String]("nhl_player_name")).toSet
+      === Set("Mitch Marner", "Marco Marner"))
+    assert(marnerV1.map(_.getAs[String]("outcome")).toSet === Set("over", "under"))
+
+    // v2's ranked-candidate matcher resolves the same name to ONE row
+    val marnerV2 = out.factPlayerSogPropsV2
+      .filter($"odds_player_name" === "M. Marner").collect()
+    assert(marnerV2.length === 1)
+    assert(marnerV2(0).getAs[Long]("player_id") === NhlFixtures.Marner)
+
+    // v1 quirk kept faithful: unmatched name falls into CASE ELSE → 'push'
+    val nobody = v1.filter(_.getAs[String]("odds_player_name") == "Nobody Unknown")
+    assert(nobody.length === 1)
+    assert(nobody(0).getAs[Any]("nhl_player_name") === null)
+    assert(nobody(0).getAs[String]("outcome") === "push")
+
+    // clean exact match agrees with v2: DK preferred, over (5 > 3.5)
+    val past = v1.find(r => r.getAs[String]("odds_player_name") == "David Pastrnak" &&
+      r.getAs[String]("event_id") == "e1").get
+    assert(past.getAs[String]("bookmaker_key") === "draftkings")
+    assert(past.getAs[String]("outcome") === "over")
+    assert(past.getAs[Double]("sog_vs_line") === 1.5)
+
+    // accent name matches via containment (LEON ⊃ DRAISAITL), no crosswalk needed
+    val leon = v1.find(_.getAs[String]("odds_player_name") == "Leon Draisaitl").get
+    assert(leon.getAs[String]("nhl_player_name") === "Léon Draisaitl")
+    assert(leon.getAs[String]("outcome") === "under")
+  }
+
   test("rpt overall: settled props only, over-hit pct excludes pushes") {
     val r = out.rptOverall.collect()(0)
     // settled: Pastrnak over, Pastrnak under, Draisaitl under, Miller push,

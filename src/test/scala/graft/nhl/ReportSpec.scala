@@ -62,4 +62,58 @@ class ReportSpec extends SparkTestBase {
     assert(back.count() === 1)
     assert(back.columns.contains("over_hit_pct"))
   }
+
+  test("exportCsv round-trips a full table: header, row count, values (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_s8").toString + "/facts"
+    val src = out.factGameResults.select("game_id", "winning_side", "goal_differential")
+    Extracts.exportCsv(src, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".csv"))
+    assert(files.length === 1) // single-file mode coalesces to one part
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() === src.count())
+    assert(back.columns.toSeq === src.columns.toSeq)
+    assert(back.filter($"game_id" === 2024020001L).select("winning_side")
+      .as[String].collect().toSeq === Seq("home"))
+  }
+
+  test("exportCsvWithManifest: single-file under ceiling, partitioned above, manifest lists parts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csv_manifest").toString
+    val src = out.factPlayerGameStats.select("game_id", "player_id", "sog")
+
+    val n1 = Extracts.exportCsvWithManifest(src, s"$base/single", servingCeiling = 25000L)
+    assert(n1 === src.count())
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/single/_manifest.json")), "UTF-8")
+    assert(m1.contains("\"mode\": \"single_file\""))
+    assert(m1.contains(s""""row_count": $n1"""))
+    assert(new java.io.File(s"$base/single").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")) === 1)
+
+    // force the >ceiling path: partitioned parts, manifest still stitches
+    val n2 = Extracts.exportCsvWithManifest(src.repartition(3), s"$base/parts", servingCeiling = 1L)
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/parts/_manifest.json")), "UTF-8")
+    assert(m2.contains("\"mode\": \"partitioned\""))
+    val nParts = new java.io.File(s"$base/parts").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(nParts === 3)
+    val back = spark.read.option("header", "true").csv(s"$base/parts")
+    assert(back.count() === n2)
+  }
+
+  test("bruins extracts: named player and team shot-location serving tables") {
+    val pl = Extracts.bruinsPlayerShotLocations(out.playerShotLocations, out.dimTeam)
+    val plRows = pl.collect()
+    // only BOS shooters survive (Pastrnak's two cells); TOR's Marner is dropped
+    assert(plRows.nonEmpty)
+    assert(plRows.forall(_.getAs[String]("team_abbrev") == "BOS"))
+    assert(plRows.map(_.getAs[Long]("shooter_player_id")).toSet === Set(NhlFixtures.Pastrnak))
+
+    val tl = Extracts.bruinsTeamShotLocations(out.teamShotLocations, out.dimTeam)
+    val tlRows = tl.collect()
+    assert(tlRows.forall(_.getAs[String]("team_abbrev") == "BOS"))
+    // reference keeps BOTH contexts: shots by BOS and shots against BOS
+    assert(tlRows.map(_.getAs[String]("shot_context")).toSet === Set("offense", "defense"))
+    assert(tlRows.map(_.getAs[Long]("shot_attempts")).sum === 3L)
+  }
 }
