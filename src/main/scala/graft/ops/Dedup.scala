@@ -29,41 +29,52 @@ object Dedup {
       .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
 
-  /** Distinct-shingle inverted index: (id, shingle, setSize). */
-  private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    shingleSets(df, textCol, idCol, n)
-      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+  /** All ordered (id_a < id_b) pairs from a SORTED array, expanded in-row:
+    * `pairs(ids)(…)= struct(ids(i), ids(j)) for i < j`. Keeps candidate-pair
+    * generation inside one aggregation shuffle (groupBy posting-list key →
+    * collect_list → expand) instead of a second self-join shuffle over the
+    * whole inverted index. Quadratic per LIST, which is exactly the bound a
+    * posting-list cap controls at 100 TB — never quadratic in the corpus.
+    */
+  private def pairExpand(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (a, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
 
-  /** N-gram Jaccard near-dup pairs via shared-shingle join: candidates are
+  /** N-gram Jaccard near-dup pairs via the inverted index: candidates are
     * pairs sharing ≥1 shingle; Jaccard computed from co-occurrence counts
-    * (|A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|) — integer arithmetic, no
-    * set materialization per pair.
+    * (|A∩B| from the co-count, |A∪B| = |A|+|B|−|A∩B|) — integer arithmetic,
+    * no set materialization per pair.
+    *
+    * Shuffle plan (2 wide ops total): explode → groupBy(shingle) builds the
+    * posting lists (singleton shingles — the vast majority on a real corpus
+    * — die in the size>1 filter without ever producing a pair), pairs expand
+    * IN-ROW from each list, then groupBy(id_a,id_b) counts co-occurrences.
+    * `maxDocFreq` caps ultra-hot boilerplate shingles at 100 TB (a shingle in
+    * d docs expands to d²/2 pairs; unset = exact semantics).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // materialize the inverted index once — it feeds the frequency filter
-    // and BOTH sides of the self-join (the dbt table-materialization
-    // analog; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
-    val ix0 = shingleIndex(df, textCol, idCol, n)
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // materialized once — feeds the posting lists AND the size lookup
+    // (MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
+    val sets = shingleSets(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // frequency pruning: a shingle appearing in exactly one document cannot
-    // produce a pair — drop it before the self-join. On a real corpus most
-    // shingles are unique, so this shrinks the join input by ~an order of
-    // magnitude (and is the knob that keeps the join bounded at 100 TB:
-    // also cap ultra-hot shingles here if the corpus has boilerplate).
-    val shared = ix0.groupBy("shingle").count().filter(col("count") > 1).select("shingle")
-    val ix = ix0.join(shared, Seq("shingle")).select("id", "shingle")
-    // slim self-join: shuffle only (shingle, id); set sizes re-attach after
-    // the aggregation via a broadcast of the per-doc size table
-    val a = ix.select(col("id").as("id_a"), col("shingle"))
-    val b = ix.select(col("id").as("id_b"), col("shingle"))
-    val co = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+    val postings = sets.select(col("id"), explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped =
+      if (maxDocFreq == Int.MaxValue) postings
+      else postings.filter(size(col("ids")) <= maxDocFreq)
+    val co = capped
+      .select(explode(pairExpand(array_sort(col("ids")))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("co"))
-    val sizes = ix0.select("id", "set_size").distinct()
-    co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
+    // size lookup re-attaches post-aggregation; no broadcast hint — AQE
+    // promotes it at runtime when small, shuffle-joins on id at 100 TB
+    val sizes = sets.select("id", "set_size")
+    co.join(sizes.select(col("id").as("id_a"), col("set_size").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("set_size").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("co").cast("double") / (col("n_a") + col("n_b") - col("co")))
       .filter(col("jaccard") >= threshold)
@@ -111,10 +122,13 @@ object Dedup {
     }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
 
-    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bh"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // one aggregation shuffle builds the band posting lists; pairs expand
+    // in-row (band occupancy bounds the quadratic, same as posting lists)
+    val candidates = banded
+      .groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExpand(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
 
     // exact verification on the candidate pairs only
     candidates
@@ -147,6 +161,50 @@ object Dedup {
     */
   def collapseNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Transitive near-dup clustering: connected components over the pair
+    * graph, labeling every document with the MIN doc id reachable from it
+    * (singletons label themselves). The complement of [[collapseNearDups]]'s
+    * greedy policy — use this when A~B, B~C must put A and C in one group.
+    *
+    * Min-label propagation: each round every vertex adopts the smallest
+    * label among itself and its neighbors — a join + hash-agg per round
+    * (distributed; labels shuffle on vertex id, never the whole graph to the
+    * driver), converging in O(component diameter) rounds. Near-dup
+    * components are short chains (diameter ≪ 10 in practice), so the round
+    * count is small and bounded by `maxIters`; each round's labels persist
+    * and the previous round's unpersist, so lineage stays shallow at 100 TB.
+    * The fixpoint test is one count per round (the same action that runs
+    * the round's job).
+    */
+  def nearDupComponents(vertices: DataFrame, idCol: String,
+                        pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // smallest neighbor label per vertex, then min with own label
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next.select("id", "comp")
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("comp").as("component_id"))
+  }
 
   /** SimHash per document via explode + 64 codegen'd conditional aggregates
     * — the column-expression variant in [[simhash]] is correct but its
@@ -181,11 +239,17 @@ object Dedup {
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
       }: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.cv"))
-    val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk"), col("cv"))
-    val b = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"), col("chunk"), col("cv"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+    // chunk posting lists → in-row pair expansion (struct sort is
+    // lexicographic, id first, so a.id < b.id holds inside each list);
+    // distinct collapses pairs colliding in several chunks
+    chunked
+      .groupBy("chunk", "cv")
+      .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairExpand(array_sort(col("ms")))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        col("p.id_a.sim").as("sim_a"), col("p.id_b.sim").as("sim_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
