@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators (the beyond-the-reference surface):
   * deduplication (dd_*), similarity search (ann_*), text analysis (ta_*),
@@ -48,6 +48,16 @@ object LlmQueries extends QueryPack {
       Dedup.collapseNearDups(docs,
         Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = JaccardThreshold),
         "doc_id").select("doc_id", "lang", "source")
+    },
+
+    // Transitive near-dup clustering: connected components over the exact
+    // Jaccard pair graph, every doc labeled with the min reachable doc_id
+    // (min-label propagation to fixpoint; singletons label themselves).
+    "dd_cluster_cc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupComponents(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = JaccardThreshold))
     },
 
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
@@ -97,10 +107,10 @@ object LlmQueries extends QueryPack {
     },
 
     // IVF ANN (the other scale path): Lloyd-trained inverted lists,
-    // nprobe-centroid search; recall measured in SimilaritySpec (~0.64 vs
-    // 0.13 for single-probe LSH on this data).
+    // nprobe-centroid search with the measured defaults (recall@5 ≈ 0.69
+    // at sf0.1; see SimilarityScaleSpec).
     "ann_ivf" -> { (s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5, nlist = 16, nprobe = 4)
+      Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5)
     },
 
     // Text quality metrics: token/char counts, avg token length, stopword
@@ -163,6 +173,22 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), TextOps.minShingleHash(col("text")).as("rolling_fp"))
     },
 
+    // Okapi BM25 per (doc, term): the driver-compared face is the exact
+    // rational pair (idf_arg, tf_weight) — score = ln(idf_arg)*tf_weight is
+    // ScalaTest-covered because Spark's StrictMath ln and DuckDB's libm ln
+    // differ by 1 ulp on ~0.1% of the idf domain (measured; CorpusOps doc).
+    "ta_bm25" -> { (s, dir) =>
+      CorpusOps.bm25(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "term", "tf", "df_t", "idf_arg", "tf_weight")
+    },
+
+    // Sequence packing (concat-then-chunk): shard by lang, order by doc_id,
+    // cut every 512 tokens; window-function running offsets only.
+    "ta_pack" -> { (s, dir) =>
+      CorpusOps.packSequences(Tables.documents(s, dir), "text", "doc_id",
+        shardCol = col("lang"), maxTokens = 512)
+    },
+
     // Multimodal metadata: binary payload + typed metadata columns
     // (the SQL-expressible half; batched decode below).
     "mm_binary_meta" -> { (s, dir) =>
@@ -207,6 +233,29 @@ object LlmQueries extends QueryPack {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  // DuckDB parses plain decimal literals as exact DECIMAL, which keeps
+  // integer×constant products exact and diverges from Spark's IEEE double
+  // math (3 * 2.2 ≠ double(6.6)); E-notation parses as DOUBLE with
+  // round-trip-correct value, so every interpolated constant goes through
+  // this (18 significant digits round-trips any double).
+  private def sqlDouble(v: Double): String = f"$v%.17E"
+
+  // the hyperplanes are seeded driver-side constants, so the oracle can
+  // inline them as DOUBLE list literals; the sign-bit fold mirrors
+  // Similarity.lshBuckets term by term
+  private def planeSqlLit(p: Array[Double]): String =
+    p.map(sqlDouble).mkString("[", ", ", "]")
+  private def bucketSql: String = Planes.zipWithIndex.map { case (p, i) =>
+    s"(CASE WHEN list_sum(list_transform(range(1,65), " +
+      s"j -> CAST(embedding[j] AS DOUBLE) * (${planeSqlLit(p)})[j])) >= 0 " +
+      s"THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
+  // BM25 constants interpolated from the SAME Scala doubles the Spark side
+  // uses, so both engines evaluate bit-identical literals
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   val oracles: Map[String, String] = Map(
     "dd_exact_hash" ->
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_id,
@@ -223,6 +272,15 @@ object LlmQueries extends QueryPack {
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM p)""".stripMargin,
+    "dd_cluster_cc" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.m)
+         |SELECT id AS doc_id, min(m) AS component_id FROM walk GROUP BY 1""".stripMargin,
     "dd_embedding_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
@@ -236,6 +294,39 @@ object LlmQueries extends QueryPack {
          |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE a.vec_id < 50) WHERE rank <= 5""".stripMargin,
+    "ann_lsh_bucketed" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+    "ta_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl)
+         |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+         |  1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5) AS idf_arg,
+         |  (tf.tf * ${sqlDouble(Bm25K1 + 1.0)})
+         |    / (tf.tf + ${sqlDouble(Bm25K1)} * (${sqlDouble(1.0 - Bm25B)} + ${sqlDouble(Bm25B)}
+         |        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    AS tf_weight
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats""".stripMargin,
+    "ta_pack" ->
+      """WITH t AS (SELECT doc_id, lang AS shard,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(tok_offset % 512 AS BIGINT) AS pos_in_seq
+        |FROM o""".stripMargin,
     "ta_quality" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS n_tokens,

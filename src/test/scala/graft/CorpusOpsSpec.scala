@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, Dedup}
+
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bm25: tf/df are exact and scores rank rare terms above common ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana durian")
+    ).toDF("doc_id", "text")
+    val scored = CorpusOps.bm25(docs, "text", "doc_id")
+    val rows = scored.collect().map(r =>
+      (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // tf: apple appears twice in doc 1; df: banana in all 3 docs
+    assert(rows((1L, "apple"))._1 == 2L)
+    assert(rows((1L, "banana"))._2 == 3L)
+    assert(rows((2L, "cherry"))._2 == 1L)
+    // idf monotonicity: in the same doc, the everywhere-term scores below
+    // the unique term despite equal tf
+    assert(rows((2L, "cherry"))._5 > rows((2L, "banana"))._5)
+    // hand-computed check for (doc 2, cherry): tf=1, df=1, N=3, dl=2,
+    // avgdl = 8/3; Spark's ln is StrictMath (see CorpusOps scaladoc)
+    val idfArg = 1.0 + (3L - 1L + 0.5) / (1L + 0.5)
+    val tfWeight = (1L * 2.2) / (1L + 1.2 * (0.25 + 0.75 * (2.0 / (8.0 / 3.0))))
+    val (_, _, gotArg, gotW, gotScore) = rows((2L, "cherry"))
+    assert(gotArg == idfArg)
+    assert(gotW == tfWeight)
+    assert(gotScore == StrictMath.log(idfArg) * tfWeight)
+  }
+
+  test("packSequences: per-shard exclusive offsets, cut every maxTokens") {
+    val docs = Seq(
+      (1L, "a", ("w " * 9).trim),  // 9 tokens
+      (2L, "a", ("x " * 5).trim), // 5 tokens
+      (3L, "a", ("y " * 4).trim), // 4 tokens
+      (4L, "b", ("z " * 7).trim)  // separate shard restarts at 0
+    ).toDF("doc_id", "shard_key", "text")
+    val packed = CorpusOps.packSequences(docs, "text", "doc_id",
+      shardCol = col("shard_key"), maxTokens = 8)
+      .orderBy("shard", "doc_id")
+      .select("doc_id", "shard", "n_tokens", "tok_offset", "seq_id", "pos_in_seq")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(packed(0) == ((1L, "a", 9L, 0L, 0L, 0L)))
+    assert(packed(1) == ((2L, "a", 5L, 9L, 1L, 1L)))   // starts in seq 1 at pos 1
+    assert(packed(2) == ((3L, "a", 4L, 14L, 1L, 6L)))
+    assert(packed(3) == ((4L, "b", 7L, 0L, 0L, 0L)))   // shard b restarts
+  }
+
+  test("nearDupComponents: transitive chains collapse to min id, singletons self-label") {
+    val docs = Seq(10L, 11L, 12L, 20L, 30L).toDF("doc_id")
+    // chain 10-11, 11-12 (10 and 12 never directly paired) + pair-free 30
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(10L) == 10L)
+    assert(comp(11L) == 10L)
+    assert(comp(12L) == 10L)   // transitive: greedy collapse can't see this
+    assert(comp(20L) == 20L)
+    assert(comp(30L) == 30L)   // singleton
+  }
+}
