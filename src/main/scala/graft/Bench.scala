@@ -26,10 +26,16 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    // drop every cache the warmup persisted — 90+ retained per-query
+    // indexes otherwise squat on storage memory through the timed runs
+    // (measured as multi-× noise on individual query times via GC churn)
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // outside the timer; isolates queries
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

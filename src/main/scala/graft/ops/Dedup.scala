@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * never an all-pairs cross join. At 100 TB the candidate join is the only
   * quadratic risk, and banding bounds it: a pair is compared only if it
   * collides in some band, so cost tracks true-duplicate density, not n².
+  *
+  * Candidate generation is deliberately a SELF-JOIN, not a
+  * collect_list-per-key + in-row pair expansion. Measured at sf0.1, the
+  * posting-list formulation was 2–6× SLOWER (simhash 1.6 s → 9.9 s): the
+  * higher-order transform/slice/flatten lambdas fall out of whole-stage
+  * codegen, and a hot key materializes its whole m²/2 pair array in one
+  * row — while the join streams pairs through codegen'd operators, and a
+  * skewed join key can at least be split by AQE, which a single giant row
+  * never can.
   */
 object Dedup {
 
@@ -29,52 +38,49 @@ object Dedup {
       .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
 
-  /** All ordered (id_a < id_b) pairs from a SORTED array, expanded in-row:
-    * `pairs(ids)(…)= struct(ids(i), ids(j)) for i < j`. Keeps candidate-pair
-    * generation inside one aggregation shuffle (groupBy posting-list key →
-    * collect_list → expand) instead of a second self-join shuffle over the
-    * whole inverted index. Quadratic per LIST, which is exactly the bound a
-    * posting-list cap controls at 100 TB — never quadratic in the corpus.
-    */
-  private def pairExpand(sortedIds: Column): Column =
-    flatten(transform(sortedIds, (a, i) =>
-      transform(slice(sortedIds, i + lit(2), size(sortedIds)),
-        b => struct(a.as("id_a"), b.as("id_b")))))
+  /** Distinct-shingle inverted index: (id, shingle, setSize). */
+  private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleSets(df, textCol, idCol, n)
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
 
-  /** N-gram Jaccard near-dup pairs via the inverted index: candidates are
+  /** N-gram Jaccard near-dup pairs via shared-shingle join: candidates are
     * pairs sharing ≥1 shingle; Jaccard computed from co-occurrence counts
-    * (|A∩B| from the co-count, |A∪B| = |A|+|B|−|A∩B|) — integer arithmetic,
-    * no set materialization per pair.
+    * (|A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|) — integer arithmetic, no
+    * set materialization per pair.
     *
-    * Shuffle plan (2 wide ops total): explode → groupBy(shingle) builds the
-    * posting lists (singleton shingles — the vast majority on a real corpus
-    * — die in the size>1 filter without ever producing a pair), pairs expand
-    * IN-ROW from each list, then groupBy(id_a,id_b) counts co-occurrences.
-    * `maxDocFreq` caps ultra-hot boilerplate shingles at 100 TB (a shingle in
-    * d docs expands to d²/2 pairs; unset = exact semantics).
+    * `maxDocFreq` drops shingles appearing in more than that many documents
+    * before the self-join — the knob that bounds the quadratic at 100 TB
+    * when the corpus carries boilerplate (a shingle in d docs contributes
+    * d²/2 candidate pairs). Unset = exact semantics.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // materialized once — feeds the posting lists AND the size lookup
-    // (MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
-    val sets = shingleSets(df, textCol, idCol, n)
+    // materialize the inverted index once — it feeds the frequency filter
+    // and BOTH sides of the self-join (the dbt table-materialization
+    // analog; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
+    val ix0 = shingleIndex(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = sets.select(col("id"), explode(col("sh")).as("shingle"))
-      .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val capped =
-      if (maxDocFreq == Int.MaxValue) postings
-      else postings.filter(size(col("ids")) <= maxDocFreq)
-    val co = capped
-      .select(explode(pairExpand(array_sort(col("ids")))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // frequency pruning: a shingle appearing in exactly one document cannot
+    // produce a pair — drop it before the self-join. On a real corpus most
+    // shingles are unique, so this shrinks the join input by ~an order of
+    // magnitude; the maxDocFreq cap handles the other tail (ultra-hot
+    // boilerplate shingles).
+    val freq = ix0.groupBy("shingle").count()
+      .filter(col("count") > 1 && col("count") <= maxDocFreq)
+      .select("shingle")
+    val ix = ix0.join(freq, Seq("shingle")).select("id", "shingle")
+    // slim self-join: shuffle only (shingle, id); set sizes re-attach after
+    // the aggregation via a broadcast of the per-doc size table
+    val a = ix.select(col("id").as("id_a"), col("shingle"))
+    val b = ix.select(col("id").as("id_b"), col("shingle"))
+    val co = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("co"))
-    // size lookup re-attaches post-aggregation; no broadcast hint — AQE
-    // promotes it at runtime when small, shuffle-joins on id at 100 TB
-    val sizes = sets.select("id", "set_size")
-    co.join(sizes.select(col("id").as("id_a"), col("set_size").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("set_size").as("n_b")), Seq("id_b"))
+    val sizes = ix0.select("id", "set_size").distinct()
+    co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
       .withColumn("jaccard",
         col("co").cast("double") / (col("n_a") + col("n_b") - col("co")))
       .filter(col("jaccard") >= threshold)
@@ -122,13 +128,10 @@ object Dedup {
     }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
 
-    // one aggregation shuffle builds the band posting lists; pairs expand
-    // in-row (band occupancy bounds the quadratic, same as posting lists)
-    val candidates = banded
-      .groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairExpand(array_sort(col("ids")))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
 
     // exact verification on the candidate pairs only
     candidates
@@ -167,43 +170,70 @@ object Dedup {
     * (singletons label themselves). The complement of [[collapseNearDups]]'s
     * greedy policy — use this when A~B, B~C must put A and C in one group.
     *
-    * Min-label propagation: each round every vertex adopts the smallest
-    * label among itself and its neighbors — a join + hash-agg per round
-    * (distributed; labels shuffle on vertex id, never the whole graph to the
-    * driver), converging in O(component diameter) rounds. Near-dup
-    * components are short chains (diameter ≪ 10 in practice), so the round
-    * count is small and bounded by `maxIters`; each round's labels persist
-    * and the previous round's unpersist, so lineage stays shallow at 100 TB.
-    * The fixpoint test is one count per round (the same action that runs
-    * the round's job).
+    * Min-label propagation: each round every PAIRED vertex adopts the
+    * smallest label among itself and its neighbors — a join + hash-agg per
+    * round (distributed; labels shuffle on vertex id, never the whole graph
+    * to the driver), converging in O(component diameter) rounds. Only
+    * vertices that appear in some pair iterate — on a deduplicated corpus
+    * that is a small fraction of the table, so the loop's working set is
+    * tiny even when `vertices` is 100 TB; singletons join back self-labeled
+    * in one final left join. Near-dup components are short chains
+    * (diameter ≪ 10 in practice), so the round count is small and bounded
+    * by `maxIters`; each round's labels persist and the previous round's
+    * unpersist, so lineage stays shallow. The fixpoint test is one count
+    * per round (the same action that runs the round's job).
     */
   def nearDupComponents(vertices: DataFrame, idCol: String,
                         pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // localCheckpoint so no round's plan drags the candidate-pair
+    // pipeline's lineage back through the optimizer (see loop note)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // only vertices with at least one edge participate in propagation;
+    // restrict to the caller's vertex set so stray pair ids don't leak in
+    var labels = edges.select(col("src").as("id")).distinct()
+      .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // smallest neighbor label per vertex, then min with own label
+      // smallest neighbor label per vertex...
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
+      // ...plus pointer jumping (follow own label's label — comp values are
+      // themselves paired-vertex ids, so the self-join always resolves):
+      // compresses paths so rounds grow with log(diameter), not diameter
+      val hop = labels.select(col("id").as("hop_id"), col("comp").as("hop_comp"))
+      // localCheckpoint (not persist): truncates lineage so Catalyst plans
+      // each round against a flat scan — with plain persist the logical
+      // plan still accumulates every prior round and re-optimization grows
+      // superlinearly with rounds (measured 20 s cold / 3.6 s warm at
+      // sf0.1, dominated by planning, before this)
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+        .join(hop, col("comp") === col("hop_id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp")),
+            coalesce(col("hop_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
       labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter changed=$changed")
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("comp").as("component_id"))
+    // singletons (no qualifying pair) label themselves
+    vertices.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("component_id"))
   }
 
   /** SimHash per document via explode + 64 codegen'd conditional aggregates
@@ -239,17 +269,11 @@ object Dedup {
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
       }: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.cv"))
-    // chunk posting lists → in-row pair expansion (struct sort is
-    // lexicographic, id first, so a.id < b.id holds inside each list);
-    // distinct collapses pairs colliding in several chunks
-    chunked
-      .groupBy("chunk", "cv")
-      .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(pairExpand(array_sort(col("ms")))).as("p"))
-      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
-        col("p.id_a.sim").as("sim_a"), col("p.id_b.sim").as("sim_b"))
-      .distinct()
+    val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk"), col("cv"))
+    val b = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
