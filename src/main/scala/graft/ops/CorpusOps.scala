@@ -57,6 +57,39 @@ object CorpusOps {
         (log(idfArg) * tfWeight).as("score"))
   }
 
+  /** Deterministic train/val/test split by content-independent hash of the
+    * id: the first hex digit of md5(id) buckets rows 16 ways, split by
+    * lexicographic range — train '0'-'b' (12/16), val 'c'-'d' (2/16), test
+    * 'e'-'f' (2/16). Reproducible on any engine (no RNG, no engine-internal
+    * hash), stable under repartitioning, and joins never split a document:
+    * exactly the properties a training pipeline needs from its split.
+    */
+  def hashSplit(df: DataFrame, idCol: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 1)
+    df.withColumn("split",
+      when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
+  }
+
+  /** Deterministic stratified sampling: keep a row when its md5 first hex
+    * digit falls below the stratum's threshold (each hex digit ≈ 1/16 of
+    * the mass). `rates` maps stratum value → number of sixteenths to keep
+    * (0..16). Same reproducibility story as [[hashSplit]] — no RNG, exact
+    * cross-engine, stable under repartitioning.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultRate: Int = 16): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 16),
+      "rates are sixteenths in [0,16]")
+    def hexDigit(n: Int): String = java.lang.Integer.toHexString(n)
+    val h = substring(md5(col(idCol).cast("string")), 1, 1)
+    val threshold = rates.foldLeft(lit(hexDigit(defaultRate))) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(hexDigit(r))).otherwise(acc)
+    }
+    // h < threshold keeps `rate` of the 16 hex values ('g' sorts above 'f',
+    // so rate 16 keeps everything)
+    df.filter(h < (when(threshold === "10", "g").otherwise(threshold)))
+  }
+
   /** Pack documents into fixed-size training sequences: concatenate the
     * corpus in deterministic (shard, id) order and cut every `maxTokens`
     * tokens — the standard "concat then chunk" packing used to build LLM

@@ -144,6 +144,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: flag corpus documents whose shingle overlap
+    * CONTAINS a large fraction of some probe (benchmark) document —
+    * `containment = |sh(corpus) ∩ sh(probe)| / |sh(probe)|` ≥ threshold.
+    * The standard n-gram test-set-leakage check run before training.
+    *
+    * Same inverted-index join shape as [[ngramJaccardPairs]], but
+    * asymmetric: the probe set is tiny relative to the corpus, so its index
+    * broadcasts and the corpus side streams — no shuffle of the 100 TB side
+    * beyond the per-pair aggregation.
+    */
+  def containmentPairs(corpus: DataFrame, probes: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cx = shingleIndex(corpus, textCol, idCol, n)
+      .select(col("id").as("corpus_id"), col("shingle"))
+    val px = shingleIndex(probes, textCol, idCol, n)
+    val pSizes = px.select(col("id").as("probe_id"), col("set_size").as("n_p")).distinct()
+    val co = cx.join(broadcast(px.select(col("id").as("probe_id"), col("shingle"))),
+        Seq("shingle"))
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("co"))
+    co.join(broadcast(pSizes), Seq("probe_id"))
+      .withColumn("containment", col("co").cast("double") / col("n_p"))
+      .filter(col("containment") >= threshold)
+      .select("corpus_id", "probe_id", "containment")
+  }
+
   /** 64-bit SimHash over the distinct token set (weight 1 per token): for
     * each bit, majority vote of token-hash bits. Pure column expressions —
     * 64 codegen'd subexpressions, no UDF.

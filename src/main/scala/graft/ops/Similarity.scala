@@ -101,6 +101,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Multi-probe LSH ANN top-k: each query searches its own bucket AND the
+    * `nPlanes` buckets one sign-flip away (Hamming-1 neighbors of its
+    * bucket id) — the standard trick to recover recall lost to boundary
+    * vectors without adding hash tables. Corpus vectors stay in their own
+    * bucket (the partition key at scale); only the query side fans out
+    * (×(nPlanes+1)), so the big side never duplicates.
+    */
+  def lshTopKMultiProbe(df: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
+    val bucketed = lshBuckets(df, planes)
+    val probeBuckets = array((lit(0L) +:
+      planes.indices.map(i => lit(1L << i))): _*)
+    val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"),
+      explode(transform(probeBuckets, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      l2Norm(col("embedding")).as("cn"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** IVF centroids by Lloyd iterations over DataFrame ops, deterministically
     * seeded with the `nlist` lowest vec_ids. Element-wise centroid means via
     * posexplode → (centroid, dim) average → re-assembled arrays; every step

@@ -60,6 +60,17 @@ object LlmQueries extends QueryPack {
           n = 3, threshold = JaccardThreshold))
     },
 
+    // Benchmark decontamination: corpus docs containing ≥50% of a probe
+    // (benchmark) doc's shingles; probe set = doc_id % 10 == 0 (10% of the
+    // corpus plays the benchmark — 6 hits at sf0.01, 47 at sf0.1).
+    "dd_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 3, threshold = 0.5)
+    },
+
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
     // against the Jaccard pairs in DedupSpec).
     "dd_simhash" -> { (s, dir) =>
@@ -104,6 +115,14 @@ object LlmQueries extends QueryPack {
     // recall vs brute force measured in SimilaritySpec.
     "ann_lsh_bucketed" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), Planes, k = 5)
+    },
+
+    // Multi-probe LSH ANN: query fans out to its bucket + the nPlanes
+    // Hamming-1 buckets; corpus side never duplicates. Recovers recall
+    // lost at bucket boundaries (measured vs single-probe in
+    // SimilarityScaleSpec).
+    "ann_lsh_multiprobe" -> { (s, dir) =>
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), Planes, k = 5)
     },
 
     // IVF ANN (the other scale path): Lloyd-trained inverted lists,
@@ -171,6 +190,21 @@ object LlmQueries extends QueryPack {
     "ta_rolling_fp" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.minShingleHash(col("text")).as("rolling_fp"))
+    },
+
+    // Deterministic md5-prefix train/val/test split (12/2/2 sixteenths):
+    // reproducible on any engine, stable under repartitioning.
+    "ta_split" -> { (s, dir) =>
+      CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "lang", "split")
+    },
+
+    // Deterministic stratified sampling by md5 threshold per stratum:
+    // en 4/16, es 8/16, everything else 12/16.
+    "ta_sample_strat" -> { (s, dir) =>
+      CorpusOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 4, "es" -> 8), defaultRate = 12)
+        .select("doc_id", "lang")
     },
 
     // Okapi BM25 per (doc, term): the driver-compared face is the exact
@@ -272,6 +306,17 @@ object LlmQueries extends QueryPack {
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM p)""".stripMargin,
+    "dd_decontaminate" ->
+      s"""WITH toks AS ($shingleSql),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
+         |co AS (
+         |  SELECT a.doc_id AS corpus_id, b.doc_id AS probe_id, count(*) AS co,
+         |         any_value(b.n) AS n_p
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY 1,2)
+         |SELECT corpus_id, probe_id, co*1.0/n_p AS containment
+         |FROM co WHERE co*1.0/n_p >= 0.5""".stripMargin,
     "dd_cluster_cc" ->
       s"""WITH RECURSIVE p AS ($jaccardPairsSql),
          |e AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -303,6 +348,30 @@ object LlmQueries extends QueryPack {
          |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
          |WHERE rank <= 5""".stripMargin,
+    "ann_lsh_multiprobe" -> {
+      val probeUnion = (0L +: Planes.indices.map(i => 1L << i).map(_.toLong))
+        .map(m => s"SELECT vec_id, embedding, xor(bucket, $m) AS bucket FROM bk")
+        .mkString("\nUNION ALL ")
+      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |pr AS ($probeUnion)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("p.embedding", "b.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${cosSql("p.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
+         |  FROM pr p JOIN bk b ON p.bucket = b.bucket AND p.vec_id <> b.vec_id)
+         |WHERE rank <= 5""".stripMargin
+    },
+    "ta_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "ta_sample_strat" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) <
+        |  (CASE lang WHEN 'en' THEN '4' WHEN 'es' THEN '8' ELSE 'c' END)""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

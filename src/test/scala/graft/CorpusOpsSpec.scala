@@ -51,6 +51,35 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(packed(3) == ((4L, "b", 7L, 0L, 0L, 0L)))   // shard b restarts
   }
 
+  test("hashSplit: total, deterministic, and near the 12/2/2 sixteenth fractions") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s1 = CorpusOps.hashSplit(ids, "doc_id")
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") / 2000.0 - 12.0 / 16) < 0.05)
+    assert(math.abs(counts("val") / 2000.0 - 2.0 / 16) < 0.05)
+    assert(math.abs(counts("test") / 2000.0 - 2.0 / 16) < 0.05)
+    // repartitioning can't move a row between splits
+    val s2 = CorpusOps.hashSplit(ids.repartition(7), "doc_id")
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+  }
+
+  test("stratifiedSample: per-stratum rates hold and sampling is deterministic") {
+    val docs = (0L until 3000L).toDF("doc_id")
+      .withColumn("lang", expr("CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'es' ELSE 'de' END"))
+    val kept = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 4, "es" -> 8), defaultRate = 12)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") / 1000.0 - 4.0 / 16) < 0.06)
+    assert(math.abs(byLang("es") / 1000.0 - 8.0 / 16) < 0.06)
+    assert(math.abs(byLang("de") / 1000.0 - 12.0 / 16) < 0.06)
+    // rate 16 keeps everything, rate 0 keeps nothing
+    assert(CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map.empty, defaultRate = 16).count() == 3000L)
+    assert(CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map.empty, defaultRate = 0).count() == 0L)
+  }
+
   test("nearDupComponents: transitive chains collapse to min id, singletons self-label") {
     val docs = Seq(10L, 11L, 12L, 20L, 30L).toDF("doc_id")
     // chain 10-11, 11-12 (10 and 12 never directly paired) + pair-free 30

@@ -60,4 +60,14 @@ class DedupSpec extends SparkTestBase {
     assert(sims(1L) === sims(4L))
     assert(sims(1L) !== sims(3L))
   }
+
+  test("containmentPairs flags corpus docs containing a probe's shingles") {
+    val probes = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    // doc 1 contains the probe text verbatim (containment 1.0); doc 3/5 share nothing
+    val hits = Dedup.containmentPairs(docs, probes, "text", "doc_id",
+      n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((1L, 100L), (2L, 100L), (4L, 100L)))
+    assert(hits.find(_._1 == 1L).get._3 === 1.0)
+  }
 }

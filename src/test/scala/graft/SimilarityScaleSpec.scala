@@ -29,7 +29,7 @@ class SimilarityScaleSpec extends SparkTestBase {
     assert(recall >= 0.6, f"IVF recall@5 $recall%.3f below 0.6 at sf0.1")
   }
 
-  test("lshTopK recall@5 nontrivial at sf0.1 and exact within buckets", SlowTest) {
+  test("lshTopK recall@5 nontrivial at sf0.1; multi-probe strictly improves it", SlowTest) {
     assume(sf01.exists(), "sf0.1 testdata not present")
     val emb = spark.read.parquet(sf01.toString)
     val planes = Similarity.hyperplanes(4, 64, 42L)
@@ -42,5 +42,10 @@ class SimilarityScaleSpec extends SparkTestBase {
     // single-probe sign-LSH recall is structurally modest; the contract is
     // "nontrivial and every returned pair is exactly scored", not high recall
     assert(recall > 0.1, f"LSH recall@5 $recall%.3f collapsed at sf0.1")
+    val mp = Similarity.lshTopKMultiProbe(emb, planes, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mpRecall = (brute intersect mp).size.toDouble / brute.size
+    info(f"multi-probe LSH recall@5 at sf0.1 = $mpRecall%.3f (5 probes)")
+    assert(mpRecall > recall, f"multi-probe $mpRecall%.3f not above single-probe $recall%.3f")
   }
 }
