@@ -57,6 +57,22 @@ object CorpusOps {
         (log(idfArg) * tfWeight).as("score"))
   }
 
+  /** Corpus bigram counts (every occurrence, not per-doc-distinct) — the
+    * n-gram language-model statistic behind perplexity-free quality
+    * baselines and corpus drift checks. Positions self-join on (doc,
+    * pos+1), so construction stays in whole-stage codegen (no higher-order
+    * lambdas); one aggregation shuffle on the bigram key.
+    */
+  def bigramCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    val a = t.select(col("doc_id"), col("pos"), col("w").as("w1"))
+    val b = t.select(col("doc_id"), (col("pos") - 1).as("pos"), col("w").as("w2"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(concat_ws(" ", col("w1"), col("w2")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic train/val/test split by content-independent hash of the
     * id: the first hex digit of md5(id) buckets rows 16 ways, split by
     * lexicographic range — train '0'-'b' (12/16), val 'c'-'d' (2/16), test

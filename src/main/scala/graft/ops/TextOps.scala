@@ -125,4 +125,23 @@ object TextOps {
     */
   def minShingleHash(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Fraction of tokens that repeat an earlier token — the duplicate-token
+    * half of the Gopher/C4-style repetition filters (high values flag
+    * boilerplate and degenerate generations).
+    */
+  def dupTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    lit(1.0) - size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Fraction of n-gram positions whose n-gram occurred earlier in the doc
+    * (0 when the doc is shorter than n tokens) — the duplicate-n-gram half
+    * of the repetition filter family.
+    */
+  def dupShingleRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - lit(n - 1), lit(0))
+    when(total === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(shingles(text, n)).cast("double") / total)
+  }
 }

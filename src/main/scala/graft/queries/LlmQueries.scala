@@ -192,6 +192,21 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), TextOps.minShingleHash(col("text")).as("rolling_fp"))
     },
 
+    // Gopher/C4-style repetition ratios: duplicate tokens and duplicate
+    // 3-gram positions per document (high → boilerplate/degenerate text).
+    "ta_repetition" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.dupTokenRatio(col("text")).as("dup_token_ratio"),
+        TextOps.dupShingleRatio(col("text"), n = 3).as("dup_3gram_ratio"))
+    },
+
+    // Corpus bigram language-model counts (all occurrences; positions
+    // self-join keeps construction codegen'd).
+    "ta_bigram_lm" -> { (s, dir) =>
+      CorpusOps.bigramCounts(Tables.documents(s, dir), "text", "doc_id")
+    },
+
     // Deterministic md5-prefix train/val/test split (12/2/2 sixteenths):
     // reproducible on any engine, stable under repartitioning.
     "ta_split" -> { (s, dir) =>
@@ -362,6 +377,23 @@ object LlmQueries extends QueryPack {
          |  FROM pr p JOIN bk b ON p.bucket = b.bucket AND p.vec_id <> b.vec_id)
          |WHERE rank <= 5""".stripMargin
     },
+    "ta_repetition" ->
+      """SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |        / len(string_split(text,' ')) AS dup_token_ratio,
+        |  CASE WHEN greatest(len(string_split(text,' ')) - 2, 0) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |              range(greatest(len(string_split(text,' '))-2,0)),
+        |              i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |                   || ' ' || string_split(text,' ')[i+3]))) AS DOUBLE)
+        |            / greatest(len(string_split(text,' ')) - 2, 0)
+        |  END AS dup_3gram_ratio
+        |FROM documents""".stripMargin,
+    "ta_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(greatest(len(tk)-1,0)),
+        |         i -> tk[i+1] || ' ' || tk[i+2])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1""".stripMargin,
     "ta_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b' THEN 'train'

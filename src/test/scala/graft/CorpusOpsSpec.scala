@@ -51,6 +51,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(packed(3) == ((4L, "b", 7L, 0L, 0L, 0L)))   // shard b restarts
   }
 
+  test("bigramCounts: all occurrences counted, not per-doc-distinct") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val counts = CorpusOps.bigramCounts(docs, "text", "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a b" -> 3L, "b a" -> 1L))
+  }
+
+  test("repetition ratios: duplicate tokens and 3-gram positions") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "x x x x"), (2L, "a b"), (3L, "one two three four"))
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+      TextOps.dupTokenRatio(col("text")).as("dt"),
+      TextOps.dupShingleRatio(col("text"), 3).as("dg"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((0.75, 0.5)))   // 1 distinct of 4 tokens; 1 distinct of 2 trigrams
+    assert(r(2L) == ((0.0, 0.0)))    // too short for trigrams -> 0 by contract
+    assert(r(3L) == ((0.0, 0.0)))    // no repetition
+  }
+
   test("hashSplit: total, deterministic, and near the 12/2/2 sixteenth fractions") {
     val ids = (0L until 2000L).toDF("doc_id")
     val s1 = CorpusOps.hashSplit(ids, "doc_id")
