@@ -144,6 +144,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup check: Jaccard pairs BETWEEN a new batch and the
+    * existing corpus (never within either side) — the "dedupe tonight's
+    * crawl against the 100 TB corpus" operation. The new batch's inverted
+    * index broadcasts (it is small by construction), so the corpus index
+    * streams through one broadcast join + the pair aggregation; the corpus
+    * itself is never shuffled.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val nx = shingleIndex(newDocs, textCol, idCol, n)
+    val cx = shingleIndex(corpus, textCol, idCol, n)
+    val co = cx.select(col("id").as("corpus_id"), col("shingle"))
+      .join(broadcast(nx.select(col("id").as("new_id"), col("shingle"))), Seq("shingle"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("co"))
+    val nSizes = nx.select(col("id").as("new_id"), col("set_size").as("n_n")).distinct()
+    val cSizes = cx.select(col("id").as("corpus_id"), col("set_size").as("n_c")).distinct()
+    co.join(broadcast(nSizes), Seq("new_id"))
+      .join(cSizes, Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("co").cast("double") / (col("n_n") + col("n_c") - col("co")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Benchmark decontamination: flag corpus documents whose shingle overlap
     * CONTAINS a large fraction of some probe (benchmark) document —
     * `containment = |sh(corpus) ∩ sh(probe)| / |sh(probe)|` ≥ threshold.

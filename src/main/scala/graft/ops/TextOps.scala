@@ -47,9 +47,12 @@ object TextOps {
     size(filter(t, w => w.isin(StopWords: _*))).cast("double") / size(t)
   }
 
-  /** Fraction of characters that are punctuation/symbols. */
+  /** Fraction of characters that are punctuation/symbols (0 for the empty
+    * document — ANSI mode makes a bare /length(text) throw on "").
+    */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[^a-z0-9 ]")).cast("double") / length(text)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[^a-z0-9 ]")).cast("double") / length(text))
 
   /** Mean token length in characters (spaces excluded). */
   def avgTokenLen(text: Column): Column =

@@ -71,6 +71,16 @@ object LlmQueries extends QueryPack {
         "text", "doc_id", n = 3, threshold = 0.5)
     },
 
+    // Incremental near-dup: tonight's batch (doc_id % 10 == 1) vs the
+    // existing corpus — cross-set pairs only, batch index broadcast.
+    "dd_incremental_neardup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 1),
+        docs.filter(col("doc_id") % 10 =!= 1),
+        "text", "doc_id", n = 3, threshold = JaccardThreshold)
+    },
+
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
     // against the Jaccard pairs in DedupSpec).
     "dd_simhash" -> { (s, dir) =>
@@ -321,6 +331,17 @@ object LlmQueries extends QueryPack {
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM p)""".stripMargin,
+    "dd_incremental_neardup" ->
+      s"""WITH toks AS ($shingleSql),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS co,
+         |         any_value(a.n) AS n_n, any_value(b.n) AS n_c
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % 10 = 1 AND b.doc_id % 10 <> 1
+         |  GROUP BY 1,2)
+         |SELECT new_id, corpus_id, co*1.0/(n_n+n_c-co) AS jaccard
+         |FROM p WHERE co*1.0/(n_n+n_c-co) >= $JaccardThreshold""".stripMargin,
     "dd_decontaminate" ->
       s"""WITH toks AS ($shingleSql),
          |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),

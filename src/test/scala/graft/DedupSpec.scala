@@ -61,6 +61,15 @@ class DedupSpec extends SparkTestBase {
     assert(sims(1L) !== sims(3L))
   }
 
+  test("incrementalNearDupPairs finds cross-set pairs only") {
+    val newBatch = docs.filter(col("doc_id") === 2L) // near-dup of 1 and 4
+    val corpus = docs.filter(col("doc_id") =!= 2L)
+    val pairs = Dedup.incrementalNearDupPairs(newBatch, corpus, "text", "doc_id",
+      n = 3, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 1L), (2L, 4L))) // never (1,4): both in corpus
+  }
+
   test("containmentPairs flags corpus docs containing a probe's shingles") {
     val probes = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     // doc 1 contains the probe text verbatim (containment 1.0); doc 3/5 share nothing

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, Dedup, Similarity, TextOps}
+
+/** Hostile-input hardening: null text, empty strings, single tokens,
+  * unicode, and empty tables through every corpus operator. The driver's
+  * oracle data is clean; a user's 100 TB crawl is not.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hostile = Seq(
+    (1L, "normal document with several plain tokens inside"),
+    (2L, ""),                      // empty string
+    (3L, "single"),                // shorter than any shingle
+    (4L, "naïve café über Zürich"),// unicode
+    (5L, "a a a a a a a a")        // degenerate repetition
+  ).toDF("doc_id", "text")
+
+  private def withNull = hostile.union(
+    Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+
+  test("dedup family survives empty/short/null docs") {
+    // null text: hash-groupBy keeps the row (null hash group)
+    assert(Dedup.exactGroups(withNull, "text", "doc_id").count() == 6L)
+    // docs shorter than n tokens produce no pairs, not errors
+    val pairs = Dedup.ngramJaccardPairs(hostile, "text", "doc_id", n = 3, threshold = 0.1)
+    assert(pairs.count() == 0L)
+    assert(Dedup.minhashLshPairs(hostile, "text", "doc_id").count() == 0L)
+    assert(Dedup.simhashPairs(hostile, "text", "doc_id").count() == 0L)
+    // empty pair set: every doc is its own component
+    val comp = Dedup.nearDupComponents(hostile, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("text analysis is total over empty and degenerate docs") {
+    val m = hostile.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.dupTokenRatio(col("text")).as("dt"),
+      TextOps.dupShingleRatio(col("text"), 3).as("dg"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.size == 5)
+    assert(m(5L).getAs[Double]("dt") == 1.0 - 1.0 / 8)
+    assert(m(3L).getAs[Double]("dg") == 0.0) // too short -> 0 by contract
+    assert(m(4L).getAs[String]("fp").nonEmpty) // unicode fingerprints fine
+  }
+
+  test("packing, split, and sampling are total and exact on tiny shards") {
+    val packed = CorpusOps.packSequences(hostile, "text", "doc_id",
+      shardCol = lit("s"), maxTokens = 4)
+    assert(packed.count() == 5)
+    // empty doc: split("") yields one empty token in Spark — packing still
+    // counts it as width >= 1, never negative
+    assert(packed.filter(col("n_tokens") < 1).count() == 0)
+    val split = CorpusOps.hashSplit(hostile, "doc_id")
+    assert(split.filter(col("split").isNull).count() == 0)
+    assert(CorpusOps.stratifiedSample(hostile, "doc_id", "text",
+      rates = Map.empty, defaultRate = 16).count() == 5)
+  }
+
+  test("bm25 and bigrams on the empty corpus return empty, not errors") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusOps.bm25(empty, "text", "doc_id").count() == 0L)
+    assert(CorpusOps.bigramCounts(empty, "text", "doc_id").count() == 0L)
+    assert(Dedup.ngramJaccardPairs(empty, "text", "doc_id").count() == 0L)
+    assert(Dedup.nearDupComponents(empty, "doc_id",
+      Dedup.ngramJaccardPairs(empty, "text", "doc_id")).count() == 0L)
+  }
+
+  test("ANN paths handle a corpus smaller than k and nlist") {
+    val tiny = Seq(
+      (1L, Array.fill(64)(0.1f)),
+      (2L, Array.fill(64)(0.2f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(tiny, tiny, k = 5).count() > 0)
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    assert(Similarity.lshTopKMultiProbe(tiny, planes, k = 5).count() >=
+      Similarity.lshTopK(tiny, planes, k = 5).count())
+    // nlist > corpus size: every vector seeds its own centroid
+    assert(Similarity.ivfTopK(tiny, k = 2, nlist = 16, nprobe = 6).count() > 0)
+  }
+}
