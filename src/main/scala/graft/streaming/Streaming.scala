@@ -127,6 +127,21 @@ object Streaming {
       }
   }
 
+  /** Streaming corpus ingest — the LLM-pipeline ingestion path as one
+    * streaming composition: quality-gate (below-threshold docs never enter
+    * state), PII-mask, and structural-fingerprint dedup (first doc with a
+    * fingerprint wins within the watermark horizon). The same column
+    * expressions as the batch operators ([[graft.ops.TextOps]]), so batch
+    * and stream ingestion agree document-for-document.
+    */
+  def corpusIngest(docs: DataFrame, tsCol: String, minQuality: Double = 0.2,
+                   watermark: String = "1 hour"): DataFrame =
+    docs.filter(graft.ops.TextOps.qualityScore(col("text")) >= minQuality)
+      .withColumn("fingerprint", graft.ops.TextOps.fingerprint(col("text")))
+      .withColumn("masked_text", graft.ops.TextOps.maskPii(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq("fingerprint"))
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

@@ -91,6 +91,31 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming corpus ingest: quality gate + fingerprint dedup match batch") {
+    import graft.ops.TextOps
+    // every document arrives twice → fingerprint dedup must halve them
+    val d = Files.createTempDirectory("graft_stream_docs")
+    Files.copy(Paths.get(sf("sf0.001") + "/documents.parquet"), d.resolve("a.parquet"))
+    Files.copy(Paths.get(sf("sf0.001") + "/documents.parquet"), d.resolve("b.parquet"))
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docsSchema).parquet(d.toString)
+      .withColumn("ts", timestamp_micros(col("doc_id")))
+    Streaming.drainToMemory(
+      Streaming.corpusIngest(stream, "ts"), "ingest_out", OutputMode.Append())
+    val got = spark.table("ingest_out")
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val expected = batchDocs
+      .filter(TextOps.qualityScore(col("text")) >= 0.2)
+      .select(TextOps.fingerprint(col("text"))).distinct().count()
+    assert(got.count() === expected)
+    assert(got.count() > 0)
+    // the gate and dedup both fired: fewer survivors than arriving rows
+    assert(got.count() < batchDocs.count() * 2)
+  }
+
   test("mapGroupsWithState running user state matches batch latest-event per user") {
     val state = Streaming.runningUserState(spark, eventsBatch).collect()
       .map(s => s.user_id -> s).toMap
