@@ -136,9 +136,13 @@ object Similarity {
     val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
     var centroids = vecs.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    // stable 0..nlist-1 ids
+    // stable 0..nlist-1 ids; localCheckpoint per round keeps each Lloyd
+    // iteration's plan flat (without it, iteration k's plan nests all k-1
+    // prior assignments and Catalyst re-optimizes the whole stack — the
+    // same iterative-lineage cost measured on nearDupComponents)
     centroids = centroids.orderBy("cid")
       .select((row_number().over(Window.orderBy("cid")) - 1).as("cid"), col("c"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val assigned = assignToCentroid(vecs, centroids)
       centroids = assigned
@@ -148,6 +152,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), e => e.getField("m").cast("float")).as("c"))
+        .localCheckpoint(true)
     }
     centroids
   }
@@ -180,8 +185,8 @@ object Similarity {
   def ivfTopK(df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 6,
               iters: Int = 2): DataFrame = {
     val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    // already materialized: ivfCentroids localCheckpoints its final round
     val centroids = ivfCentroids(df, nlist, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = assignToCentroid(vecs, centroids)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         l2Norm(col("v")).as("cn"), col("cid"))
