@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, Dedup}
+
+/** Property-style invariants for the corpus operators over a generated
+  * corpus with planted duplicates. Deterministic generation (seeded), real
+  * codegen'd paths — the properties are the operator CONTRACTS:
+  * cross-set dedup ≡ restricted whole-corpus dedup, components bound their
+  * members, packing conserves tokens, splits are pure functions of the id.
+  */
+class CorpusPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 120 docs: 40 unique, then near-dup and exact-dup bands referencing them
+  private lazy val corpus = {
+    val rng = new scala.util.Random(7L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def sentence(n: Int) = Vector.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, sentence(12 + rng.nextInt(8))))
+    val nearDups = (40L until 70L).map { i =>
+      val (_, t) = base((i % 40).toInt)
+      (i, t + " " + vocab(rng.nextInt(vocab.size)))
+    }
+    val exactDups = (70L until 90L).map(i => (i, base((i % 40).toInt)._2))
+    val unique = (90L until 120L).map(i => (i, sentence(20)))
+    (base ++ nearDups ++ exactDups ++ unique).toDF("doc_id", "text")
+  }
+
+  test("incremental cross-set dedup == whole-corpus pairs restricted to cross-set") {
+    val isNew = col("doc_id") % 7 === 0
+    val newDocs = corpus.filter(isNew)
+    val rest = corpus.filter(!isNew)
+    val incremental = Dedup.incrementalNearDupPairs(newDocs, rest,
+      "text", "doc_id", n = 3, threshold = 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val whole = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = whole.collect {
+      case (a, b) if a % 7 == 0 && b % 7 != 0 => (a, b)
+      case (a, b) if b % 7 == 0 && a % 7 != 0 => (b, a)
+    }
+    assert(incremental === expected)
+    assert(incremental.nonEmpty, "generator must plant cross-set dups")
+  }
+
+  test("components: labels bound members, endpoints agree, labels are members") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.6)
+    val comp = Dedup.nearDupComponents(corpus, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.keySet.size == 120)
+    comp.foreach { case (id, c) => assert(c <= id, s"label $c exceeds member $id") }
+    // every pair's endpoints share a component
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // each component's label is itself a member labeled by itself
+    comp.values.toSet.foreach((c: Long) => assert(comp(c) == c, s"label $c not a root"))
+  }
+
+  test("greedy collapse keeps exactly the non-id_b docs; components never exceed greedy") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.6)
+    val survivors = Dedup.collapseNearDups(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = pairs.select("id_b").as[Long].collect().toSet
+    assert(survivors.intersect(dropped).isEmpty)
+    assert(survivors.union(dropped).size == 120)
+    // transitive clustering can only merge MORE than greedy pair-dropping:
+    // every component root survives greedy collapse too... only when the
+    // root is never an id_b, which min-labeling guarantees within a pair
+    // component reachable from the root. Check the weaker, exact invariant:
+    val comp = Dedup.nearDupComponents(corpus, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val roots = comp.values.toSet
+    assert(roots.subsetOf(survivors), "a component root was greedily dropped")
+  }
+
+  test("packing conserves tokens; pos_in_seq consistent with offsets") {
+    val packed = CorpusOps.packSequences(corpus, "text", "doc_id",
+      shardCol = (col("doc_id") % 3).cast("string"), maxTokens = 50)
+      .select("doc_id", "shard", "n_tokens", "tok_offset", "seq_id", "pos_in_seq")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(packed.length == 120)
+    packed.foreach { case (_, _, _, off, seq, pos) =>
+      assert(seq == off / 50 && pos == off % 50)
+    }
+    // exclusive prefix sums: within a shard ordered by id, offsets chain
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3, s"offset chain broke at ${b._1}")
+        case _ =>
+      }
+      assert(ordered.head._4 == 0L)
+    }
+  }
+
+  test("hashSplit and stratifiedSample are pure functions of the id") {
+    val a = CorpusOps.hashSplit(corpus, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = CorpusOps.hashSplit(corpus.orderBy(rand(11)).repartition(13), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    val s1 = CorpusOps.stratifiedSample(corpus, "doc_id", "text",
+      rates = Map.empty, defaultRate = 8).select("doc_id").as[Long].collect().toSet
+    val s2 = CorpusOps.stratifiedSample(corpus.repartition(5), "doc_id", "text",
+      rates = Map.empty, defaultRate = 8).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("exactGroups partitions the corpus: copies sum to row count, keep_id is min") {
+    val g = Dedup.exactGroups(corpus, "text", "doc_id").collect()
+    assert(g.map(_.getAs[Long]("n_copies")).sum == 120L)
+    val byText = corpus.as[(Long, String)].collect()
+      .groupBy(_._2).map { case (_, rows) => rows.map(_._1).min }.toSet
+    assert(g.map(_.getAs[Long]("keep_id")).toSet == byText)
+  }
+}
