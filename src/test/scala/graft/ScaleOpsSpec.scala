@@ -113,4 +113,38 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(joined.count() === li.count())
     info(s"warehouse at $wh, bucketed join shuffle-free")
   }
+
+  test("rebalancedParquet coalesces a many-tiny-partition write to few right-sized files") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("v", col("id") % 97)
+      .repartition(64) // simulate the post-shuffle many-tiny-files state
+    df.write.mode("overwrite").parquet(s"$d/naive")
+    graft.sources.Sinks.rebalancedParquet(df, s"$d/balanced")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val naive = parts(s"$d/naive")
+    val balanced = parts(s"$d/balanced")
+    info(s"naive=$naive files, rebalanced=$balanced files")
+    assert(naive == 64)
+    assert(balanced < 8, s"rebalance left $balanced files")
+    // content identical
+    assert(spark.read.parquet(s"$d/balanced").as[(Long, Long)].collect().toSet ===
+      spark.read.parquet(s"$d/naive").as[(Long, Long)].collect().toSet)
+  }
+
+  test("rebalancedParquet with partitionBy writes hive layout, right-sized per dir") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sink_p").toString
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("part", (col("id") % 3).cast("string"))
+      .repartition(32)
+    graft.sources.Sinks.rebalancedParquet(df, s"$d/out", partitionBy = Seq("part"))
+    val dirs = new java.io.File(s"$d/out").listFiles().filter(_.getName.startsWith("part="))
+    assert(dirs.length == 3)
+    dirs.foreach { dir =>
+      val files = dir.listFiles().count(_.getName.startsWith("part-"))
+      assert(files < 8, s"${dir.getName} has $files files")
+    }
+    assert(spark.read.parquet(s"$d/out").count() == 5000)
+  }
 }
