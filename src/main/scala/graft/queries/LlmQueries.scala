@@ -248,6 +248,28 @@ object LlmQueries extends QueryPack {
         shardCol = col("lang"), maxTokens = 512)
     },
 
+    // Rolling-fingerprint invariant — the oracle-able face of
+    // ta_rolling_fp: identical text ⇒ identical shingle set ⇒ identical
+    // min-shingle-hash, GUARANTEED. The corpus carries no exact-text dups
+    // at sf0.01, so the query plants them (every doc_id % 5 == 0 re-enters
+    // shifted +1000000, the ta_pii_mask synthesis idiom); selecting
+    // md5-equal pairs that also agree on rolling_fp must return ALL
+    // md5-equal pairs (the oracle computes those directly), so any
+    // minShingleHash regression shows up as a row deficit. Null-safe
+    // compare keeps sub-n-token doc pairs.
+    "ta_rolling_fp_contains" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val fp = base.union(planted).select(col("doc_id"),
+        md5(col("text")).as("m"), TextOps.minShingleHash(col("text")).as("rfp"))
+      fp.select(col("doc_id").as("id_a"), col("m"), col("rfp").as("f_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("m"), col("rfp").as("f_b")), Seq("m"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("f_a") <=> col("f_b"))
+        .select("id_a", "id_b")
+    },
+
     // Multimodal metadata: binary payload + typed metadata columns
     // (the SQL-expressible half; batched decode below).
     "mm_binary_meta" -> { (s, dir) =>
@@ -507,6 +529,14 @@ object LlmQueries extends QueryPack {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "ta_rolling_fp_contains" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM u a JOIN u b
+        |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
