@@ -55,7 +55,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // materialize the inverted index once — it feeds the frequency filter
     // and BOTH sides of the self-join (the dbt table-materialization
     // analog; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
@@ -154,16 +154,17 @@ object Dedup {
   def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
                               textCol: String, idCol: String,
                               n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // set sizes ride along both index sides and come out of the pair
+    // aggregation via first() (constant within a group), so the corpus is
+    // scanned exactly once — no second sizes join over the big side
     val nx = shingleIndex(newDocs, textCol, idCol, n)
+      .select(col("id").as("new_id"), col("set_size").as("n_n"), col("shingle"))
     val cx = shingleIndex(corpus, textCol, idCol, n)
-    val co = cx.select(col("id").as("corpus_id"), col("shingle"))
-      .join(broadcast(nx.select(col("id").as("new_id"), col("shingle"))), Seq("shingle"))
+      .select(col("id").as("corpus_id"), col("set_size").as("n_c"), col("shingle"))
+    cx.join(broadcast(nx), Seq("shingle"))
       .groupBy("new_id", "corpus_id")
-      .agg(count(lit(1)).as("co"))
-    val nSizes = nx.select(col("id").as("new_id"), col("set_size").as("n_n")).distinct()
-    val cSizes = cx.select(col("id").as("corpus_id"), col("set_size").as("n_c")).distinct()
-    co.join(broadcast(nSizes), Seq("new_id"))
-      .join(cSizes, Seq("corpus_id"))
+      .agg(count(lit(1)).as("co"),
+        first(col("n_n")).as("n_n"), first(col("n_c")).as("n_c"))
       .withColumn("jaccard",
         col("co").cast("double") / (col("n_n") + col("n_c") - col("co")))
       .filter(col("jaccard") >= threshold)
@@ -232,9 +233,11 @@ object Dedup {
     * tiny even when `vertices` is 100 TB; singletons join back self-labeled
     * in one final left join. Near-dup components are short chains
     * (diameter ≪ 10 in practice), so the round count is small and bounded
-    * by `maxIters`; each round's labels persist and the previous round's
-    * unpersist, so lineage stays shallow. The fixpoint test is one count
-    * per round (the same action that runs the round's job).
+    * by `maxIters`. Round tables are localCheckpoint'd — lineage stays
+    * flat, and the superseded rounds' blocks (small: paired vertices only)
+    * are reclaimed by the ContextCleaner once unreferenced (there is no
+    * public API to drop a localCheckpoint eagerly). The fixpoint test is
+    * one count per round (the same action that runs the round's job).
     */
   def nearDupComponents(vertices: DataFrame, idCol: String,
                         pairs: DataFrame, maxIters: Int = 50): DataFrame = {
@@ -274,14 +277,14 @@ object Dedup {
           col("comp").as("prev"))
         .localCheckpoint(true)
       val changed = next.filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
+      // note: no unpersist — Dataset.unpersist is a no-op on localCheckpoint
+      // blocks; the ContextCleaner reclaims superseded rounds on GC
       labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter changed=$changed")
     }
-    edges.unpersist()
     // singletons (no qualifying pair) label themselves
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")

@@ -81,16 +81,12 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
-  /** Bucketed ANN top-k: candidates share an LSH bucket; exact cosine ranks
-    * within bucket. Recall < 1 by construction (measured in ScalaTest
-    * against [[bruteForceTopK]]); comparison cost drops by ~2^planes.
+  /** Bucket-local exact-cosine top-k: the shared scorer behind [[lshTopK]]
+    * and [[lshTopKMultiProbe]] — queries (already carrying their probe
+    * bucket(s)) join corpus vectors on the bucket key, score exactly, and
+    * rank within query.
     */
-  def lshTopK(df: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
-    val bucketed = lshBuckets(df, planes)
-    val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      l2Norm(col("embedding")).as("qn"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      l2Norm(col("embedding")).as("cn"), col("bucket"))
+  private def topKInBuckets(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
@@ -99,6 +95,21 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  private def corpusSide(bucketed: DataFrame): DataFrame =
+    bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      l2Norm(col("embedding")).as("cn"), col("bucket"))
+
+  /** Bucketed ANN top-k: candidates share an LSH bucket; exact cosine ranks
+    * within bucket. Recall < 1 by construction (measured in ScalaTest
+    * against [[bruteForceTopK]]); comparison cost drops by ~2^planes.
+    */
+  def lshTopK(df: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
+    val bucketed = lshBuckets(df, planes)
+    val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"), col("bucket"))
+    topKInBuckets(q, corpusSide(bucketed), k)
   }
 
   /** Multi-probe LSH ANN top-k: each query searches its own bucket AND the
@@ -115,16 +126,7 @@ object Similarity {
     val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       l2Norm(col("embedding")).as("qn"),
       explode(transform(probeBuckets, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      l2Norm(col("embedding")).as("cn"), col("bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    topKInBuckets(q, corpusSide(bucketed), k)
   }
 
   /** IVF centroids by Lloyd iterations over DataFrame ops, deterministically

@@ -15,6 +15,11 @@ object Sinks {
     * must guess n and still leaves skewed writers. `partitionBy` columns
     * both hive-partition the layout and key the rebalance, so each
     * partition directory gets right-sized files.
+    *
+    * The advisory size is a SESSION conf (no per-query override exists),
+    * set for the duration of the write and restored after — so the value
+    * briefly applies to queries planned concurrently on the same session.
+    * Call from one writer thread at a time, or accept the default.
     */
   def rebalancedParquet(df: DataFrame, path: String,
                         partitionBy: Seq[String] = Nil,

@@ -133,6 +133,13 @@ object Streaming {
     * fingerprint wins within the watermark horizon). The same column
     * expressions as the batch operators ([[graft.ops.TextOps]]), so batch
     * and stream ingestion agree document-for-document.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates(fingerprint)`:
+    * with a non-event-time key alone, streaming dedup state is never
+    * evicted (one entry per distinct fingerprint forever — state-store
+    * blowup on an unbounded crawl); the within-watermark variant keys
+    * state eviction off the watermark while deduplicating on the
+    * fingerprint only.
     */
   def corpusIngest(docs: DataFrame, tsCol: String, minQuality: Double = 0.2,
                    watermark: String = "1 hour"): DataFrame =
@@ -140,7 +147,7 @@ object Streaming {
       .withColumn("fingerprint", graft.ops.TextOps.fingerprint(col("text")))
       .withColumn("masked_text", graft.ops.TextOps.maskPii(col("text")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq("fingerprint"))
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
