@@ -202,6 +202,17 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), TextOps.minShingleHash(col("text")).as("rolling_fp"))
     },
 
+    // Corpus report card: per-language doc/token/unique-content stats in
+    // one pass — exact-integer aggregates only, so cross-engine bit-equal.
+    "ta_corpus_stats" -> { (s, dir) =>
+      Tables.documents(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("total_tokens"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("n_unique_fp"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    },
+
     // Gopher/C4-style repetition ratios: duplicate tokens and duplicate
     // 3-gram positions per document (high → boilerplate/degenerate text).
     "ta_repetition" -> { (s, dir) =>
@@ -420,6 +431,13 @@ object LlmQueries extends QueryPack {
          |  FROM pr p JOIN bk b ON p.bucket = b.bucket AND p.vec_id <> b.vec_id)
          |WHERE rank <= 5""".stripMargin
     },
+    "ta_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')))
+        |    AS n_unique_fp,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "ta_repetition" ->
       """SELECT doc_id,
         |  1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
