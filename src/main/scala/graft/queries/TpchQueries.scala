@@ -39,6 +39,45 @@ object TpchQueries extends QueryPack {
         .limit(10)
     },
 
+    // Q5-shaped local-supplier revenue: 6-way star join (two broadcast
+    // dims, residual nation-equality on the supplier join) + hash agg.
+    "tpch_q5" -> { (s, dir) =>
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
+    // Q18-shaped large-volume customers: agg + HAVING feeding a join,
+    // top-k by order value.
+    "tpch_q18" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
     // Q6-shaped forecast revenue: pure pushdown filter + global agg.
     "tpch_q6" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -64,6 +103,27 @@ object TpchQueries extends QueryPack {
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "tpch_q6" ->
       """SELECT SUM(CAST(round(l_extendedprice*l_discount*100,0) AS BIGINT))/100.0 AS revenue
         |FROM lineitem
