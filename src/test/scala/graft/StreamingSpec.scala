@@ -116,6 +116,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() < batchDocs.count() * 2)
   }
 
+  test("corpusIngest dedup state is watermark-bounded: dups within drop, after eviction re-emit") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox and the lazy dog is in the house to stay"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming.corpusIngest(
+      ms.toDF.toDF("doc_id", "text", "ts"), "ts", watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_ingest").start()
+    // batch 1: the doc arrives twice inside one batch -> deduped to one
+    ms.addData((1L, text, ts(10)), (2L, text, ts(10)))
+    q.processAllAvailable()
+    // batch 2: a different doc far in the future advances the watermark
+    // past 10:00 + 1h, evicting the fingerprint's state
+    ms.addData((3L, text + " entirely different suffix words here", ts(14)))
+    q.processAllAvailable()
+    // batch 3: the SAME text reappears after eviction -> emitted again
+    // (the documented dropDuplicatesWithinWatermark relaxation)
+    ms.addData((4L, text, ts(14)))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wm_ingest").select("doc_id").as[Long].collect().sorted
+    assert(emitted.count(id => id == 1L || id == 2L) == 1, "in-watermark dup not dropped")
+    assert(emitted.contains(4L), "state never evicted: post-watermark doc was dropped")
+  }
+
   test("mapGroupsWithState running user state matches batch latest-event per user") {
     val state = Streaming.runningUserState(spark, eventsBatch).collect()
       .map(s => s.user_id -> s).toMap
