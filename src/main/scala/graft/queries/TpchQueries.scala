@@ -78,6 +78,23 @@ object TpchQueries extends QueryPack {
         .limit(100)
     },
 
+    // Q10-shaped returned-item losses: filtered fact join + dim broadcast
+    // + per-customer agg + top-20.
+    "tpch_q10" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
     // Q6-shaped forecast revenue: pure pushdown filter + global agg.
     "tpch_q6" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -124,6 +141,17 @@ object TpchQueries extends QueryPack {
         |JOIN orders ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "tpch_q6" ->
       """SELECT SUM(CAST(round(l_extendedprice*l_discount*100,0) AS BIGINT))/100.0 AS revenue
         |FROM lineitem
