@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // median-of-N timing (default 3): single-shot numbers on a contended
+    // host showed ±2× run-to-run noise (BENCH_NOTES), which can't tell a
+    // real 2× regression from scheduling jitter; the median of 3 runs plus
+    // a reported per-query spread makes regressions attributable
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,17 +35,38 @@ object Bench {
     // indexes otherwise squat on storage memory through the timed runs
     // (measured as multi-× noise on individual query times via GC churn)
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // outside the timer; isolates queries
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // interleave rounds (run 1 of every query, then run 2, ...) rather than
+    // back-to-back repeats: back-to-back shares JIT/page-cache state warmed
+    // microseconds earlier, which under-reports the steady-state time a
+    // fresh invocation sees, and a transient host stall then poisons all N
+    // runs of one query instead of one run of N queries
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)
+    (1 to runs).foreach { _ =>
+      names.foreach { n => samples(n) = timeOnce(SparkEntry.queries(n)) :: samples(n) }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val med = names.map(n => n -> median(samples(n))).toMap
+    // relative spread: (max−min)/median — the run-to-run noise band
+    val spread = names.map { n =>
+      val xs = samples(n)
+      n -> (if (med(n) > 0) (xs.max - xs.min) / med(n) else 0.0)
+    }.toMap
+    def jmap(m: Map[String, Double]): String =
+      names.sorted.map(n => s"\"" + n + "\":" + f"${m(n)}%.4f").mkString("{", ",", "}")
+    val total = med.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

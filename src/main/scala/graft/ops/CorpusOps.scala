@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Default Okapi BM25 parameters — the single source of truth for both
+    * [[bm25]] and any oracle SQL that interpolates the constants (so the
+    * Spark query and a cross-engine twin can never silently diverge).
+    */
+  val DefaultBm25K1 = 1.2
+  val DefaultBm25B = 0.75
+
   /** Okapi BM25 score per (document, term): classic relevance scoring used
     * for corpus search and quality-weighted sampling of training data.
     *
@@ -35,11 +42,16 @@ object CorpusOps {
     * concern and the oracle face is the rational pair.
     */
   def bm25(df: DataFrame, textCol: String, idCol: String,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = DefaultBm25K1, b: Double = DefaultBm25B): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
+    // localCheckpoint, not persist: the tf table feeds three consumers (dl,
+    // dfreq, the final join) so it must materialize once — but a cache
+    // entry would outlive the call (nothing can unpersist a lazily-consumed
+    // result), accumulating blocks across calls in a long-lived session.
+    // Checkpoint blocks are reclaimed by the ContextCleaner on GC instead.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     // corpus scalars from exact integer sums (order-independent, so the
@@ -126,7 +138,11 @@ object CorpusOps {
     df.select(col(idCol).as("doc_id"), shardCol.as("shard"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col("tok_offset") / lit(maxTokens.toDouble)).cast("long"))
+      // integer division (SQL DIV) on longs — a double-division detour
+      // rounds above 2^53 and can disagree with the long modulo below,
+      // which matters exactly at the per-shard token counts a 100 TB run
+      // reaches
+      .withColumn("seq_id", expr(s"tok_offset DIV ${maxTokens.toLong}"))
       .withColumn("pos_in_seq", (col("tok_offset") % lit(maxTokens.toLong)).cast("long"))
   }
 }

@@ -58,9 +58,12 @@ object Dedup {
                         maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // materialize the inverted index once — it feeds the frequency filter
     // and BOTH sides of the self-join (the dbt table-materialization
-    // analog; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing)
-    val ix0 = shingleIndex(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // analog). localCheckpoint, not persist: checkpoint blocks are
+    // reclaimed by the ContextCleaner once the DataFrame is unreferenced,
+    // so repeated calls in a long-lived session don't accumulate cached
+    // blocks the way an un-unpersisted cache entry would (blocks still
+    // spill to disk under memory pressure, same as MEMORY_AND_DISK)
+    val ix0 = shingleIndex(df, textCol, idCol, n).localCheckpoint(false)
     // frequency pruning: a shingle appearing in exactly one document cannot
     // produce a pair — drop it before the self-join. On a real corpus most
     // shingles are unique, so this shrinks the join input by ~an order of
@@ -109,9 +112,10 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // materialized once: feeds signature hashing AND both verification joins
-    val sets = shingleSets(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized once (feeds signature hashing AND both verification
+    // joins); localCheckpoint for the same no-leak reason as
+    // [[ngramJaccardPairs]]'s index
+    val sets = shingleSets(df, textCol, idCol, n).localCheckpoint(false)
 
     // k seeded hashes per exploded shingle as flat columns (codegen'd, no
     // per-element lambdas), then min per doc → the signature slots
@@ -285,6 +289,13 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter changed=$changed")
     }
+    // a truncated result is silently WRONG (labels only partially
+    // propagated) — surface it rather than letting the caller treat it as
+    // converged; components wider than maxIters rounds need a larger budget
+    if (!converged)
+      System.err.println(s"[graft] WARNING nearDupComponents did NOT converge " +
+        s"after $maxIters rounds — component labels may be partially propagated; " +
+        s"raise maxIters (diameter of the pair graph exceeds the round budget)")
     // singletons (no qualifying pair) label themselves
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")

@@ -344,9 +344,10 @@ object LlmQueries extends QueryPack {
   }.mkString(" + ")
 
   // BM25 constants interpolated from the SAME Scala doubles the Spark side
-  // uses, so both engines evaluate bit-identical literals
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
+  // uses (single definition in CorpusOps), so both engines evaluate
+  // bit-identical literals and can't silently diverge
+  private val Bm25K1 = CorpusOps.DefaultBm25K1
+  private val Bm25B = CorpusOps.DefaultBm25B
 
   val oracles: Map[String, String] = Map(
     "dd_exact_hash" ->
@@ -486,7 +487,7 @@ object LlmQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         |  FROM t)
         |SELECT doc_id, shard, n_tokens, tok_offset,
-        |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         |  CAST(tok_offset % 512 AS BIGINT) AS pos_in_seq
         |FROM o""".stripMargin,
     "ta_quality" ->

@@ -17,30 +17,30 @@ object Sinks {
     * partition directory gets right-sized files.
     *
     * The advisory size is a SESSION conf (no per-query override exists),
-    * set for the duration of the write and restored after — so the value
-    * briefly applies to queries planned concurrently on the same session.
-    * Call from one writer thread at a time, or accept the default.
+    * so the write runs on a CLONED session (same SparkContext, isolated
+    * SQLConf) carrying the caller's runtime confs plus the advisory size —
+    * queries planned concurrently on the caller's session never observe
+    * the temporary setting, and nothing needs restoring afterwards.
     */
   def rebalancedParquet(df: DataFrame, path: String,
                         partitionBy: Seq[String] = Nil,
                         advisoryMB: Int = 128): Unit = {
     val spark = df.sparkSession
-    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, s"${advisoryMB}m")
-    try {
-      val balanced =
-        if (partitionBy.isEmpty) df.hint("rebalance")
-        else df.hint("rebalance",
-          partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      val writer = balanced.write.mode("overwrite")
-      (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
-        .parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    val writeSession = spark.newSession()
+    // newSession starts from SparkConf defaults; carry over the caller's
+    // runtime SQL confs (static/immutable entries throw — skip them)
+    spark.conf.getAll.foreach { case (k, v) =>
+      try writeSession.conf.set(k, v) catch { case _: Exception => () }
     }
+    writeSession.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${advisoryMB}m")
+    val scoped = org.apache.spark.sql.GraftSqlBridge.onSession(df, writeSession)
+    val balanced =
+      if (partitionBy.isEmpty) scoped.hint("rebalance")
+      else scoped.hint("rebalance",
+        partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    val writer = balanced.write.mode("overwrite")
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
+      .parquet(path)
   }
 }

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebind a DataFrame's logical plan to another session (same
+    * SparkContext) — lets a writer scope session confs (e.g. AQE advisory
+    * partition size) to a cloned session instead of mutating the caller's.
+    */
+  def onSession(df: Dataset[Row], spark: SparkSession): Dataset[Row] =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
 }
