@@ -326,16 +326,42 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤3 default):
     * candidates via the pigeonhole 16-bit-chunk join (a pair within Hamming
     * 3 of 64 bits must agree on ≥1 of 4 chunks), verified with bit_count(xor).
+    *
+    * `maxChunkFreq` is the hot-bucket cap (the [[ngramJaccardPairs]]
+    * `maxDocFreq` analog): a boilerplate-heavy corpus where thousands of
+    * documents share one 16-bit chunk value makes that bucket's join
+    * quadratic — AQE can split the skewed KEY across tasks, but the pair
+    * count itself is unbounded. With the cap set, (chunk, value) buckets
+    * containing more than `maxChunkFreq` documents are dropped from
+    * candidate generation and the dropped-bucket count is logged (an extra
+    * counting job — no silent caps). Semantics under the cap are
+    * approximate: a pair colliding ONLY in dropped buckets is missed, so
+    * the guarantee degrades from "all pairs within Hamming ≤ h" to "all
+    * pairs agreeing on ≥1 surviving chunk". Default = no cap (exact).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxChunkFreq: Long = Long.MaxValue): DataFrame = {
     val withSim = simhashTable(df, textCol, idCol)
-    val chunked = withSim.select(col("id"), col("sim"),
+    val chunked0 = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
       }: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.cv"))
+    val chunked = if (maxChunkFreq == Long.MaxValue) chunked0 else {
+      // checkpoint once: feeds the frequency count AND the anti-join below
+      val ck = chunked0.localCheckpoint(false)
+      val hot = ck.groupBy("chunk", "cv").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxChunkFreq)
+        .localCheckpoint(false)
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(s"[graft] simhashPairs: dropped $nHot hot chunk " +
+          s"bucket(s) exceeding maxChunkFreq=$maxChunkFreq — pairs colliding " +
+          "only in dropped buckets are missed")
+      ck.join(hot.select("chunk", "cv"), Seq("chunk", "cv"), "left_anti")
+    }
     val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk"), col("cv"))
     val b = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"), col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))

@@ -6,18 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * with batched per-partition feature extraction.
   *
-  * The Spark-side machinery here — binary columns with a metadata struct,
-  * deterministic partition-local batch processing, fixed-width float
-  * feature output — is real and tested. The DECODE step is a STUB: this
-  * container has no image/audio codecs, so `decodeStub` derives features
-  * from raw bytes (a 16-bin byte histogram). Swapping in a real decoder
-  * changes only the body of `decodeStub`; schema, batching, and
-  * partitioning are unchanged.
+  * The Spark-side machinery — binary columns with a metadata struct,
+  * deterministic partition-local batch processing, fixed-width feature
+  * output — is real and tested. Two decoders ride on it:
+  * [[decodeImages]], a REAL image decode through the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP — no external codecs needed); and
+  * [[decodeStub]], the byte-histogram fallback for payloads whose codec
+  * isn't available in-JVM (audio/video), kept as the documented stand-in.
+  * Swapping decoders changes only the mapPartitions body; schema,
+  * batching, and partitioning are identical.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Int)
   case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Float])
+  case class ImageFeature(doc_id: Long, width: Int, height: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Wrap a text corpus as a media table: binary payload + metadata struct
     * (the shape an image/audio table would have; payload is opaque bytes).
@@ -50,6 +54,74 @@ object Multimodal {
           MediaFeature(r.doc_id, r.media.length, hist.map(_ / total))
         }
       }
+  }
+
+  /** REAL image decode via `javax.imageio` in the same mapPartitions batch
+    * shape as [[decodeStub]]: dimensions + per-channel pixel means per
+    * image. Non-decodable payloads yield (-1, -1, NaN…) rather than
+    * failing the partition (a 100 TB crawl always carries corrupt files).
+    * Integer pixel sums accumulate in Long, so the means are exact when
+    * the true mean is representable (e.g. solid-color test images).
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeature] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          if (img == null)
+            ImageFeature(r.doc_id, -1, -1, Double.NaN, Double.NaN, Double.NaN)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF
+                sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            ImageFeature(r.doc_id, w, h, sr / n, sg / n, sb / n)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG table: one solid-color image per id, dims
+    * and channel color pure functions of doc_id — so an encode→decode
+    * round trip through [[decodeImages]] is verifiable by recomputing
+    * width/height/means arithmetically (the cross-engine oracle for
+    * mm_image_decode). Encoding runs in executors (mapPartitions), one
+    * ImageIO pipeline per partition — the same batch lifecycle a real
+    * media-ingest job has.
+    */
+  def syntheticPngTable(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        val rgb = ((id % 256) << 16 | ((id * 7) % 256) << 8 | (id * 13) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray, "image/png", bos.size())
+      }
+    }.toDF("doc_id", "media", "mime", "n_bytes")
   }
 
   /** "Frame sampling" over an opaque payload: k fixed-width byte windows at

@@ -22,6 +22,13 @@ object LlmQueries extends QueryPack {
 
   private val Planes = Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
 
+  // ann_ivf_recall floor, in percent. Measured recall@5 on the vec_id%4
+  // sample (tools/RecallProbe, 3 reps each, stable to the last digit):
+  // 0.710 at sf0.01, 0.686 at sf0.1 (defaults nlist=16/nprobe=6/iters=2)
+  // — 50% leaves margin for Lloyd's float-order nondeterminism while still
+  // catching a real quality regression (nprobe=1 measured ≈ 0.3).
+  private val IvfRecallFloorPct = 50L
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy to canonical row (one shuffle on md5 key).
     "dd_exact_hash" -> { (s, dir) =>
@@ -140,6 +147,33 @@ object LlmQueries extends QueryPack {
     // at sf0.1; see SimilarityScaleSpec).
     "ann_ivf" -> { (s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5)
+    },
+
+    // Driver-visible IVF recall gate — the oracle-able face of ann_ivf
+    // (whose neighbor rows depend on engine-internal Lloyd float order).
+    // Recall@5 of IVF against exact brute force on a deterministic 25%
+    // query sample, reduced to exact integers + a floor boolean: the
+    // oracle recomputes n_queries and the 5-per-query pair counts
+    // directly and states recall_ok = true, so an IVF quality regression
+    // (recall below floor) or a row deficit flips this row red. Floor set
+    // from measurement with margin (see IvfRecallFloorPct).
+    "ann_ivf_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 4 === 0), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_b"))
+      val ivf = Similarity.ivfTopK(emb, k = 5)
+        .filter(col("query_id") % 4 === 0)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_v"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("in_b"), lit(0))).cast("long").as("n_brute"),
+          sum(coalesce(col("in_v"), lit(0))).cast("long").as("n_ivf"),
+          sum(when(col("in_b") === 1 && col("in_v") === 1, 1).otherwise(0))
+            .cast("long").as("n_hits"))
+        .select(col("n_queries"), col("n_brute"), col("n_ivf"),
+          (col("n_hits") * 100L >= col("n_brute") * IvfRecallFloorPct).as("recall_ok"))
     },
 
     // Text quality metrics: token/char counts, avg token length, stopword
@@ -290,13 +324,27 @@ object LlmQueries extends QueryPack {
 
     // Multimodal feature extraction through the batched mapPartitions stub
     // decoder (rows-only: byte-histogram features; plumbing under test in
-    // MultimodalSpec).
+    // MultimodalSpec). Kept as the codec-less fallback — the REAL decode
+    // path is mm_image_decode below.
     "mm_feature_stub" -> { (s, dir) =>
       Multimodal.decodeStub(s, Multimodal.asMediaTable(Tables.documents(s, dir)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"),
           element_at(col("feature"), 1).as("f0"),
           element_at(col("feature"), 2).as("f1"))
+    },
+
+    // REAL image decode, oracle-checked: one solid-color PNG per doc_id
+    // (dims + RGB pure functions of the id), PNG-encoded AND decoded in
+    // executors via javax.imageio through the mapPartitions batch shape.
+    // The oracle recomputes width/height/channel means arithmetically —
+    // any encode, decode, or pixel-walk regression flips the row red.
+    // Exactness: solid color c over n pixels → mean = (c*n)/n, exact in
+    // IEEE doubles.
+    "mm_image_decode" -> { (s, dir) =>
+      Multimodal.decodeImages(s,
+        Multimodal.syntheticPngTable(s, Tables.documents(s, dir).select("doc_id")))
+        .toDF()
     }
   )
 
@@ -418,6 +466,12 @@ object LlmQueries extends QueryPack {
          |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
          |WHERE rank <= 5""".stripMargin,
+    "ann_ivf_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(5*count(*) AS BIGINT) AS n_brute,
+        |  CAST(5*count(*) AS BIGINT) AS n_ivf,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
     "ann_lsh_multiprobe" -> {
       val probeUnion = (0L +: Planes.indices.map(i => 1L << i).map(_.toLong))
         .map(m => s"SELECT vec_id, embedding, xor(bucket, $m) AS bucket FROM bk")
@@ -559,6 +613,14 @@ object LlmQueries extends QueryPack {
     "mm_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+    "mm_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 7 AS INTEGER) AS width,
+        |  CAST(1 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin
   )
 }

@@ -54,6 +54,37 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("simhashPairs maxChunkFreq bounds a planted hot chunk; no-op on a normal corpus") {
+    // 40 boilerplate docs share one token SET (identical simhash → all 4
+    // chunk buckets hold 40 docs → 780 quadratic pairs), plus the normal
+    // corpus. With the cap below 40 the hot buckets drop and the
+    // boilerplate pairs vanish; normal-corpus output is unchanged by a cap
+    // above its max bucket size.
+    val boiler = (100L until 140L).map { i =>
+      // rotate word order: same token set, so same simhash signature
+      val ws = "alpha beta gamma delta epsilon zeta eta theta".split(' ')
+      val rot = (i % ws.length).toInt
+      (i, (ws.drop(rot) ++ ws.take(rot)).mkString(" "))
+    }
+    val corpus = docs.union(boiler.toDF("doc_id", "text"))
+    val uncapped = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val boilerPairs = uncapped.filter(p => p._1 >= 100L && p._2 >= 100L)
+    assert(boilerPairs.size === 40 * 39 / 2)
+    val capped = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3,
+      maxChunkFreq = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hot buckets dropped → quadratic boilerplate pairs gone...
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L))
+    // ...and the normal corpus's pairs survive (their buckets are small)
+    assert(capped === uncapped -- boilerPairs)
+    // a cap above every bucket's size changes nothing
+    val cappedHigh = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3,
+      maxChunkFreq = 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedHigh === uncapped)
+  }
+
   test("simhash is deterministic and 0-distance on identical text") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap

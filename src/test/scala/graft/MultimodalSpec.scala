@@ -32,6 +32,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(again(1L) === feats(1L).feature.toSeq)
   }
 
+  test("decodeImages round-trips real PNGs: exact dims and channel means") {
+    val ids = Seq(0L, 1L, 6L, 13L, 255L, 256L).toDF("doc_id")
+    val feats = Multimodal.decodeImages(spark, Multimodal.syntheticPngTable(spark, ids))
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.as[Long].collect().foreach { id =>
+      val f = feats(id)
+      assert(f.width === (1 + id % 7).toInt, s"width of $id")
+      assert(f.height === (1 + id % 5).toInt, s"height of $id")
+      assert(f.mean_r === (id % 256).toDouble, s"mean_r of $id")
+      assert(f.mean_g === ((id * 7) % 256).toDouble, s"mean_g of $id")
+      assert(f.mean_b === ((id * 13) % 256).toDouble, s"mean_b of $id")
+    }
+  }
+
+  test("decodeImages flags non-decodable payloads instead of failing the partition") {
+    val junk = Multimodal.asMediaTable(docs) // text/plain bytes, not an image
+    val feats = Multimodal.decodeImages(spark, junk).collect()
+    assert(feats.length === 3)
+    assert(feats.forall(f => f.width == -1 && f.height == -1 && f.mean_r.isNaN))
+  }
+
   test("frameSample cuts k windows from the payload") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("doc_id", "text"))
