@@ -144,6 +144,60 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.contains(4L), "state never evicted: post-watermark doc was dropped")
   }
 
+  test("corpusIngest restart from checkpoint: no duplicates, no loss") {
+    import graft.ops.TextOps
+    val inDir = Files.createTempDirectory("graft_cp_in")
+    val cpDir = Files.createTempDirectory("graft_cp_chk")
+    val outDir = Files.createTempDirectory("graft_cp_out")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def start() = {
+      val stream = spark.readStream.schema(docsSchema).parquet(inDir.toString)
+        .withColumn("ts", timestamp_micros(col("doc_id")))
+      Streaming.corpusIngest(stream, "ts")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .start()
+    }
+    // run 1: original corpus
+    Files.copy(Paths.get(sf("sf0.001") + "/documents.parquet"), inDir.resolve("a.parquet"))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterRun1 = spark.read.parquet(outDir.toString).count()
+    // while down: the same corpus arrives again (all dups — restored dedup
+    // state must drop them) plus genuinely new documents (must pass)
+    Files.copy(Paths.get(sf("sf0.001") + "/documents.parquet"), inDir.resolve("b.parquet"))
+    val fresh = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh restart suffix tokens")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    fresh.coalesce(1).write.parquet(inDir.resolve("c_dir").toString)
+    Files.list(inDir.resolve("c_dir")).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, inDir.resolve("c.parquet")))
+    // run 2: restart from the checkpoint
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir.toString)
+    // no duplicates: every survivor emitted exactly once across both runs
+    assert(out.groupBy("fingerprint").count().filter(col("count") > 1).count() === 0,
+      "restart re-emitted documents the restored state should have dropped")
+    // original corpus contributed nothing new in run 2
+    assert(out.filter(col("doc_id") < 1000000L).count() === afterRun1)
+    // no loss: run 2's fresh documents came through the restarted query
+    val expectedFresh = fresh
+      .filter(TextOps.qualityScore(col("text")) >= 0.2)
+      .select(TextOps.fingerprint(col("text"))).distinct().count()
+    val gotFresh = out.filter(col("doc_id") >= 1000000L).count()
+    assert(gotFresh === expectedFresh, "fresh documents lost across restart")
+    assert(gotFresh > 0)
+  }
+
   test("mapGroupsWithState running user state matches batch latest-event per user") {
     val state = Streaming.runningUserState(spark, eventsBatch).collect()
       .map(s => s.user_id -> s).toMap
