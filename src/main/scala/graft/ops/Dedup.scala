@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   * posting-list formulation was 2–6× SLOWER (simhash 1.6 s → 9.9 s): the
   * higher-order transform/slice/flatten lambdas fall out of whole-stage
   * codegen, and a hot key materializes its whole m²/2 pair array in one
-  * row — while the join streams pairs through codegen'd operators, and a
-  * skewed join key can at least be split by AQE, which a single giant row
-  * never can.
+  * row — while the join streams pairs through codegen'd operators.
+  *
+  * Skew honesty (measured, ScaleBench r3): AQE's skew-join split keys off
+  * shuffle INPUT partition bytes, and a hot join key is small on input
+  * (one index row per document) — its cost appears only as join-OUTPUT
+  * amplification, which AQE's heuristic cannot see (observed: skew split
+  * never fires on the planted-hot-shingle corpus even with thresholds
+  * scaled to the data). The operative 100 TB safeguard against quadratic
+  * buckets is therefore the explicit frequency caps — `maxDocFreq` here,
+  * `maxChunkFreq` on [[simhashPairs]] — not AQE.
   */
 object Dedup {
 
