@@ -36,12 +36,15 @@ object Bench {
     // (measured as multi-× noise on individual query times via GC churn)
     spark.catalog.clearCache()
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failing query must NOT median as a fast clean pass: record success
+    // and failure separately; medians are computed over successful runs
+    // only, and queries with any failing run are listed in "failed"
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // outside the timer; isolates queries
-      dt
+      (dt, ok)
     }
     // interleave rounds (run 1 of every query, then run 2, ...) rather than
     // back-to-back repeats: back-to-back shares JIT/page-cache state warmed
@@ -50,23 +53,45 @@ object Bench {
     // runs of one query instead of one run of N queries
     val names = SparkEntry.queries.keys.toSeq
     val samples = collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)
+    val failures = collection.mutable.Map(names.map(_ -> 0): _*)
     (1 to runs).foreach { _ =>
-      names.foreach { n => samples(n) = timeOnce(SparkEntry.queries(n)) :: samples(n) }
+      names.foreach { n =>
+        val (dt, ok) = timeOnce(SparkEntry.queries(n))
+        if (ok) samples(n) = dt :: samples(n) else failures(n) += 1
+      }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val med = names.map(n => n -> median(samples(n))).toMap
+    // -1 marks a query that never succeeded (excluded from the total)
+    val med = names.map(n => n -> (if (samples(n).nonEmpty) median(samples(n)) else -1.0)).toMap
     // relative spread: (max−min)/median — the run-to-run noise band
     val spread = names.map { n =>
       val xs = samples(n)
-      n -> (if (med(n) > 0) (xs.max - xs.min) / med(n) else 0.0)
+      n -> (if (xs.nonEmpty && med(n) > 0) (xs.max - xs.min) / med(n) else 0.0)
     }.toMap
-    def jmap(m: Map[String, Double]): String =
-      names.sorted.map(n => s"\"" + n + "\":" + f"${m(n)}%.4f").mkString("{", ",", "}")
-    val total = med.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
+    val failed = names.filter(failures(_) > 0).sorted
+    def jmap(m: Map[String, Double], ns: Seq[String]): String =
+      ns.map(n => s"\"" + n + "\":" + f"${m(n)}%.4f").mkString("{", ",", "}")
+    def jarr(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = med.values.filter(_ >= 0).sum
+    // full per-query detail first (humans / BENCH_NOTES), ...
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"failed":${jarr(failed)},"queries":${jmap(med, names.sorted)},"spread":${jmap(spread, names.sorted)},"sf":"$sfDir"}""")
+    // ... then a COMPACT final line: the driver keeps only the last ~2000
+    // chars of stdout, and the full 100+-query map (~2800 chars) never fit —
+    // every prior round's BENCH_r*.json carried parsed=null. The headline
+    // subset below keeps this line ~1 KB so it survives tail truncation.
+    val headline = Seq(
+      "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18",
+      "dd_exact_hash", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
+      "dd_cluster_cc", "dd_dedup_corpus", "dd_incremental_neardup",
+      "dd_decontaminate", "dd_embedding_cosine",
+      "ann_topk_brute", "ann_lsh_bucketed", "ann_lsh_multiprobe", "ann_ivf",
+      "ta_bm25", "ta_pack", "ta_corpus_stats",
+      "j7_asof", "w4_rolling_avg", "f1_explode_tokens", "o4_topk"
+    ).filter(med.contains)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nq":${names.size},"failed":${jarr(failed)},"queries":${jmap(med, headline)},"note":"headline subset; full map on total_detail line","sf":"$sfDir"}""")
     spark.stop()
   }
 }

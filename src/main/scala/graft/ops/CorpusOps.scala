@@ -50,6 +50,9 @@ object CorpusOps {
     // entry would outlive the call (nothing can unpersist a lazily-consumed
     // result), accumulating blocks across calls in a long-lived session.
     // Checkpoint blocks are reclaimed by the ContextCleaner on GC instead.
+    // Trade-off: blocks are unreplicated and lineage is truncated, so on a
+    // multi-executor cluster an executor loss fails the job instead of
+    // recomputing (see the longer note in Dedup.ngramJaccardPairs).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))

@@ -68,8 +68,16 @@ object Dedup {
     // analog). localCheckpoint, not persist: checkpoint blocks are
     // reclaimed by the ContextCleaner once the DataFrame is unreferenced,
     // so repeated calls in a long-lived session don't accumulate cached
-    // blocks the way an un-unpersisted cache entry would (blocks still
-    // spill to disk under memory pressure, same as MEMORY_AND_DISK)
+    // blocks the way an un-unpersisted cache entry would.
+    // Fault-tolerance trade-off (NOT equivalent to MEMORY_AND_DISK):
+    // localCheckpoint truncates lineage and stores UNREPLICATED
+    // executor-local blocks — on a multi-executor cluster an executor loss
+    // makes the job fail unrecoverably instead of recomputing, and lazy
+    // (eager=false) checkpoints have sharp edges under AQE recomputation.
+    // Acceptable here because the index is cheap to recompute by re-running
+    // the job; a deployment where partial progress is expensive should swap
+    // this for persist(MEMORY_AND_DISK) + explicit unpersist, or reliable
+    // checkpoint() to a checkpoint dir.
     val ix0 = shingleIndex(df, textCol, idCol, n).localCheckpoint(false)
     // frequency pruning: a shingle appearing in exactly one document cannot
     // produce a pair — drop it before the self-join. On a real corpus most

@@ -26,14 +26,22 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(label: String, df: DataFrame): Unit = {
+      // Execute THIS DataFrame's own QueryExecution (a write/count would
+      // plan a separate, never-reoptimized QE — reading executedPlan off
+      // that reports the pre-execution AQE plan where skew markers can
+      // never appear). After toRdd runs, executedPlan is the FINAL
+      // adaptive plan (isFinalPlan=true) where AQEShuffleRead skew splits
+      // are visible if they fired.
+      val qe = df.queryExecution
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save() // runs df's own plan
+      qe.toRdd.foreach(_ => ())
       val dt = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = qe.executedPlan.toString
+      val finalPlan = plan.contains("isFinalPlan=true")
       val skewLines = plan.linesIterator.filter(_.toLowerCase.contains("skew")).toSeq
       val split = skewLines.exists(l =>
         l.contains("skew=true") || l.toLowerCase.contains("skewed"))
-      println(f"[scale] $label%-34s ${dt}%8.1f s  aqe_skew_split=$split")
+      println(f"[scale] $label%-34s ${dt}%8.1f s  aqe_skew_split=$split final=$finalPlan")
       skewLines.filter(l => l.contains("skew=true") || l.toLowerCase.contains("skewed"))
         .take(2).foreach(l => println(s"[scale]   plan: ${l.trim.take(150)}"))
       spark.catalog.clearCache()

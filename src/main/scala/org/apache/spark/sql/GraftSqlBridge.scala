@@ -15,9 +15,14 @@ object GraftSqlBridge {
   /** Rebind a DataFrame's logical plan to another session (same
     * SparkContext) — lets a writer scope session confs (e.g. AQE advisory
     * partition size) to a cloned session instead of mutating the caller's.
+    * Uses the ANALYZED plan, not the raw logical one: temp views are
+    * session-scoped and not inherited by `newSession`, so re-analyzing an
+    * unresolved plan on the clone would throw AnalysisException for any
+    * DataFrame built over a caller-session view; the analyzed plan carries
+    * its relations already resolved.
     */
   def onSession(df: Dataset[Row], spark: SparkSession): Dataset[Row] =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession],
-      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
 }

@@ -20,9 +20,11 @@ query over the 2x-of-DuckDB bar, except:
 - EXPLAINED: documented rows where the comparison is semantically
   lopsided (the oracle states a query's output CONTRACT, not the same
   work) or measured constant-dominated — each carries its one-line
-  justification.
+  justification AND a max absolute Spark time: if the query ever
+  exceeds its cap, the stale justification re-flags instead of waiving
+  unconditionally.
 
-Exits 1 only on a NEW unexplained >2x row.
+Exits 1 only on a NEW unexplained >2x row (or an EXPLAINED row over its cap).
 """
 import json
 import statistics
@@ -39,25 +41,28 @@ DUCK_FLOOR_S = 0.05   # below this, the ratio measures planning constants
 CONSTANT_S = 0.35     # Spark fixed multi-stage scheduling overhead bound
 RATIO_BAR = 2.0
 
+# name -> (max Spark seconds before the waiver expires, justification).
+# Caps are ~3x the measured warm sf0.1 time: generous enough for host
+# contention, tight enough that a real regression (10x growth) re-flags.
 EXPLAINED = {
-    "dd_simhash_contains": "invariant harness: Spark runs the full simhash "
-        "pipeline PLUS the fingerprint join; the oracle computes only the "
-        "fingerprint-pair contract",
-    "f4_nest_explode_roundtrip": "roundtrip query: Spark builds the nested "
-        "form (2 collect_list shuffles) then explodes it back; the oracle "
-        "is the flat join the roundtrip must reproduce",
-    "tpch_q10": "constant-dominated at this SF: 1.04 s @sf0.01 vs 1.30 s "
-        "@sf0.1 warm (10x data, +25% time)",
-    "tpch_q18": "constant-dominated: 0.89 s @sf0.01 vs 1.23 s @sf0.1 warm",
-    "ta_bm25": "constant-dominated 5-stage pipeline: 0.94 s @sf0.01 vs "
-        "1.24 s @sf0.1 warm",
+    "dd_simhash_contains": (15.0, "invariant harness: Spark runs the full "
+        "simhash pipeline PLUS the fingerprint join; the oracle computes "
+        "only the fingerprint-pair contract"),
+    "f4_nest_explode_roundtrip": (4.0, "roundtrip query: Spark builds the "
+        "nested form (2 collect_list shuffles) then explodes it back; the "
+        "oracle is the flat join the roundtrip must reproduce"),
+    "tpch_q10": (4.0, "constant-dominated at this SF: 1.04 s @sf0.01 vs "
+        "1.30 s @sf0.1 warm (10x data, +25% time)"),
+    "tpch_q18": (4.0, "constant-dominated: 0.89 s @sf0.01 vs 1.23 s @sf0.1 warm"),
+    "ta_bm25": (4.0, "constant-dominated 5-stage pipeline: 0.94 s @sf0.01 "
+        "vs 1.24 s @sf0.1 warm"),
     # the next three sit at the DuckDB 50 ms floor boundary and flip to
     # flags only when host contention inflates the DuckDB sample; all are
     # measured constant-dominated (warm, 10x data):
-    "tpch_q3": "constant-dominated: 1.34 s @sf0.01 vs 1.52 s @sf0.1 warm",
-    "tpch_q5": "constant-dominated: 1.25 s @sf0.01 vs 1.69 s @sf0.1 warm",
-    "ta_bigram_lm": "constant-dominated: 0.63 s @sf0.01 vs 1.02 s @sf0.1 warm",
-    "p11_variant_path": "constant-dominated: 0.43 s @sf0.01 vs 0.69 s @sf0.1 warm",
+    "tpch_q3": (5.0, "constant-dominated: 1.34 s @sf0.01 vs 1.52 s @sf0.1 warm"),
+    "tpch_q5": (5.0, "constant-dominated: 1.25 s @sf0.01 vs 1.69 s @sf0.1 warm"),
+    "ta_bigram_lm": (3.0, "constant-dominated: 0.63 s @sf0.01 vs 1.02 s @sf0.1 warm"),
+    "p11_variant_path": (2.5, "constant-dominated: 0.43 s @sf0.01 vs 0.69 s @sf0.1 warm"),
 }
 
 
@@ -100,7 +105,13 @@ def main():
                 elif spark[k] - times[k] < CONSTANT_S:
                     mark = "  (constant)"
                 elif k in EXPLAINED:
-                    mark = f"  (explained: {EXPLAINED[k]})"
+                    cap, why = EXPLAINED[k]
+                    if spark[k] > cap:
+                        mark = (f"  <-- FLAG: over its {cap}s EXPLAINED cap "
+                                f"(waiver stale: {why})")
+                        flagged.append(k)
+                    else:
+                        mark = f"  (explained, cap {cap}s: {why})"
                 else:
                     mark = "  <-- FLAG >2x UNEXPLAINED"
                     flagged.append(k)
