@@ -64,20 +64,25 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // -1 marks a query that never succeeded (excluded from the total)
-    val med = names.map(n => n -> (if (samples(n).nonEmpty) median(samples(n)) else -1.0)).toMap
+    // a query that never succeeded is OMITTED from the queries maps (it is
+    // named in "failed"): emitting it as -1 would hand bench_duckdb.py a
+    // negative Spark time whose ratio can never exceed the 2x bar — a
+    // crashing implementation would silently pass the perf gate
+    val med = names.flatMap(n =>
+      if (samples(n).nonEmpty) Some(n -> median(samples(n))) else None).toMap
+    val ok = names.filter(med.contains).sorted
     // relative spread: (max−min)/median — the run-to-run noise band
-    val spread = names.map { n =>
+    val spread = ok.map { n =>
       val xs = samples(n)
-      n -> (if (xs.nonEmpty && med(n) > 0) (xs.max - xs.min) / med(n) else 0.0)
+      n -> (if (med(n) > 0) (xs.max - xs.min) / med(n) else 0.0)
     }.toMap
     val failed = names.filter(failures(_) > 0).sorted
     def jmap(m: Map[String, Double], ns: Seq[String]): String =
       ns.map(n => s"\"" + n + "\":" + f"${m(n)}%.4f").mkString("{", ",", "}")
     def jarr(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = med.values.filter(_ >= 0).sum
+    val total = med.values.sum
     // full per-query detail first (humans / BENCH_NOTES), ...
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"failed":${jarr(failed)},"queries":${jmap(med, names.sorted)},"spread":${jmap(spread, names.sorted)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"failed":${jarr(failed)},"queries":${jmap(med, ok)},"spread":${jmap(spread, ok)},"sf":"$sfDir"}""")
     // ... then a COMPACT final line: the driver keeps only the last ~2000
     // chars of stdout, and the full 100+-query map (~2800 chars) never fit —
     // every prior round's BENCH_r*.json carried parsed=null. The headline

@@ -259,7 +259,8 @@ object Dedup {
     * one count per round (the same action that runs the round's job).
     */
   def nearDupComponents(vertices: DataFrame, idCol: String,
-                        pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+                        pairs: DataFrame, maxIters: Int = 50,
+                        failOnNonConvergence: Boolean = true): DataFrame = {
     // localCheckpoint so no round's plan drags the candidate-pair
     // pipeline's lineage back through the optimizer (see loop note)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -305,12 +306,17 @@ object Dedup {
         System.err.println(s"[cc] round $iter changed=$changed")
     }
     // a truncated result is silently WRONG (labels only partially
-    // propagated) — surface it rather than letting the caller treat it as
-    // converged; components wider than maxIters rounds need a larger budget
-    if (!converged)
-      System.err.println(s"[graft] WARNING nearDupComponents did NOT converge " +
-        s"after $maxIters rounds — component labels may be partially propagated; " +
-        s"raise maxIters (diameter of the pair graph exceeds the round budget)")
+    // propagated) — a 100 TB caller must not have to scrape driver logs to
+    // learn its component ids are garbage, so the default is to FAIL; pass
+    // failOnNonConvergence=false to accept partial labels (exploration,
+    // best-effort jobs), which downgrades to a stderr warning
+    if (!converged) {
+      val msg = s"nearDupComponents did NOT converge after $maxIters rounds — " +
+        s"component labels are only partially propagated; raise maxIters " +
+        s"(diameter of the pair graph exceeds the round budget)"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARNING $msg")
+    }
     // singletons (no qualifying pair) label themselves
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")

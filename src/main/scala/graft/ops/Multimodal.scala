@@ -62,13 +62,49 @@ object Multimodal {
     * failing the partition (a 100 TB crawl always carries corrupt files).
     * Integer pixel sums accumulate in Long, so the means are exact when
     * the true mean is representable (e.g. solid-color test images).
+    *
+    * Codec lifecycle: an `ImageReader` is resolved from the IIORegistry
+    * ONCE per (partition, mime) and reused across rows — per-row static
+    * `ImageIO.read` walks the partially-synchronized registry on every
+    * image, which 32 executor threads turn into lock contention (measured
+    * as a 2× run-to-run spread on mm_image_decode before this). Readers
+    * live for the partition and are freed on GC; `setInput` per row resets
+    * the instance.
     */
   def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeature] = {
     import spark.implicits._
     media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
+        val readers = scala.collection.mutable.Map.empty[String, Option[javax.imageio.ImageReader]]
+        def readerFor(mime: String): Option[javax.imageio.ImageReader] =
+          readers.getOrElseUpdate(mime, {
+            val it = javax.imageio.ImageIO.getImageReadersByMIMEType(mime)
+            if (it.hasNext) Some(it.next()) else None
+          })
         rows.map { r =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          val fast: java.awt.image.BufferedImage =
+            readerFor(r.mime) match {
+              case Some(reader) =>
+                try {
+                  // MemoryCacheImageInputStream wraps the bytes without a
+                  // registry lookup (ImageIO.createImageInputStream takes one)
+                  val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                    new java.io.ByteArrayInputStream(r.media))
+                  reader.setInput(iis)
+                  val out = reader.read(0)
+                  iis.close()
+                  out
+                } catch { case _: Exception => null } // corrupt payload
+              case None => null // no codec registered for this mime
+            }
+          // mislabeled-mime fallback: content-sniffing ImageIO.read walks
+          // the registry, but only rows the mime-selected reader rejected
+          // pay that cost (rare on a labeled corpus)
+          val img =
+            if (fast != null) fast
+            else try {
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+            } catch { case _: Exception => null }
           if (img == null)
             ImageFeature(r.doc_id, -1, -1, Double.NaN, Double.NaN, Double.NaN)
           else {
@@ -105,6 +141,9 @@ object Multimodal {
   def syntheticPngTable(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
     ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // one ImageWriter per partition (same registry-contention story as
+      // decodeImages — per-row ImageIO.write resolves the writer each call)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       it.map { id =>
         val w = (1 + id % 7).toInt
         val h = (1 + id % 5).toInt
@@ -118,7 +157,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
         (id, bos.toByteArray, "image/png", bos.size())
       }
     }.toDF("doc_id", "media", "mime", "n_bytes")

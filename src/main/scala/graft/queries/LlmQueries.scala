@@ -24,10 +24,12 @@ object LlmQueries extends QueryPack {
 
   // ann_ivf_recall floor, in percent. Measured recall@5 on the vec_id%4
   // sample (tools/RecallProbe, 3 reps each, stable to the last digit):
-  // 0.710 at sf0.01, 0.686 at sf0.1 (defaults nlist=16/nprobe=6/iters=2)
-  // — 50% leaves margin for Lloyd's float-order nondeterminism while still
-  // catching a real quality regression (nprobe=1 measured ≈ 0.3).
-  private val IvfRecallFloorPct = 50L
+  // 0.710 at sf0.01, 0.686 at sf0.1 (defaults nlist=16/nprobe=6/iters=2).
+  // 60% is ~4σ below the measured spread yet catches a genuinely broken
+  // index: a halved-recall regression (0.69 → ~0.35; nprobe=1 measures
+  // ≈ 0.3) flips the driver row, where the former 50% floor let a
+  // 0.69 → 0.51 regression slide.
+  private val IvfRecallFloorPct = 60L
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy to canonical row (one shuffle on md5 key).

@@ -9,9 +9,11 @@ import graft.sources.Tables
 /** Synthetic 10× scale-up evidence run: unions sf0.1 documents/embeddings
   * ×10 with id-offset copies (≈ sf1) and plants one hot boilerplate
   * shingle on 2% of documents, then times the dedup/ANN family at both
-  * scales and reports whether AQE actually split the skewed candidate
-  * join (the `Dedup` scaladoc's claim). Not part of the library surface;
-  * measurements recorded in BENCH_NOTES.md.
+  * scales and reports whether AQE split the skewed candidate join —
+  * confirming the `Dedup` scaladoc's "Skew honesty" finding that it never
+  * fires on output-amplified skew, so the frequency caps are the operative
+  * safeguard. Not part of the library surface; measurements recorded in
+  * BENCH_NOTES.md (rounds 3-4).
   *
   * Usage: runMain graft.tools.ScaleBench [sfDir]
   */
@@ -76,12 +78,16 @@ object ScaleBench {
     run("ngram_jaccard 10x+hot uncapped", Dedup.ngramJaccardPairs(docsHot, "text", "doc_id"))
     run("ngram_jaccard 10x+hot maxDocFreq=500",
       Dedup.ngramJaccardPairs(docsHot, "text", "doc_id", maxDocFreq = 500))
-    // AQE's skew-split thresholds are ABSOLUTE bytes (256 MB partition,
-    // 5× median) tuned for cluster-scale shuffles — a tens-of-MB local
-    // dataset never trips them, so the runs above show skew_split=false by
-    // construction. Scale the thresholds to the data (as a 100 TB deploy
-    // keeps them at defaults relative to ITS partitions) to demonstrate
-    // the mechanism actually splits this join's skewed key:
+    // Negative control (measured r4, fixed instrument — final adaptive
+    // plan, isFinalPlan=true): scaling AQE's skew thresholds to the data
+    // does NOT make the split fire — aqe_skew_split=false on all 11 runs
+    // including this one. That is the expected outcome, not a failure of
+    // the instrument: AQE keys off shuffle-INPUT partition bytes, and a
+    // hot shingle is small on input (one index row per doc); its cost is
+    // join-OUTPUT amplification, which the heuristic cannot see. The
+    // operative safeguard is the explicit frequency caps (maxDocFreq /
+    // maxChunkFreq) — see the Dedup scaladoc ("Skew honesty") and
+    // BENCH_NOTES rounds 3-4. This run stays as the recorded evidence:
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")

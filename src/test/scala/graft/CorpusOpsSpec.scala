@@ -113,4 +113,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(comp(20L) == 20L)
     assert(comp(30L) == 30L)   // singleton
   }
+
+  test("nearDupComponents: non-convergence fails loudly by default, opt-out warns") {
+    // 40-vertex chain: diameter 39, far beyond what maxIters=1 can label
+    val docs = (0L until 40L).toDF("doc_id")
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.nearDupComponents(docs, "doc_id", pairs, maxIters = 1).count()
+    }
+    assert(ex.getMessage.contains("did NOT converge"))
+    // opt-out: completes with partially-propagated labels (some vertex is
+    // NOT yet labeled 0) instead of throwing
+    val partial = Dedup.nearDupComponents(docs, "doc_id", pairs,
+      maxIters = 1, failOnNonConvergence = false)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.size == 40)
+    assert(partial.values.exists(_ != 0L))
+    // and the full budget converges the same chain to component 0
+    val full = Dedup.nearDupComponents(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.forall(_ == 0L))
+  }
 }

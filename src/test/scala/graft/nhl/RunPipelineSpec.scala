@@ -36,8 +36,27 @@ class RunPipelineSpec extends SparkTestBase {
     assert(v2.filter(org.apache.spark.sql.functions.col("outcome") === "over").count() >= 2)
     val rpt = spark.read.parquet(s"$silver/rpt_sog_props_performance")
     assert(rpt.count() === 1)
-    Seq("dim_team", "dim_player", "dim_date", "team_shot_metrics",
-      "player_shot_metrics", "team_shot_locations", "stg_player_name_crosswalk")
-      .foreach(t => assert(spark.read.parquet(s"$silver/$t").count() > 0, t))
+
+    // Golden row counts, pinned exactly — the fixture-scaled analog of the
+    // reference's only end-to-end numbers (validate_bronze.py:210 pins
+    // bronze at 2131 boxscore / 2483 odds snapshot rows and fails the run
+    // on ANY drift). Any change to parsing, dedup, joins, or filters that
+    // moves a single row in the full pipeline run fails here.
+    val golden = Map(
+      "fact_game_results" -> 2L,          // 3 games ingested, FUT filtered
+      "fact_player_sog_props_v2" -> 8L,
+      "rpt_sog_props_performance" -> 1L,
+      "dim_team" -> 3L,
+      "dim_player" -> 7L,
+      "dim_date" -> 2841L,                // full multi-season date spine
+      "team_shot_metrics" -> 4L,          // 2 games x 2 teams
+      "player_shot_metrics" -> 8L,
+      "team_shot_locations" -> 6L,
+      "stg_player_name_crosswalk" -> 4L
+    )
+    val actual = golden.keys.map(t =>
+      t -> spark.read.parquet(s"$silver/$t").count()).toMap
+    assert(actual === golden,
+      s"silver golden counts drifted (ref validate_bronze.py:210 analog): $actual")
   }
 }

@@ -14,17 +14,25 @@ query over the 2x-of-DuckDB bar, except:
 - (constant): the Spark excess over DuckDB is under 0.35 s — within
   Spark's fixed multi-stage scheduling overhead at local[32]/32
   partitions (measured: pure-map queries run 0.09-0.13 s regardless of
-  work; each shuffle stage adds ~0.1 s — see BENCH_NOTES round 3, incl.
-  sf0.01-vs-sf0.1 scaling evidence that these queries are
+  work; each shuffle stage adds ~0.1 s — see BENCH_NOTES rounds 3-4,
+  incl. sf0.01-vs-sf0.1 scaling evidence that these queries are
   constant-dominated);
 - EXPLAINED: documented rows where the comparison is semantically
   lopsided (the oracle states a query's output CONTRACT, not the same
   work) or measured constant-dominated — each carries its one-line
-  justification AND a max absolute Spark time: if the query ever
-  exceeds its cap, the stale justification re-flags instead of waiving
-  unconditionally.
+  justification AND a max absolute Spark time. The cap is checked
+  INDEPENDENTLY of the floor/constant waivers (before them, and even
+  when the ratio is under the bar): a query whose absolute time blows
+  its cap re-flags no matter which waiver would otherwise hide it.
 
-Exits 1 only on a NEW unexplained >2x row (or an EXPLAINED row over its cap).
+The Spark JSON must be the Bench "total_detail" line (the full per-query
+map), NOT the compact "total" headline line — the headline subset covers
+~26 queries and would silently shrink the gate to a quarter of the
+surface, so a comparable-subset floor (MIN_COMPARABLE) enforces this.
+
+Exits 1 on: a NEW unexplained >2x row, an EXPLAINED row over its cap, a
+non-positive Spark time (a query that crashed every bench run), or a
+comparable subset smaller than MIN_COMPARABLE.
 """
 import json
 import statistics
@@ -40,6 +48,7 @@ RUNS = 3
 DUCK_FLOOR_S = 0.05   # below this, the ratio measures planning constants
 CONSTANT_S = 0.35     # Spark fixed multi-stage scheduling overhead bound
 RATIO_BAR = 2.0
+MIN_COMPARABLE = 80   # oracle subset is 103; the headline line carries ~26
 
 # name -> (max Spark seconds before the waiver expires, justification).
 # Caps are ~3x the measured warm sf0.1 time: generous enough for host
@@ -63,6 +72,27 @@ EXPLAINED = {
     "tpch_q5": (5.0, "constant-dominated: 1.25 s @sf0.01 vs 1.69 s @sf0.1 warm"),
     "ta_bigram_lm": (3.0, "constant-dominated: 0.63 s @sf0.01 vs 1.02 s @sf0.1 warm"),
     "p11_variant_path": (2.5, "constant-dominated: 0.43 s @sf0.01 vs 0.69 s @sf0.1 warm"),
+    # semantically lopsided audit harnesses (previously rode the 50 ms
+    # floor waiver — explicit caps so a real regression re-flags):
+    "ann_ivf_recall": (6.0, "recall audit: Spark runs brute-force top-k on "
+        "a 25% sample PLUS the full IVF path; the oracle recomputes the "
+        "integer pair-count contract in ~ms"),
+    "mm_image_decode": (5.0, "codec harness: Spark encodes AND decodes 500 "
+        "PNGs through javax.imageio; the oracle recomputes dims/means "
+        "arithmetically from doc_id"),
+    # tiny queries sitting 0.0-0.15 s over the CONSTANT_S bound under host
+    # contention (flip to FLAG on a loaded host, pass on a quiet one —
+    # waiver-boundary brittleness, not a perf problem; plans verified:
+    # partial agg / pruned scan / window dedup / broadcast NLJ). Caps ~3x
+    # the measured warm sf0.1 time:
+    "a1_sum_groupby": (1.5, "constant-dominated: 0.42 s warm @sf0.1, "
+        "partial-agg plan; excess over DuckDB is scheduling constant"),
+    "p1_json_path": (2.0, "constant-dominated: 0.57 s warm @sf0.1, pruned "
+        "single-column JSON scan"),
+    "w1_latest_snapshot": (1.5, "constant-dominated: 0.48 s warm @sf0.1, "
+        "single window-dedup shuffle"),
+    "ann_topk_brute": (1.5, "constant-dominated: 0.50 s warm @sf0.1, "
+        "broadcast NLJ + TakeOrdered; DuckDB sample sits at its floor"),
 }
 
 
@@ -89,29 +119,45 @@ def main():
                       "queries": {k: round(v, 4) for k, v in times.items()}}))
     if len(sys.argv) > 3:
         spark = json.load(open(sys.argv[3]))["queries"]
-        comp = sorted(set(times) & set(spark))
+        flagged = []
+        # a non-positive time means the query crashed every bench run (old
+        # Bench emitted -1 for those; current Bench omits them) — never let
+        # a negative ratio sail under the bar
+        bad = sorted(k for k, v in spark.items() if v <= 0)
+        for k in bad:
+            print(f"[ratios] {k}: FLAG non-positive Spark time {spark[k]} "
+                  f"(query failed every bench run)")
+            flagged.append(k)
+        comp = sorted(k for k in set(times) & set(spark) if spark[k] > 0)
+        if len(comp) < MIN_COMPARABLE:
+            print(f"[ratios] FLAG: only {len(comp)} comparable queries "
+                  f"(< {MIN_COMPARABLE}) — the gate must be fed Bench's "
+                  f"total_detail line, not the compact headline line")
+            sys.exit(1)
         st = sum(spark[k] for k in comp)
         dt = sum(times[k] for k in comp)
         print(f"[cmp] {len(comp)} comparable: spark {st:.1f}s duck {dt:.1f}s "
               f"ratio {st/dt:.2f}x")
         print(f"[ratios] {'query':<28} {'spark':>8} {'duck':>8} {'ratio':>7}")
-        flagged = []
         for k in sorted(comp, key=lambda k: -(spark[k] / max(times[k], 1e-9))):
             r = spark[k] / max(times[k], 1e-9)
             mark = ""
-            if r > RATIO_BAR:
-                if times[k] < DUCK_FLOOR_S:
+            # EXPLAINED absolute cap first, independent of every ratio
+            # waiver: a cap breach re-flags even when the floor/constant
+            # rule (or a slow DuckDB sample) would hide the regression
+            if k in EXPLAINED and spark[k] > EXPLAINED[k][0]:
+                cap, why = EXPLAINED[k]
+                mark = (f"  <-- FLAG: over its {cap}s EXPLAINED cap "
+                        f"(waiver stale: {why})")
+                flagged.append(k)
+            elif r > RATIO_BAR:
+                if k in EXPLAINED:
+                    cap, why = EXPLAINED[k]
+                    mark = f"  (explained, cap {cap}s: {why})"
+                elif times[k] < DUCK_FLOOR_S:
                     mark = "  (floor)"
                 elif spark[k] - times[k] < CONSTANT_S:
                     mark = "  (constant)"
-                elif k in EXPLAINED:
-                    cap, why = EXPLAINED[k]
-                    if spark[k] > cap:
-                        mark = (f"  <-- FLAG: over its {cap}s EXPLAINED cap "
-                                f"(waiver stale: {why})")
-                        flagged.append(k)
-                    else:
-                        mark = f"  (explained, cap {cap}s: {why})"
                 else:
                     mark = "  <-- FLAG >2x UNEXPLAINED"
                     flagged.append(k)
@@ -120,7 +166,8 @@ def main():
             print(f"[ratios] {len(flagged)} FLAGGED over {RATIO_BAR}x: {', '.join(flagged)}")
             sys.exit(1)
         print(f"[ratios] clean: no unexplained query over {RATIO_BAR}x "
-              f"(floor {DUCK_FLOOR_S}s, constant bound {CONSTANT_S}s)")
+              f"(floor {DUCK_FLOOR_S}s, constant bound {CONSTANT_S}s, "
+              f"{len(EXPLAINED)} capped waivers)")
 
 
 if __name__ == "__main__":
