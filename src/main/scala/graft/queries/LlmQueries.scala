@@ -22,6 +22,27 @@ object LlmQueries extends QueryPack {
 
   private val Planes = Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
 
+  /** Ground-truth pair generator shared by the `*_contains` invariant
+    * queries: all (id_a, id_b) pairs with id_a < id_b agreeing on `key`
+    * (a content digest — docs with equal keys MUST be found by the
+    * probabilistic operator under audit). `carry` columns are attached to
+    * both sides as `<name>_a`/`<name>_b` inside the same join, so using
+    * this helper keeps the two invariants' planting idiom — and plan
+    * shape — from drifting apart.
+    */
+  private def equalKeyPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            key: org.apache.spark.sql.Column,
+                            carry: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id") +: key.as("k") +:
+      carry.map { case (n, c) => c.as(n) }: _*)
+    val a = base.select(col("id").as("id_a") +: col("k") +:
+      carry.map { case (n, _) => col(n).as(s"${n}_a") }: _*)
+    val b = base.select(col("id").as("id_b") +: col("k") +:
+      carry.map { case (n, _) => col(n).as(s"${n}_b") }: _*)
+    a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+  }
+
   // ann_ivf_recall floor, in percent. Measured recall@5 on the vec_id%4
   // sample (tools/RecallProbe, 3 reps each, stable to the last digit):
   // 0.710 at sf0.01, 0.686 at sf0.1 (defaults nlist=16/nprobe=6/iters=2).
@@ -108,10 +129,7 @@ object LlmQueries extends QueryPack {
     // is the strongest driver-checkable invariant.)
     "dd_simhash_contains" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-      fp.select(col("doc_id").as("id_a"), col("fp"))
-        .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
+      equalKeyPairs(docs, "doc_id", TextOps.fingerprint(col("text")))
         .select("id_a", "id_b")
         .join(Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
           .select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
@@ -308,11 +326,8 @@ object LlmQueries extends QueryPack {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val planted = base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val fp = base.union(planted).select(col("doc_id"),
-        md5(col("text")).as("m"), TextOps.minShingleHash(col("text")).as("rfp"))
-      fp.select(col("doc_id").as("id_a"), col("m"), col("rfp").as("f_a"))
-        .join(fp.select(col("doc_id").as("id_b"), col("m"), col("rfp").as("f_b")), Seq("m"))
-        .filter(col("id_a") < col("id_b"))
+      equalKeyPairs(base.union(planted), "doc_id", md5(col("text")),
+        carry = Seq("f" -> TextOps.minShingleHash(col("text"))))
         .filter(col("f_a") <=> col("f_b"))
         .select("id_a", "id_b")
     },
