@@ -47,6 +47,27 @@ object ScaleBench {
       skewLines.filter(l => l.contains("skew=true") || l.toLowerCase.contains("skewed"))
         .take(2).foreach(l => println(s"[scale]   plan: ${l.trim.take(150)}"))
       spark.catalog.clearCache()
+      // drop the run's localCheckpoint blocks NOW, not at the next GC —
+      // otherwise they squat on executor storage into the following run
+      // (measured: run-order contamination made a capped run time 2x its
+      // uncapped superset) — then GC so the ContextCleaner's queue drains
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    // Deterministic candidate-mass accounting — the number the maxDocFreq
+    // cap actually controls, free of wall-clock noise: sum over shingles
+    // with doc-freq in (1, cap] of c*(c-1)/2 (the pairs the self-join
+    // generates; mirrors Dedup's pruning exactly).
+    def candMass(docs: DataFrame, cap: Long, label: String): Unit = {
+      val m = docs
+        .select(explode(graft.ops.TextOps.shingles(col("text"), 3)).as("sh"))
+        .groupBy("sh").count()
+        .filter(col("count") > 1 && col("count") <= cap)
+        .agg(coalesce((sum(col("count") * (col("count") - 1)) / 2).cast("long"),
+          lit(0L)).as("m"))
+        .head.getLong(0)
+      println(f"[scale] $label%-34s candidate_pairs=$m%,d")
     }
 
     val docs1 = Tables.documents(spark, sf).select("doc_id", "text")
@@ -75,6 +96,26 @@ object ScaleBench {
       s"10x union with id offsets; hot shingle on doc_id%50==0")
 
     run("ngram_jaccard sf0.1", Dedup.ngramJaccardPairs(docs1, "text", "doc_id"))
+    // POSITIVE control for the maxDocFreq cap, at single scale: in the 10×
+    // runs below the copy structure (9 exact duplicates per doc) dominates
+    // the candidate mass, so removing the planted bucket lands within host
+    // noise. Here the hot bucket IS the dominant mass — 20% of sf0.1 docs
+    // share the boilerplate sentence (~1k docs per hot shingle → ~500k
+    // candidate pairs per shingle vs a tiny clean baseline), so the
+    // capped-vs-uncapped gap must clear noise:
+    val docsHot1 = docs1.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" subscribe to our newsletter today")))
+        .otherwise(col("text")))
+    candMass(docs1, Long.MaxValue, "mass sf0.1 clean")
+    candMass(docsHot1, Long.MaxValue, "mass sf0.1+hot20% uncapped")
+    candMass(docsHot1, 500L, "mass sf0.1+hot20% maxDocFreq=500")
+    run("ngram_jaccard sf0.1+hot20% uncapped",
+      Dedup.ngramJaccardPairs(docsHot1, "text", "doc_id"))
+    run("ngram_jaccard sf0.1+hot20% maxDocFreq=500",
+      Dedup.ngramJaccardPairs(docsHot1, "text", "doc_id", maxDocFreq = 500))
+    candMass(docsHot, Long.MaxValue, "mass 10x+hot uncapped")
+    candMass(docsHot, 500L, "mass 10x+hot maxDocFreq=500")
     run("ngram_jaccard 10x+hot uncapped", Dedup.ngramJaccardPairs(docsHot, "text", "doc_id"))
     run("ngram_jaccard 10x+hot maxDocFreq=500",
       Dedup.ngramJaccardPairs(docsHot, "text", "doc_id", maxDocFreq = 500))

@@ -46,6 +46,19 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodeImages decodes mislabeled-mime payloads via the sniffing fallback") {
+    // PNG bytes labeled image/jpeg: the mime-selected JPEG reader rejects
+    // them; the content-sniffing ImageIO.read fallback must still decode
+    val mislabeled = Multimodal.syntheticPngTable(spark, Seq(6L, 13L).toDF("doc_id"))
+      .withColumn("mime", lit("image/jpeg"))
+    val feats = Multimodal.decodeImages(spark, mislabeled)
+      .collect().map(f => f.doc_id -> f).toMap
+    Seq(6L, 13L).foreach { id =>
+      assert(feats(id).width === (1 + id % 7).toInt, s"width of $id")
+      assert(feats(id).mean_r === (id % 256).toDouble, s"mean_r of $id")
+    }
+  }
+
   test("decodeImages flags non-decodable payloads instead of failing the partition") {
     val junk = Multimodal.asMediaTable(docs) // text/plain bytes, not an image
     val feats = Multimodal.decodeImages(spark, junk).collect()
