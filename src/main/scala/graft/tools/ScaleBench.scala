@@ -13,7 +13,7 @@ import graft.sources.Tables
   * confirming the `Dedup` scaladoc's "Skew honesty" finding that it never
   * fires on output-amplified skew, so the frequency caps are the operative
   * safeguard. Not part of the library surface; measurements recorded in
-  * BENCH_NOTES.md (rounds 3-4).
+  * BENCH_NOTES.md (rounds 3-5, incl. the candidate-mass accounting).
   *
   * Usage: runMain graft.tools.ScaleBench [sfDir]
   */

@@ -27,6 +27,28 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("ngramJaccardPairs maxDocFreq drops hot-bucket pairs, keeps cold ones, never adds") {
+    // 2 cold identical docs (shingle freq 2) + 20 hot identical docs whose
+    // every shingle has freq 20 — a pure quadratic bucket
+    val cold = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val hot = (100L until 120L).map(i => (i, "subscribe to our newsletter today please folks"))
+    val corpus = (cold ++ hot).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", maxDocFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // uncapped sees the cold pair plus the full C(20,2) hot bucket
+    assert(uncapped.size === 1 + 190)
+    // the cap removes every pair of the hot bucket (all its shingles are
+    // over-frequency) and nothing else
+    assert(capped === Set((1L, 2L)))
+    // conservative by construction: pruning shingles can only lower the
+    // measured intersection, so capped output is a subset of uncapped
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("minhashLshPairs output equals exact ngram pairs at same threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
