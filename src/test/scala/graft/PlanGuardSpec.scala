@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan regression guard for the flagship plan properties
+  * documented in PLANS.md: what makes these queries scale is the PLAN
+  * (pushdown, pruning, broadcast, top-k without a global sort, partial
+  * aggregation), so a regression there is a scale bug even while row
+  * results stay correct. Each assertion drives the query's own
+  * QueryExecution to the final adaptive plan (the ScaleBench idiom) and
+  * checks the formatted explain.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ()) // AQE: executedPlan is final only after running
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("p9_date_window: date predicates reach the parquet scan, schema pruned to 2 columns") {
+    val p = finalPlan("p9_date_window")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "lower bound not pushed")
+    assert(p.contains("LessThan(o_orderdate"), "upper bound not pushed")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>"),
+      "scan must read only the 2 projected columns")
+  }
+
+  test("j1_broadcast_dim: dim enrichment broadcasts, the fact side never shuffles") {
+    val p = finalPlan("j1_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
+  }
+
+  test("tpch_q3: broadcast joins + TakeOrderedAndProject (no global sort for top-k)") {
+    val p = finalPlan("tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), "customer/orders joins must broadcast")
+  }
+
+  test("a1_sum_groupby: map-side partial aggregation before the exchange") {
+    val p = finalPlan("a1_sum_groupby")
+    assert(p.contains("partial_sum"), "partial aggregate missing — full rows would shuffle")
+  }
+
+  test("o4_topk: TakeOrderedAndProject directly over the scan") {
+    val p = finalPlan("o4_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("dd_embedding_cosine: all-pairs scoring via broadcast nested loop, DotF in projection") {
+    val p = finalPlan("dd_embedding_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "all-pairs side must broadcast")
+    assert(p.contains("dotf"), "cosine must evaluate through the codegen'd DotF kernel")
+  }
+}
