@@ -51,4 +51,15 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), "all-pairs side must broadcast")
     assert(p.contains("dotf"), "cosine must evaluate through the codegen'd DotF kernel")
   }
+
+  test("no dedup/ANN/text query ever plans a non-broadcast CartesianProduct") {
+    // the one operator shape that cannot survive 100 TB: every all-pairs
+    // comparison in this family must go through an inverted-index /
+    // banding join or a broadcast (BroadcastNestedLoopJoin is allowed —
+    // those are the documented 1-row-scalar / broadcast-baseline cases)
+    val family = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("dd_") || n.startsWith("ann_") || n.startsWith("ta_")).toSeq.sorted
+    val offenders = family.filter(n => finalPlan(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+  }
 }
