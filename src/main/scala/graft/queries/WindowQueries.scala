@@ -49,9 +49,13 @@ object WindowQueries extends QueryPack {
     },
 
     // W3 — uniqueness gate via windowed COUNT (stg_player_name_crosswalk.sql:111).
+    // Keyed by (user, day): the per-user gate is vacuous on this corpus
+    // (every user has >=4 signups at every SF, so c=1 never fires and the
+    // oracle comparison degenerates to empty-vs-empty); per-day uniqueness
+    // exercises the same shape with real rows on both engines.
     "w3_count_gate" -> { (s, dir) =>
       val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
-      val w = Window.partitionBy("user_id")
+      val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
       signups.withColumn("c", count(lit(1)).over(w))
         .filter(col("c") === 1)
         .select("user_id", "event_id")
@@ -149,7 +153,7 @@ object WindowQueries extends QueryPack {
          |  FROM events) WHERE rn = 1""".stripMargin,
     "w3_count_gate" ->
       """SELECT user_id, event_id FROM (
-        |  SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS c
+        |  SELECT *, COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS c
         |  FROM events WHERE event_type = 'signup') WHERE c = 1""".stripMargin,
     "w4_rolling_avg" ->
       s"""SELECT event_id, user_id,
