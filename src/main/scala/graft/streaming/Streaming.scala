@@ -149,6 +149,21 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-static anti-join: keep only incoming docs whose structural
+    * fingerprint does NOT already exist in a static corpus index — the
+    * streaming face of incremental dedup / decontamination
+    * ([[graft.ops.Dedup.incrementalNearDupPairs]]'s exact-dup tier). The
+    * index is a batch table (e.g. parquet refreshed nightly): stream-static
+    * joins keep NO streaming state for the static side, so this is safe on
+    * an unbounded crawl regardless of corpus size — at 100 TB the static
+    * side is a broadcast (small digest index) or shuffled-hash lookup the
+    * planner picks per its stats, never a state store. Same fingerprint
+    * expression as the batch operators, so batch replays agree row-for-row.
+    */
+  def novelAgainstCorpus(docs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    docs.withColumn("fingerprint", graft.ops.TextOps.fingerprint(col("text")))
+      .join(corpusIndex.select("fingerprint"), Seq("fingerprint"), "left_anti")
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

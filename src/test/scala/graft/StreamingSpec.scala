@@ -116,6 +116,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() < batchDocs.count() * 2)
   }
 
+  test("novelAgainstCorpus: stream-static anti-join keeps only fingerprints absent from the index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val known = "the quick brown fox and the lazy dog is in the house to stay"
+    val fresh = "completely novel text never seen by the corpus index before now"
+    // static index = the batch-side fingerprint of the known doc
+    val index = Seq(known).toDF("text")
+      .select(graft.ops.TextOps.fingerprint(col("text")).as("fingerprint"))
+    val ms = MemoryStream[(Long, String)]
+    val q = Streaming.novelAgainstCorpus(ms.toDF.toDF("doc_id", "text"), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("novel_out").start()
+    // token-set permutation of the known doc shares its structural
+    // fingerprint -> also dropped; only the fresh doc survives
+    ms.addData((1L, known), (2L, fresh), (3L, known.split(" ").reverse.mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("novel_out").select("doc_id").as[Long].collect().toSet
+    assert(got === Set(2L))
+    // batch parity: the same function on a batch frame is the plain anti-join
+    val batch = Streaming.novelAgainstCorpus(
+      Seq((1L, known), (2L, fresh)).toDF("doc_id", "text"), index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch === Set(2L))
+  }
+
   test("corpusIngest dedup state is watermark-bounded: dups within drop, after eviction re-emit") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
