@@ -164,6 +164,62 @@ object Streaming {
     docs.withColumn("fingerprint", graft.ops.TextOps.fingerprint(col("text")))
       .join(corpusIndex.select("fingerprint"), Seq("fingerprint"), "left_anti")
 
+  /** Static-side index for [[nearDupNovelAgainstCorpus]]: per corpus doc its
+    * shingle set, set size, and MinHash band hashes (one array, not exploded
+    * — see that method for why). Built in batch (e.g. refreshed nightly).
+    */
+  def corpusBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+        graft.ops.TextOps.shingles(col(textCol), n).as("c_sh"))
+      .withColumn("c_bands",
+        bandHashes(graft.ops.Dedup.minhashSignature(col("c_sh"), k), k, bands))
+      .select(col("corpus_id"), col("c_sh"), size(col("c_sh")).as("c_size"), col("c_bands"))
+
+  /** One xxhash64 per MinHash band (over the band's slots + the band index),
+    * as an array column. Deterministic: same seeds as the batch operators.
+    */
+  private def bandHashes(sig: org.apache.spark.sql.Column, k: Int, bands: Int) = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until r).map(i => element_at(sig, b * r + i + 1))): _*)
+    }: _*)
+  }
+
+  /** Streaming NEAR-dup decontamination: keep only incoming docs with no
+    * corpus near-duplicate — MinHash-band candidate generation + exact
+    * Jaccard verification folded into ONE stream-static left-anti join, so
+    * the whole operator is STATELESS (no watermark, no state store; every
+    * candidate check lives and dies inside its micro-batch).
+    *
+    * Why band hashes ride in one array per row instead of the batch
+    * operators' exploded band join: any post-join `distinct`/`groupBy` on a
+    * stream is unbounded state, and an anti-join on EXPLODED bands is wrong
+    * (a doc whose near-dup collides in band 3 but not band 5 would survive
+    * through its band-5 row). With `arrays_overlap` as the join condition
+    * each stream doc is exactly one row, matched at most once, zero state.
+    * The static side must broadcast (the condition is non-equi → nested
+    * loop): right-sized for benchmark/probe-set decontamination, the same
+    * asymmetry as batch [[graft.ops.Dedup.containmentPairs]]; corpus-scale
+    * indexes belong on the batch incremental path instead.
+    *
+    * Jaccard >= t on (|A∩B|, |A|, |B|) is evaluated as
+    * i*(1+t) >= t*(|A|+|B|) — one array_intersect per candidate, no division.
+    */
+  def nearDupNovelAgainstCorpus(docs: DataFrame, corpusIndex: DataFrame,
+                                n: Int = 3, k: Int = 32, bands: Int = 8,
+                                threshold: Double = 0.8): DataFrame = {
+    val withSig = docs
+      .withColumn("sh", graft.ops.TextOps.shingles(col("text"), n))
+      .withColumn("s_bands",
+        bandHashes(graft.ops.Dedup.minhashSignature(col("sh"), k), k, bands))
+    val isect = size(array_intersect(col("sh"), col("c_sh")))
+    val cond = arrays_overlap(col("s_bands"), col("c_bands")) &&
+      isect * lit(1d + threshold) >= lit(threshold) * (size(col("sh")) + col("c_size"))
+    withSig.join(broadcast(corpusIndex), cond, "left_anti")
+      .drop("sh", "s_bands")
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

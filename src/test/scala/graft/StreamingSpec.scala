@@ -142,6 +142,32 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === Set(2L))
   }
 
+  test("nearDupNovelAgainstCorpus: stateless stream-static near-dup decontamination") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpusDoc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six")
+    val nearDup = corpusDoc.replace("six", "seven")      // J ≈ 0.9
+    val novel = "entirely different content that shares no shingles with the corpus at all yes"
+    val index = Streaming.corpusBandIndex(
+      Seq((100L, corpusDoc)).toDF("doc_id", "text"), "text", "doc_id")
+    val ms = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupNovelAgainstCorpus(ms.toDF.toDF("doc_id", "text"), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_novel").start()
+    ms.addData((1L, corpusDoc), (2L, nearDup), (3L, novel))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_novel").select("doc_id").as[Long].collect().toSet
+    assert(got === Set(3L), "exact copy and near-dup must drop; novel doc must survive")
+    // batch parity: identical rows through the same function as a batch frame
+    val batch = Streaming.nearDupNovelAgainstCorpus(
+      Seq((1L, corpusDoc), (2L, nearDup), (3L, novel)).toDF("doc_id", "text"), index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch === Set(3L))
+  }
+
   test("corpusIngest dedup state is watermark-bounded: dups within drop, after eviction re-emit") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
