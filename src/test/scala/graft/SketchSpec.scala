@@ -21,6 +21,29 @@ class SketchSpec extends SparkTestBase {
     assert(approx === again, "HLL sketch must be deterministic")
   }
 
+  test("sk_hll_card gate: green at its shipped bound, non-vacuous at 1e-4") {
+    import graft.queries.SketchQueries
+    val shipped = SketchQueries.hllCard(spark, sf("sf0.01"), SketchQueries.HllRelBound)
+    assert(shipped.filter(!col("hll_within_bound")).count() === 0)
+    // the boolean must actually measure the sketch: an absurdly tight
+    // bound flips at least one group false (HLL error ~1e-2, never ~1e-4)
+    val tight = SketchQueries.hllCard(spark, sf("sf0.01"), 1e-4)
+    assert(tight.filter(!col("hll_within_bound")).count() > 0,
+      "tight-bound gate stayed green — the gate is vacuous")
+  }
+
+  test("sk_approx_quantile gate: green at its shipped bound, non-vacuous at 1e-9") {
+    import graft.queries.SketchQueries
+    val shipped = SketchQueries.approxQuantile(spark, sf("sf0.01"), SketchQueries.PctRelBound)
+    assert(shipped.filter(!col("gk_within_bound")).count() === 0)
+    // GK returns an actual data value; the exact interpolated median of an
+    // even-count group generally is not one, so drift is > 0 and a 1e-9
+    // bound flips the gate (verified against the fixed testdata)
+    val tight = SketchQueries.approxQuantile(spark, sf("sf0.01"), 1e-9)
+    assert(tight.filter(!col("gk_within_bound")).count() > 0,
+      "tight-bound gate stayed green — the gate is vacuous")
+  }
+
   test("percentile_approx brackets the exact interpolated percentile") {
     val exact = ev.agg(expr("percentile(value, 0.5)")).as[Double].collect()(0)
     val approx = ev.agg(percentile_approx(col("value"), lit(0.5), lit(10000)))
