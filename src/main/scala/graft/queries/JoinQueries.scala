@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.AsOf
+import graft.ops.{AsOf, IntervalJoin}
 import QueryPack._
 
 /** SURVEY.md §2.4 — joins (J1–J10 + semi).
@@ -123,6 +123,24 @@ object JoinQueries extends QueryPack {
         .select(col("o_custkey").as("c_custkey"))
       Tables.customer(s, dir).join(urgent, Seq("c_custkey"), "left_semi")
         .select("c_custkey", "c_name")
+    },
+
+    // Interval join (beyond the reference — SURVEY §2.4 lists range/interval
+    // joins as absent; a 100 TB event pipeline needs them): shipments inside
+    // a sampled set of 7-day order windows. The range-only predicate would
+    // plan as a nested loop; graft.ops.IntervalJoin buckets it into an
+    // equi-join + residual (see its scaladoc). IntervalJoinSpec pins
+    // naive-equality and the no-nested-loop plan property.
+    "j12_interval_bucket" -> { (s, dir) =>
+      val pts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val ivs = Tables.orders(s, dir)
+        .filter(col("o_custkey") % 1000 === 0)
+        .select(col("o_orderkey").as("iv_key"), col("o_orderdate").as("iv_start"),
+          (col("o_orderdate") + expr("INTERVAL 6 DAYS")).as("iv_end"))
+      IntervalJoin.pointInInterval(pts, "l_shipdate", ivs, "iv_start", "iv_end",
+          bucketDays = 7)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "iv_key", "iv_start")
     }
   )
 
@@ -178,6 +196,14 @@ object JoinQueries extends QueryPack {
     "j11_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_orderpriority = '1-URGENT' AND o_custkey = c.c_custkey)""".stripMargin
+        |              WHERE o_orderpriority = '1-URGENT' AND o_custkey = c.c_custkey)""".stripMargin,
+    "j12_interval_bucket" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+        |       o.o_orderkey AS iv_key, o.o_orderdate AS iv_start
+        |FROM lineitem l
+        |JOIN orders o
+        |  ON o.o_custkey % 1000 = 0
+        | AND l.l_shipdate BETWEEN o.o_orderdate
+        |                      AND o.o_orderdate + INTERVAL 6 DAY""".stripMargin
   )
 }
