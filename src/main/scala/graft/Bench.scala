@@ -94,7 +94,8 @@ object Bench {
       "dd_decontaminate", "dd_embedding_cosine",
       "ann_topk_brute", "ann_lsh_bucketed", "ann_lsh_multiprobe", "ann_ivf",
       "ta_bm25", "ta_pack", "ta_corpus_stats",
-      "j7_asof", "w4_rolling_avg", "f1_explode_tokens", "o4_topk"
+      "j7_asof", "j12_interval_bucket", "w4_rolling_avg", "w11_sessionize",
+      "f1_explode_tokens", "o4_topk"
     ).filter(med.contains)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nq":${names.size},"failed":${jarr(failed)},"queries":${jmap(med, headline)},"note":"headline subset; full map on total_detail line","sf":"$sfDir"}""")
     spark.stop()

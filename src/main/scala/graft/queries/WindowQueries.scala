@@ -133,8 +133,44 @@ object WindowQueries extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("user_id", "first_type", "last_type")
+    },
+
+    // Batch sessionization (beyond the reference — the event-pipeline
+    // composite the streaming module does with flatMapGroupsWithState,
+    // here in its batch form): a session breaks on a >24 h silence;
+    // session id = running count of breaks; then per-session rollup.
+    // Scale: ONE shuffle total — the lag and running-sum windows share
+    // the user_id partitioning, and the groupBy on (user_id, session_seq)
+    // is satisfied by it too (hash partitioning on a subset of the
+    // grouping keys colocates the groups), so Catalyst plans no second
+    // exchange. No global sort anywhere.
+    "w11_sessionize" -> { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd)
+      Tables.events(s, dir)
+        .withColumn("new_sess",
+          when(gapUs.isNull || gapUs > lit(SessionGapUs), 1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          // cast to NTZ: LTZ timestamps parquet-write as INT96 (read back
+          // as ns), which the driver's hash compare may treat differently
+          // from the oracle's µs TIMESTAMP — NTZ writes as µs (check_types
+          // flagged the LTZ form; session TZ is UTC so values are equal)
+          min(col("ts")).cast("timestamp_ntz").as("sess_start"),
+          max(col("ts")).cast("timestamp_ntz").as("sess_end"),
+          (sum(cents) / 100.0).as("sess_value"))
     }
   )
+
+  /** 24 h in microseconds — the w11 session-break silence threshold
+    * (median inter-event gap in the testdata is ~7 h, p90 ~25 h, so this
+    * yields multi-event sessions without degenerating to one per user).
+    */
+  private val SessionGapUs = 86400L * 1000000L
 
   private val tsUs = "CAST(ts AS TIMESTAMP)"
   private val centsSql = "CAST(round(value*100,0) AS BIGINT)"
@@ -197,6 +233,23 @@ object WindowQueries extends QueryPack {
          |  FROM events
          |  WINDOW wf AS (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-         |WHERE rn = 1""".stripMargin
+         |WHERE rn = 1""".stripMargin,
+    "w11_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, $tsUs AS t, value,
+         |    epoch_us($tsUs) - lag(epoch_us($tsUs), 1)
+         |      OVER (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC) AS gap_us
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 86400000000
+         |                          THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_seq
+         |  FROM g)
+         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |  MIN(t) AS sess_start, MAX(t) AS sess_end,
+         |  SUM($centsSql)/100.0 AS sess_value
+         |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

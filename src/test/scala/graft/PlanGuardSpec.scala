@@ -52,6 +52,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("dotf"), "cosine must evaluate through the codegen'd DotF kernel")
   }
 
+  test("w11_sessionize: windows and session rollup share ONE user_id exchange") {
+    // count shuffle stages in the final adaptive plan only — the formatted
+    // explain repeats the pre-AQE plan below an "== Initial Plan ==" marker,
+    // and each materialized shuffle appears as exactly one ShuffleQueryStage
+    val p = finalPlan("w11_sessionize").split("== Initial Plan ==")(0)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected the lag/running-sum windows and the (user_id, session_seq) " +
+        s"groupBy to reuse one hash partitioning, found $exchanges exchanges:\n$p")
+  }
+
   test("no dedup/ANN/text query ever plans a non-broadcast CartesianProduct") {
     // the one operator shape that cannot survive 100 TB: every all-pairs
     // comparison in this family must go through an inverted-index /
