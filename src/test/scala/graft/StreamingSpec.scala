@@ -91,6 +91,21 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize ≡ batch w11_sessionize: same sessions from both engines' idioms") {
+    // same 24 h gap as the w11 driver query; the stateful-iterator and the
+    // window+groupBy forms must produce identical session partitions
+    val gapUs = 86400L * 1000000L
+    val batch = SparkEntry.queries("w11_sessionize")(spark, sf("sf0.001"))
+      .select(col("user_id"),
+        unix_micros(col("sess_start").cast("timestamp")).as("s"),
+        unix_micros(col("sess_end").cast("timestamp")).as("e"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = Streaming.sessionize(spark, eventsBatch, gapUs)
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming corpus ingest: quality gate + fingerprint dedup match batch") {
     import graft.ops.TextOps
     // every document arrives twice → fingerprint dedup must halve them
