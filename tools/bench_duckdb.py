@@ -93,6 +93,10 @@ EXPLAINED = {
         "single window-dedup shuffle"),
     "ann_topk_brute": (1.5, "constant-dominated: 0.50 s warm @sf0.1, "
         "broadcast NLJ + TakeOrdered; DuckDB sample sits at its floor"),
+    "w11_sessionize": (1.5, "constant-dominated: 0.49 s warm @sf0.1, "
+        "single-exchange window+rollup plan; DuckDB sample (0.041 s) sits "
+        "at the floor boundary and the Spark excess is the 3-stage "
+        "scheduling constant"),
 }
 
 
