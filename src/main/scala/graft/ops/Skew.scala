@@ -27,4 +27,35 @@ object Skew {
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Skew-safe grouped top-k: `row_number <= k` per group without ever
+    * funneling a hot group onto one task.
+    *
+    * The single-window form (`row_number over (partition by group)` then
+    * filter) shuffles EVERY row of a group to one task and sorts it there —
+    * with few/hot groups that is the serialized-task shape that dies at
+    * 100 TB. Two phases fix it: phase 1 ranks within `(group, salt)` — the
+    * hot group's rows spread over `salt` tasks, each keeping its local
+    * top-k — then phase 2 ranks the surviving `<= salt*k` rows per group.
+    * Phase 2's input is bounded by `salt*k` per group regardless of input
+    * skew, so the final per-group task is O(salt*k), not O(group size).
+    *
+    * `order` must be a total order (include a unique tiebreaker) or ties
+    * at the k-boundary make the result nondeterministic. The salt is a
+    * deterministic hash of `tieCol` (repartition-stable).
+    */
+  def saltedTopK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                 tieCol: String, k: Int, salt: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && salt >= 1, s"k=$k salt=$salt must be >= 1")
+    val g = groupCols.map(col)
+    val local = Window.partitionBy(g :+ col("__salt"): _*).orderBy(order: _*)
+    val global = Window.partitionBy(g: _*).orderBy(order: _*)
+    df.withColumn("__salt", pmod(xxhash64(col(tieCol)), lit(salt)).cast("int"))
+      .withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__lrn")
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.ops.Skew
 
 /** SURVEY.md §2.7 sorts/limits/top-k (O-ops) and §2.8 set operations (U-ops).
   *
@@ -50,6 +51,21 @@ object SortSetQueries extends QueryPack {
         .orderBy(col("ts").asc, col("event_id").asc)
         .limit(30)
         .select("user_id", "event_id")
+    },
+
+    // Skew-safe grouped top-k (beyond the reference): top-3 events by value
+    // per event_type. Only 5 groups × ~20k rows each at sf0.1 — exactly the
+    // hot-group shape where the single-window form serializes each group
+    // onto one task; ops.Skew.saltedTopK ranks within (group, salt) first
+    // so the final per-group task sees <= salt*k rows (ScaleOpsSpec pins
+    // equivalence to the single-window form and the bounded phase-2 input).
+    "o6_grouped_topk" -> { (s, dir) =>
+      Skew.saltedTopK(
+        Tables.events(s, dir).select("event_type", "event_id", "value"),
+        groupCols = Seq("event_type"),
+        order = Seq(col("value").desc, col("event_id").asc),
+        tieCol = "event_id", k = 3, salt = 8)
+        .select("event_type", "rank", "event_id", "value")
     },
 
     // U1 — UNION ALL bag union of two differently-sourced branches
@@ -102,6 +118,12 @@ object SortSetQueries extends QueryPack {
         |           ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC LIMIT 30""".stripMargin,
+    "o6_grouped_topk" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events) WHERE rank <= 3""".stripMargin,
     "u1_union_all" ->
       """SELECT 'customer' AS kind, c_custkey AS entity_key, c_acctbal AS balance FROM customer
         |UNION ALL

@@ -84,6 +84,48 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.exists(_._3 == 10000L))
   }
 
+  test("saltedTopK matches the single-window top-k on a hot-group fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot group (10k rows), one group smaller than k, one tail group;
+    // values collide heavily so the tiebreaker must carry the ordering
+    val df = spark.range(10000)
+      .select(lit("hot").as("g"), col("id").as("uid"), (col("id") % 7).cast("double").as("v"))
+      .union(spark.range(2).select(lit("tiny").as("g"), (col("id") + 20000).as("uid"),
+        col("id").cast("double").as("v")))
+      .union(spark.range(100).select(lit("tail").as("g"), (col("id") + 30000).as("uid"),
+        col("id").cast("double").as("v")))
+    val order = Seq(col("v").desc, col("uid").asc)
+    val single = df.withColumn("rank",
+        row_number().over(Window.partitionBy("g").orderBy(order: _*)))
+      .filter(col("rank") <= 5)
+      .select("g", "rank", "uid", "v").as[(String, Int, Long, Double)].collect().toSet
+    Seq(1, 4, 16).foreach { salt =>
+      val got = Skew.saltedTopK(df, Seq("g"), order, "uid", k = 5, salt = salt)
+        .select("g", "rank", "uid", "v").as[(String, Int, Long, Double)].collect().toSet
+      assert(got === single, s"salt=$salt")
+    }
+    // stable under a different physical partitioning (salt is content-hashed)
+    val repart = Skew.saltedTopK(df.repartition(13), Seq("g"), order, "uid", k = 5, salt = 8)
+      .select("g", "rank", "uid", "v").as[(String, Int, Long, Double)].collect().toSet
+    assert(repart === single)
+  }
+
+  test("saltedTopK phase 2 sees at most salt*k rows per group") {
+    // reconstruct phase 1 with the operator's own expressions: the survivor
+    // count bounds the final per-group task's input regardless of skew
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(50000).select(lit("hot").as("g"), col("id").as("uid"),
+      (col("id") % 3).cast("double").as("v"))
+    val k = 5; val salt = 8
+    val local = Window.partitionBy(col("g"), col("__salt"))
+      .orderBy(col("v").desc, col("uid").asc)
+    val phase1 = df
+      .withColumn("__salt", pmod(xxhash64(col("uid")), lit(salt)).cast("int"))
+      .withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= k)
+    assert(phase1.count() <= salt.toLong * k, "phase-1 survivors exceed salt*k")
+  }
+
   // ------------------------------------------------------------ bucketing
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
