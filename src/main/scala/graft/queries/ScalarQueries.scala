@@ -147,6 +147,24 @@ object ScalarQueries extends QueryPack {
         Fns.impliedProb(odds).as("implied_prob"),
         toiStr.as("toi"),
         Fns.toiToSeconds(toiStr).as("toi_seconds"))
+    },
+
+    // Array higher-order functions (beyond the reference — its only array
+    // op is flatten): transform/filter/aggregate/exists over a token
+    // array, all evaluated per-row with no explode→regroup round trip.
+    // At 100 TB that round trip is a shuffle (explode, groupBy doc_id);
+    // the HOF form is a narrow map — same split convention as f1, integer
+    // outputs for cross-engine exactness.
+    "sc_array_hof" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => length(t) >= 6)).cast("long").as("n_long"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+          array_max(transform(col("toks"), t => length(t))).cast("long").as("max_tok_len"),
+          exists(col("toks"), t => t.rlike("[0-9]")).as("has_digit"))
     }
   )
 
@@ -243,6 +261,15 @@ object ScalarQueries extends QueryPack {
         |    lpad(CAST(k % 60 AS VARCHAR), 2, '0') AS toi,
         |  (k % 20 + 1) * 60 + (k % 60) AS toi_seconds
         |FROM (SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
-        |      FROM events)""".stripMargin
+        |      FROM events)""".stripMargin,
+    "sc_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        |  list_max(list_transform(toks, t -> length(t))) AS max_tok_len,
+        |  len(list_filter(toks, t -> regexp_matches(t, '[0-9]'))) > 0 AS has_digit
+        |FROM t""".stripMargin
   )
 }
