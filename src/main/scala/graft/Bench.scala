@@ -95,7 +95,8 @@ object Bench {
       "ann_topk_brute", "ann_lsh_bucketed", "ann_lsh_multiprobe", "ann_ivf",
       "ta_bm25", "ta_pack", "ta_corpus_stats",
       "j7_asof", "j12_interval_bucket", "w4_rolling_avg", "w11_sessionize",
-      "f1_explode_tokens", "o4_topk"
+      "f1_explode_tokens", "o4_topk", "o6_grouped_topk", "sk_hll_card",
+      "ta_e2e_pipeline"
     ).filter(med.contains)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nq":${names.size},"failed":${jarr(failed)},"queries":${jmap(med, headline)},"note":"headline subset; full map on total_detail line","sf":"$sfDir"}""")
     spark.stop()
