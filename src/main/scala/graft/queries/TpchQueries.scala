@@ -104,6 +104,24 @@ object TpchQueries extends QueryPack {
           && col("l_quantity") < 24)
         .agg((sum(round(col("l_extendedprice") * col("l_discount") * 100, 0)
           .cast("long")) / 100.0).as("revenue"))
+    },
+
+    // Q14-shaped promo-revenue share: month-windowed scan (pushdown) +
+    // broadcast part join + conditional agg over an exact-cents revenue
+    // (the q6 idiom: identical IEEE product both engines, then integer
+    // cents — order-independent under any partitioning).
+    "tpch_q14" -> { (s, dir) =>
+      val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+        .cast("long")
+      val promoRev = sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (promoRev / 100.0).as("promo_revenue"),
+          (sum(rev) / 100.0).as("total_revenue"),
+          (lit(100.0) * promoRev / sum(rev)).as("promo_pct"))
     }
   )
 
@@ -156,6 +174,21 @@ object TpchQueries extends QueryPack {
       """SELECT SUM(CAST(round(l_extendedprice*l_discount*100,0) AS BIGINT))/100.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "tpch_q14" ->
+      """SELECT
+        |  SUM(CASE WHEN p_type='PROMO'
+        |           THEN CAST(round(l_extendedprice*(1.0E0-l_discount)*100,0) AS BIGINT)
+        |           ELSE 0 END)/100.0 AS promo_revenue,
+        |  SUM(CAST(round(l_extendedprice*(1.0E0-l_discount)*100,0) AS BIGINT))/100.0
+        |    AS total_revenue,
+        |  100.0E0 * SUM(CASE WHEN p_type='PROMO'
+        |           THEN CAST(round(l_extendedprice*(1.0E0-l_discount)*100,0) AS BIGINT)
+        |           ELSE 0 END)
+        |    / SUM(CAST(round(l_extendedprice*(1.0E0-l_discount)*100,0) AS BIGINT))
+        |    AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
   )
 }
