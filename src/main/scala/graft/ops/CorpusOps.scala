@@ -121,6 +121,25 @@ object CorpusOps {
     df.filter(h < (when(threshold === "10", "g").otherwise(threshold)))
   }
 
+  /** Calibrated chars-per-token divisor for [[estBpeTokens]]: ~4 characters
+    * per BPE token on English web text — the published rule of thumb for
+    * GPT-2/tiktoken-family vocabularies. A real tokenizer is corpus- and
+    * vocab-specific; this documented constant closes most of the
+    * whitespace-vs-BPE packing gap honestly (a whitespace token averages
+    * ~6-7 characters with its trailing space, so whitespace counts
+    * under-budget sequences by ~40%).
+    */
+  val DefaultCharsPerToken = 4.0
+
+  /** Estimated BPE token count: ceil(chars / charsPerToken), floor 1.
+    * Deterministic, engine-independent (pure integer/double arithmetic), and
+    * cheap enough to run inline at 100 TB — the honest stand-in where a true
+    * subword tokenizer isn't available in-engine. Calibration against
+    * whitespace counts on the test corpus is pinned in CorpusOpsSpec.
+    */
+  def estBpeTokens(text: Column, charsPerToken: Double = DefaultCharsPerToken): Column =
+    greatest(ceil(length(text).cast("double") / charsPerToken), lit(1L)).cast("long")
+
   /** Pack documents into fixed-size training sequences: concatenate the
     * corpus in deterministic (shard, id) order and cut every `maxTokens`
     * tokens — the standard "concat then chunk" packing used to build LLM
@@ -132,15 +151,29 @@ object CorpusOps {
     * ordering exists or is needed. Output: one row per doc with its token
     * count, exclusive running offset within the shard, owning sequence id
     * and position inside it.
+    *
+    * With `packByBpeEstimate` the budget unit switches from whitespace
+    * tokens to [[estBpeTokens]] — the offsets/sequence ids then approximate
+    * what a real subword tokenizer would produce — and the output carries
+    * BOTH counts (`n_tokens` unchanged, `n_tokens_est` added) so the two
+    * budgets stay auditable side by side. Default off: the whitespace
+    * contract (and its output schema) is unchanged.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    shardCol: Column, maxTokens: Int): DataFrame = {
+                    shardCol: Column, maxTokens: Int,
+                    packByBpeEstimate: Boolean = false,
+                    charsPerToken: Double = DefaultCharsPerToken): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol).as("doc_id"), shardCol.as("shard"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val counts = Seq(col(idCol).as("doc_id"), shardCol.as("shard"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens")) ++
+      (if (packByBpeEstimate)
+        Seq(estBpeTokens(col(textCol), charsPerToken).as("n_tokens_est"))
+      else Nil)
+    val budget = if (packByBpeEstimate) col("n_tokens_est") else col("n_tokens")
+    df.select(counts: _*)
+      .withColumn("tok_offset", coalesce(sum(budget).over(w), lit(0L)))
       // integer division (SQL DIV) on longs — a double-division detour
       // rounds above 2^53 and can disagree with the long modulo below,
       // which matters exactly at the per-shard token counts a 100 TB run

@@ -217,6 +217,57 @@ object Dedup {
       .select("corpus_id", "probe_id", "containment")
   }
 
+  /** Cross-document chunk-level dedup — the boilerplate-paragraph detector:
+    * finds sub-document spans (fixed token windows) repeated across
+    * DISTINCT documents, the units whole-document dedup (fingerprint,
+    * shingle-set, simhash) cannot see when the surrounding text differs.
+    *
+    * Each document explodes into its [[TextOps.chunkTokens]] windows; each
+    * chunk is fingerprinted (md5 of the chunk text — engine-independent, so
+    * the output is oracle-comparable); fingerprints occurring in at least
+    * `minDocs` distinct documents are duplicate groups, labeled by the MIN
+    * doc id carrying them (the [[nearDupComponents]] labeling convention).
+    * Output: one row per duplicated chunk occurrence —
+    * `(doc_id, chunk_pos, dup_group, n_docs)`; a boilerplate remover
+    * anti-joins its chunk table against this.
+    *
+    * Repeats WITHIN one document don't qualify (the count is per distinct
+    * doc): intra-doc repetition is [[TextOps.dupShingleRatio]]'s job.
+    *
+    * Scale shape: one explode (output ≈ corpus token count / stride), one
+    * hash aggregation on the 128-bit fingerprint, one equi-join back on the
+    * same key — no pair join, so cost is linear in corpus size regardless
+    * of duplication density. `maxDocFreq` is the [[ngramJaccardPairs]]-style
+    * backstop: a fingerprint in more docs than the cap (degenerate chunks —
+    * empty-ish documents collapsing to one window) is excluded, bounding the
+    * join's output amplification; capped semantics are explicit in the
+    * predicate (`minDocs <= n_docs <= maxDocFreq`), not a silent drop. The
+    * exploded chunk table feeds both the group count and the label join
+    * and is deliberately NOT materialized: the subtree is a narrow
+    * scan+explode (recomputing it costs one extra scan, no shuffle),
+    * whereas checkpointing it would store the whole exploded corpus —
+    * measured at sf0.1 the two are time-identical, and recompute avoids
+    * [[ngramJaccardPairs]]'s executor-loss caveat.
+    */
+  def chunkDupGroups(df: DataFrame, textCol: String, idCol: String,
+                     chunkSize: Int, overlap: Int = 0,
+                     minDocs: Int = 2,
+                     maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every chunk is its own dup group")
+    val chunks = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.chunkTokens(col("toks"), chunkSize, overlap))
+          .as(Seq("chunk_pos", "chunk")))
+      .select(col("doc_id"), col("chunk_pos"), md5(col("chunk")).as("chunk_fp"))
+    val groups = chunks.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("dup_group"))
+      .filter(col("n_docs") >= minDocs && col("n_docs") <= maxDocFreq)
+      .select("chunk_fp", "dup_group", "n_docs")
+    chunks.join(groups, Seq("chunk_fp"))
+      .select("doc_id", "chunk_pos", "dup_group", "n_docs")
+  }
+
   /** 64-bit SimHash over the distinct token set (weight 1 per token): for
     * each bit, majority vote of token-hash bits. Pure column expressions —
     * 64 codegen'd subexpressions, no UDF.

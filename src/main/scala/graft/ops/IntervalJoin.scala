@@ -42,6 +42,12 @@ object IntervalJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketDays: Int): DataFrame = {
     require(bucketDays > 0, s"bucketDays must be positive, got $bucketDays")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "pointInInterval reserves the __bucket column; rename it on the input")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share columns ${shared.mkString(", ")}; the residual " +
+        "range filter would be ambiguous — alias one side first")
     val w = lit(bucketDays * SecsPerDay)
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(unix_timestamp(c) / w).cast("long")

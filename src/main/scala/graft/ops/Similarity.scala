@@ -136,14 +136,17 @@ object Similarity {
     */
   def ivfCentroids(df: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
     val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    // cid = the seed's own vec_id: deterministic (nlist lowest ids) and
+    // distinct, which is all downstream needs — cid is only a join/group
+    // key and a tie-break, so no dense 0..nlist-1 renumbering (the old
+    // unpartitioned-window renumber logged a single-partition WindowExec
+    // warning every run despite its ≤nlist-row input). localCheckpoint
+    // per round keeps each Lloyd iteration's plan flat (without it,
+    // iteration k's plan nests all k-1 prior assignments and Catalyst
+    // re-optimizes the whole stack — the same iterative-lineage cost
+    // measured on nearDupComponents)
     var centroids = vecs.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    // stable 0..nlist-1 ids; localCheckpoint per round keeps each Lloyd
-    // iteration's plan flat (without it, iteration k's plan nests all k-1
-    // prior assignments and Catalyst re-optimizes the whole stack — the
-    // same iterative-lineage cost measured on nearDupComponents)
-    centroids = centroids.orderBy("cid")
-      .select((row_number().over(Window.orderBy("cid")) - 1).as("cid"), col("c"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val assigned = assignToCentroid(vecs, centroids)

@@ -41,13 +41,23 @@ object Skew {
     * skew, so the final per-group task is O(salt*k), not O(group size).
     *
     * `order` must be a total order (include a unique tiebreaker) or ties
-    * at the k-boundary make the result nondeterministic. The salt is a
+    * at the k-boundary make the result nondeterministic: phase 1 may keep
+    * a different tied row per salt bucket across runs, so the phase-2 input
+    * set itself varies — not just the final ordering. The salt is a
     * deterministic hash of `tieCol` (repartition-stable).
+    *
+    * Output = all input columns plus a `rank` column (1-based position
+    * within the group under `order`). `__salt`, `__lrn` and `rank` are
+    * reserved: inputs carrying any of them are rejected rather than
+    * silently clobbered.
     */
   def saltedTopK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
                  tieCol: String, k: Int, salt: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && salt >= 1, s"k=$k salt=$salt must be >= 1")
+    val reserved = Seq("__salt", "__lrn", "rank").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"saltedTopK reserves columns ${reserved.mkString(", ")}; rename them on the input")
     val g = groupCols.map(col)
     val local = Window.partitionBy(g :+ col("__salt"): _*).orderBy(order: _*)
     val global = Window.partitionBy(g: _*).orderBy(order: _*)

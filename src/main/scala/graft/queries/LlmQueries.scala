@@ -43,6 +43,13 @@ object LlmQueries extends QueryPack {
     a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
   }
 
+  // Exactly 32 tokens (one dd_chunk_dedup window): the planted cross-
+  // document boilerplate paragraph. DedupSpec pins the token count.
+  private[graft] val BoilerPara =
+    "subscribe to our newsletter for the latest updates terms of service " +
+      "apply all rights reserved click here to unsubscribe from this " +
+      "mailing list copyright two thousand twenty four inc privacy policy cookies"
+
   // ann_ivf_recall floor, in percent. Measured recall@5 on the vec_id%4
   // sample (tools/RecallProbe, 3 reps each, stable to the last digit):
   // 0.710 at sf0.01, 0.686 at sf0.1 (defaults nlist=16/nprobe=6/iters=2).
@@ -109,6 +116,21 @@ object LlmQueries extends QueryPack {
         docs.filter(col("doc_id") % 10 === 1),
         docs.filter(col("doc_id") % 10 =!= 1),
         "text", "doc_id", n = 3, threshold = JaccardThreshold)
+    },
+
+    // Cross-document chunk-level dedup (the boilerplate-paragraph remover's
+    // index): 32-token non-overlapping windows, md5 per chunk, groups =
+    // fingerprints spanning >= 2 distinct docs. The corpus carries no
+    // cross-doc 32-token boilerplate at sf0.01, so the query plants one
+    // (every doc_id % 7 == 0 doc gets the same 32-token paragraph
+    // prepended — exactly one stride, so its other chunks stay aligned);
+    // natural near-dup docs sharing exact aligned windows surface too.
+    "dd_chunk_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(BoilerPara), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.chunkDupGroups(docs, "text", "doc_id",
+        chunkSize = 32, overlap = 0, minDocs = 2)
     },
 
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
@@ -336,6 +358,15 @@ object LlmQueries extends QueryPack {
         shardCol = col("lang"), maxTokens = 512)
     },
 
+    // Same packing under the calibrated BPE-token estimate (chars/4,
+    // documented in CorpusOps.DefaultCharsPerToken): offsets/sequence ids
+    // budget what a subword tokenizer would, with both counts carried for
+    // audit. Estimate-vs-whitespace calibration pinned in CorpusOpsSpec.
+    "ta_pack_bpe_est" -> { (s, dir) =>
+      CorpusOps.packSequences(Tables.documents(s, dir), "text", "doc_id",
+        shardCol = col("lang"), maxTokens = 512, packByBpeEstimate = true)
+    },
+
     // Rolling-fingerprint invariant — the oracle-able face of
     // ta_rolling_fp: identical text ⇒ identical shingle set ⇒ identical
     // min-shingle-hash, GUARANTEED. The corpus carries no exact-text dups
@@ -364,9 +395,10 @@ object LlmQueries extends QueryPack {
 
     // Multimodal feature extraction through the batched mapPartitions stub
     // decoder (rows-only: byte-histogram features; plumbing under test in
-    // MultimodalSpec). Kept as the codec-less fallback — the REAL decode
-    // path is mm_image_decode below.
-    "mm_feature_stub" -> { (s, dir) =>
+    // MultimodalSpec). This IS the designed codec-less fallback — named so
+    // its perpetual no_oracle CORRECTNESS row self-describes; the REAL
+    // oracle-checked decode path is mm_image_decode below.
+    "mm_decode_fallback" -> { (s, dir) =>
       Multimodal.decodeStub(s, Multimodal.asMediaTable(Tables.documents(s, dir)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"),
@@ -449,6 +481,24 @@ object LlmQueries extends QueryPack {
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+    "dd_chunk_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$BoilerPara' || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |        CAST(greatest(ceil(len(string_split(text,' '))/32.0), 1) AS INTEGER) AS nc
+         |      FROM d),
+         |c AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS chunk_pos,
+         |        md5(array_to_string(t.toks[p.i*32+1 : p.i*32+32], ' ')) AS fp
+         |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+         |      WHERE p.i < t.nc),
+         |g AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |        min(doc_id) AS dup_group
+         |      FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT c.doc_id, c.chunk_pos, g.dup_group, g.n_docs
+         |FROM c JOIN g USING (fp)""".stripMargin,
     "dd_dedup_corpus" ->
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents
@@ -608,6 +658,20 @@ object LlmQueries extends QueryPack {
         |  CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         |  CAST(tok_offset % 512 AS BIGINT) AS pos_in_seq
         |FROM o""".stripMargin,
+    "ta_pack_bpe_est" ->
+      s"""WITH t AS (SELECT doc_id, lang AS shard,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(ceil(length(text)/${sqlDouble(CorpusOps.DefaultCharsPerToken)}), 1) AS BIGINT)
+         |    AS n_tokens_est
+         |  FROM documents),
+         |o AS (SELECT doc_id, shard, n_tokens, n_tokens_est,
+         |  CAST(COALESCE(SUM(n_tokens_est) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens, n_tokens_est, tok_offset,
+         |  CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+         |  CAST(tok_offset % 512 AS BIGINT) AS pos_in_seq
+         |FROM o""".stripMargin,
     "ta_quality" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS n_tokens,

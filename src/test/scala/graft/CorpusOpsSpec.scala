@@ -51,6 +51,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(packed(3) == ((4L, "b", 7L, 0L, 0L, 0L)))   // shard b restarts
   }
 
+  test("packSequences packByBpeEstimate: budgets by ceil(chars/4), carries both counts") {
+    val docs = Seq(
+      (1L, "a", "abcdefgh"),         // 8 chars -> est 2; 1 ws token
+      (2L, "a", "ab cd"),            // 5 chars -> est 2; 2 ws tokens
+      (3L, "a", "abcdefghi")         // 9 chars -> est 3
+    ).toDF("doc_id", "shard_key", "text")
+    val packed = CorpusOps.packSequences(docs, "text", "doc_id",
+      shardCol = col("shard_key"), maxTokens = 3, packByBpeEstimate = true)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_tokens_est", "tok_offset", "seq_id", "pos_in_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(packed(0) == ((1L, 1L, 2L, 0L, 0L, 0L)))
+    assert(packed(1) == ((2L, 2L, 2L, 2L, 0L, 2L)))  // offset 2 = doc 1's ESTIMATE
+    assert(packed(2) == ((3L, 1L, 3L, 4L, 1L, 1L)))  // crosses the 3-token cut
+    // default path is schema-unchanged (no n_tokens_est column)
+    val plain = CorpusOps.packSequences(docs, "text", "doc_id",
+      shardCol = col("shard_key"), maxTokens = 3)
+    assert(!plain.columns.contains("n_tokens_est"))
+  }
+
+  test("estBpeTokens calibration: within the documented [1.0, 2.0] band of whitespace counts") {
+    // English-ish corpus text averages ~5.5 chars per whitespace token
+    // (measured est/ws in [1.17, 1.6] at sf0.01), so the chars/4 estimate
+    // must land above whitespace counts but below 2x — per doc, not just
+    // on average. A tokenizer-calibration regression breaks this band.
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val offBand = docs.select(
+        (CorpusOps.estBpeTokens(col("text")).cast("double") /
+          size(split(col("text"), " "))).as("ratio"))
+      .filter(col("ratio") < 1.0 || col("ratio") > 2.0)
+    assert(offBand.count() === 0)
+  }
+
   test("bigramCounts: all occurrences counted, not per-doc-distinct") {
     val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
     val counts = CorpusOps.bigramCounts(docs, "text", "doc_id")

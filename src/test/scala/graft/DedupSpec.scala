@@ -132,4 +132,51 @@ class DedupSpec extends SparkTestBase {
     assert(hits.map(h => (h._1, h._2)).toSet === Set((1L, 100L), (2L, 100L), (4L, 100L)))
     assert(hits.find(_._1 == 1L).get._3 === 1.0)
   }
+
+  test("chunkDupGroups: exactly the planted shared paragraph's chunks collapse") {
+    // 4-token windows; docs 1 and 3 share one window-aligned paragraph
+    // ("ad buy now please") at different positions, everything else distinct
+    val para = "ad buy now please"
+    val corpus = Seq(
+      (1L, s"$para alpha beta gamma delta epsilon zeta eta theta"),  // para = chunk 0
+      (2L, "totally unrelated words about spark plans here now"),
+      (3L, s"one two three four five six seven eight $para"),        // para = chunk 2
+      (4L, "another distinct document with its own private words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDupGroups(corpus, "text", "doc_id", chunkSize = 4)
+      .select("doc_id", "chunk_pos", "dup_group", "n_docs")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0, 1L, 2L), (3L, 2, 1L, 2L)),
+      "only the shared paragraph's two occurrences may collapse, labeled min doc_id")
+  }
+
+  test("chunkDupGroups: intra-doc repeats don't qualify; maxDocFreq excludes hot chunks") {
+    val para = "ad buy now please"
+    val corpus = Seq(
+      (1L, s"$para $para"),                        // repeated WITHIN one doc only
+      (2L, "some other words live here"),
+      (10L, s"$para alpha beta gamma delta"),      // cross-doc triple
+      (11L, s"$para epsilon zeta eta theta"),
+      (12L, s"$para iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    // doc 1 alone: its two identical chunks are one distinct doc -> no group
+    val solo = Dedup.chunkDupGroups(corpus.filter(col("doc_id") <= 2), "text", "doc_id",
+      chunkSize = 4)
+    assert(solo.count() === 0, "intra-document repetition must not form a dup group")
+    // full corpus: the para spans docs {1,10,11,12} (doc 1 contributes 2
+    // occurrence rows), n_docs = 4 distinct docs
+    val all = Dedup.chunkDupGroups(corpus, "text", "doc_id", chunkSize = 4)
+      .select("doc_id", "chunk_pos", "dup_group", "n_docs")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(all === Set((1L, 0, 1L, 4L), (1L, 1, 1L, 4L),
+      (10L, 0, 1L, 4L), (11L, 0, 1L, 4L), (12L, 0, 1L, 4L)))
+    // the cap drops the hot fingerprint entirely (explicit bounded semantics)
+    val capped = Dedup.chunkDupGroups(corpus, "text", "doc_id", chunkSize = 4,
+      maxDocFreq = 3)
+    assert(capped.count() === 0)
+  }
+
+  test("dd_chunk_dedup's planted boilerplate is exactly one 32-token window") {
+    assert(graft.queries.LlmQueries.BoilerPara.split(" ").length === 32)
+  }
 }

@@ -10,12 +10,15 @@ package graft
   */
 class PlanGuardSpec extends SparkTestBase {
 
-  private def finalPlan(name: String): String = {
+  private def finalQe(name: String): org.apache.spark.sql.execution.QueryExecution = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
     val qe = df.queryExecution
     qe.toRdd.foreach(_ => ()) // AQE: executedPlan is final only after running
-    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    qe
   }
+
+  private def finalPlan(name: String): String =
+    finalQe(name).explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   test("p9_date_window: date predicates reach the parquet scan, schema pruned to 2 columns") {
     val p = finalPlan("p9_date_window")
@@ -53,14 +56,27 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("w11_sessionize: windows and session rollup share ONE user_id exchange") {
-    // count shuffle stages in the final adaptive plan only — the formatted
-    // explain repeats the pre-AQE plan below an "== Initial Plan ==" marker,
-    // and each materialized shuffle appears as exactly one ShuffleQueryStage
-    val p = finalPlan("w11_sessionize").split("== Initial Plan ==")(0)
-    val exchanges = "ShuffleQueryStage".r.findAllIn(p).size
+    // walk the executed plan tree rather than string-matching the formatted
+    // explain (whose layout shifts across Spark versions). A plain
+    // plan.collect is NOT enough: AdaptiveSparkPlanExec and QueryStageExec
+    // are leaf nodes whose real subtrees hang off finalPhysicalPlan/plan,
+    // so the walker descends through both; each materialized shuffle is
+    // exactly one ShuffleQueryStageExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    def countShuffleStages(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleQueryStageExec => 1; case _ => 0 }
+      self + (p match {
+        case a: AdaptiveSparkPlanExec => countShuffleStages(a.finalPhysicalPlan)
+        case q: QueryStageExec => countShuffleStages(q.plan)
+        case other => other.children.map(countShuffleStages).sum
+      })
+    }
+    val plan = finalQe("w11_sessionize").executedPlan
+    val exchanges = countShuffleStages(plan)
     assert(exchanges === 1,
       s"expected the lag/running-sum windows and the (user_id, session_seq) " +
-        s"groupBy to reuse one hash partitioning, found $exchanges exchanges:\n$p")
+        s"groupBy to reuse one hash partitioning, found $exchanges exchanges:\n$plan")
   }
 
   test("no dedup/ANN/text query ever plans a non-broadcast CartesianProduct") {

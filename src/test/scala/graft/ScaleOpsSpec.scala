@@ -126,6 +126,29 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(phase1.count() <= salt.toLong * k, "phase-1 survivors exceed salt*k")
   }
 
+  test("saltedTopK ties at k without a tiebreaker: VALUES exact, identity not promised") {
+    // order by v only — the k-boundary falls inside a 250-row tie class.
+    // The documented contract under a non-total order: the top-k VALUE
+    // multiset is still exact (a locally-discarded tied row is dominated-
+    // or-equaled by k survivors in its salt bucket), but WHICH tied rows
+    // carry those values may differ run to run — so assert values, not uids
+    val df = spark.range(1000).select(lit("g").as("g"), col("id").as("uid"),
+      (col("id") % 4).cast("double").as("v"))
+    val got = Skew.saltedTopK(df, Seq("g"), Seq(col("v").desc), "uid", k = 5, salt = 8)
+      .select("rank", "v").as[(Int, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (1 to 5), "ranks must be dense 1..k")
+    assert(got.forall(_._2 == 3.0), s"top-5 values must all come from the tie class: ${got.mkString(",")}")
+  }
+
+  test("saltedTopK rejects inputs carrying reserved columns instead of clobbering them") {
+    val df = spark.range(10).select(lit("g").as("g"), col("id").as("uid"),
+      col("id").cast("double").as("v"), lit(0).as("rank"))
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedTopK(df, Seq("g"), Seq(col("v").desc, col("uid").asc), "uid", k = 3, salt = 4)
+    }
+    assert(e.getMessage.contains("rank"))
+  }
+
   // ------------------------------------------------------------ bucketing
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {

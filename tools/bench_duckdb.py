@@ -48,7 +48,7 @@ RUNS = 3
 DUCK_FLOOR_S = 0.05   # below this, the ratio measures planning constants
 CONSTANT_S = 0.35     # Spark fixed multi-stage scheduling overhead bound
 RATIO_BAR = 2.0
-MIN_COMPARABLE = 80   # oracle subset is 108; the headline line carries ~28
+MIN_COMPARABLE = 80   # enforced floor; oracle subset is ~111, headline ~31
 
 # name -> (max Spark seconds before the waiver expires, justification).
 # Caps are ~3x the measured warm sf0.1 time: generous enough for host
@@ -103,14 +103,22 @@ EXPLAINED = {
     "p10_latest_tuple": (1.5, "constant-dominated: 0.37-0.42 s warm "
         "@sf0.1, one groupBy+join; DuckDB sample straddles the 50 ms "
         "floor (0.033-0.053 s) so the excess flips the constant rule by "
-        "~0.01 s under load"),
+        "~0.01 s under load [waiver added r5 from contended-host "
+        "measurement, not a code change in r5]"),
     "tpch_q1": (1.5, "constant-dominated: 0.31-0.45 s warm @sf0.1, "
         "single partial-agg plan (plan-guarded); excess over DuckDB "
-        "crosses the 0.35 s constant bound by <0.03 s under load"),
+        "crosses the 0.35 s constant bound by <0.03 s under load "
+        "[waiver added r5 from contended-host measurement, not a code "
+        "change in r5]"),
     "ta_e2e_pipeline": (2.5, "constant-dominated 4-stage composition "
         "(gate, fp-dedup window, broadcast anti-join, split) over the "
         "5k-row documents table: 0.71 s warm @sf0.1 is ~4 stage "
         "constants; DuckDB runs the same contract in 0.12 s in-process"),
+    "dd_chunk_dedup": (1.5, "constant-dominated 3-stage plan (explode, "
+        "fp group, label join) over ~16k chunk rows: 0.44 s warm @sf0.1; "
+        "DuckDB sample 0.07 s sits just over the floor so the ~0.37 s "
+        "excess crosses the 0.35 s constant bound [waiver added r6 with "
+        "the query itself]"),
 }
 
 
