@@ -19,7 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses every stage
+      // upstream of the last exchange into one task — for broadcast-join
+      // plans (no exchange at all, e.g. the O(n²) cosine baseline) that
+      // serializes the whole computation. The extra round-robin shuffle
+      // moves only the final result rows; compute keeps full parallelism.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
