@@ -15,6 +15,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same split-size rationale as Verify: whole tables are single small
+      // files locally; 8 MB keeps sf1 scans parallel, no-op at sf0.01/0.1
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,13 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); read as long, Tables.events
       // converts to microsecond TimestampType (matches DuckDB's NS→US cast).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // split size tuned to the data:core ratio (SURVEY §scale): whole
+      // tables here are 1-150 MB single files, so the 128 MB default maps
+      // every SCAN stage to one task on a 32-core box; 8 MB keeps scans
+      // parallel at sf1 without changing sf0.01/sf0.1 behavior (those files
+      // are under 8 MB). A real cluster reading TB-sized tables wants the
+      // default back.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,6 +39,26 @@ object Similarity {
     df.select(col("vec_id").as(id), col("embedding").as(vec),
       l2Norm(col("embedding")).as(norm))
 
+  /** Redistribute the expanding side of a fan-out BEFORE its multiplicative
+    * stage. A plan that multiplies a small input by a large factor (probe
+    * explode × broadcast-scored candidates) inherits the parallelism of the
+    * input SCAN — and an embedding table compact enough to broadcast is
+    * also compact enough to arrive as one parquet row group, i.e. ONE scan
+    * partition, so the entire candidate generation, scoring, and partial
+    * top-k sort run in a single task no matter how many cores exist
+    * (measured at sf1/local[32]: ann_lsh_multiprobe spent 343 s in one
+    * task's WindowGroupLimit sort; 32-way it is seconds). The round-robin
+    * exchange moves only the small PRE-expansion rows, so it is cheap at
+    * any scale, and on a real cluster it is still correct: the product
+    * dwarfs the shuffle whenever this matters at all. Keyed variants pass
+    * `by` so a downstream shuffle join on the same key reuses the exchange
+    * instead of adding a second one.
+    */
+  private def fanOut(df: DataFrame, by: Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (by.isEmpty) df.repartition(n) else df.repartition(n, by: _*)
+  }
+
   /** Exact top-k neighbors of each query vector by brute force.
     *
     * The corpus side is broadcast (queries stream past it in parallel — no
@@ -46,7 +66,7 @@ object Similarity {
     * the per-bucket scorer behind [[lshTopK]] — the API stays the same.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = withNorm(queries, "query_id", "qv", "qn")
+    val q = fanOut(withNorm(queries, "query_id", "qv", "qn"))
     val c = broadcast(withNorm(corpus, "neighbor_id", "cv", "cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -89,7 +109,10 @@ object Similarity {
   private def topKInBuckets(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
+    // keyed fan-out: if the corpus side broadcasts, the exchange is what
+    // parallelizes candidate scoring; if it doesn't, HashPartitioning on
+    // the join key satisfies the shuffle join's requirement — no 2nd shuffle
+    fanOut(q, col("bucket")).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -171,7 +194,7 @@ object Similarity {
     * lexicographic (score, −cid) key.
     */
   private def assignToCentroid(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.withColumn("vn", l2Norm(col("v")))
+    fanOut(vecs).withColumn("vn", l2Norm(col("v")))
       .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
       .withColumn("score", dot(col("v"), col("c")) / (col("vn") * col("cn")))
       .groupBy("vec_id")
@@ -200,7 +223,7 @@ object Similarity {
     // full vector via first()), not nlist copies of the embedding, and no
     // partition-wide sort happens (a rank window would shuffle+sort every
     // scored row with its vector attached)
-    val probes = vecs.withColumn("qn", l2Norm(col("v")))
+    val probes = fanOut(vecs).withColumn("qn", l2Norm(col("v")))
       .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
       .withColumn("score", dot(col("v"), col("c")) / (col("qn") * col("cn")))
       .groupBy("vec_id")
@@ -226,7 +249,7 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, threshold: Double,
                      planes: Array[Array[Double]] = Array.empty): DataFrame = {
     if (planes.isEmpty) {
-      val a = withNorm(df, "id_a", "va", "na_")
+      val a = fanOut(withNorm(df, "id_a", "va", "na_"))
       val b = broadcast(withNorm(df, "id_b", "vb", "nb_"))
       a.crossJoin(b)
         .filter(col("id_a") < col("id_b"))
@@ -239,7 +262,7 @@ object Similarity {
         l2Norm(col("embedding")).as("na_"), col("bucket"))
       val b = src.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
         l2Norm(col("embedding")).as("nb_"), col("bucket"))
-      a.join(b, Seq("bucket"))
+      fanOut(a, col("bucket")).join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
         .filter(col("cos") >= threshold)

@@ -56,8 +56,14 @@ def scale(src, dst, table, factor):
                 c = c.set_column(idx, c.schema.field(name), shifted)
             copies.append(c)
     out = pa.concat_tables(copies)
-    pq.write_table(out, f"{dst}/{table}.parquet")
-    print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+    # splittable row groups (~32 per table, floor 1024 rows): a 100 TB table
+    # arrives as thousands of row groups across many files, and Spark's scan
+    # parallelism is bounded by row-group count — the pyarrow default writes
+    # ONE group for these sizes, which serializes every scan stage at sf1
+    # regardless of cores and misrepresents real large-data layout
+    rg = max(1024, out.num_rows // 32)
+    pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=rg)
+    print(f"{table}: {t.num_rows} -> {out.num_rows} rows (rg={rg})")
 
 
 def main():
