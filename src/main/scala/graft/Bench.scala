@@ -16,8 +16,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // same split-size rationale as Verify: whole tables are single small
-      // files locally; 8 MB keeps sf1 scans parallel, no-op at sf0.01/0.1
+      // files locally; 8 MB (+ a 64 KB open-cost floor so sub-8 MB
+      // compute-dense tables like documents still split) keeps sf1 scans
+      // parallel, no-op at sf0.01/0.1 single-row-group files
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,17 @@ object Verify {
       // are under 8 MB). A real cluster reading TB-sized tables wants the
       // default back.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // ...and the 4 MB openCostInBytes floor re-serializes any table
+      // UNDER 8 MB (maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, totalBytes/minPartitionNum))): documents at
+      // sf1 is 5.8 MB of heavily-compressed text whose explode/shingle
+      // stages are compute-dense — one scan partition pinned a 345 s
+      // dd_dedup_corpus run to 1.4 cores. 64 KB lets bytesPerCore win, so
+      // every multi-row-group table splits to ~cores partitions. On a real
+      // cluster file count/volume provides this for free; the floor exists
+      // to amortize per-file open cost over many small files, which a
+      // single-file-per-table layout never hits.
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
