@@ -80,10 +80,36 @@ object Similarity {
 
   /** Deterministic random hyperplanes (seeded driver-side, shipped as
     * literals): `planes(i)(j)` ~ U(-0.5, 0.5).
+    *
+    * Prefix-stable: planes are drawn row-by-row from one seeded stream, so
+    * `hyperplanes(p, d, s)` == `hyperplanes(P, d, s).take(p)` for p <= P.
+    * [[choosePlaneCount]] relies on this — an adaptive caller holds one
+    * master set and takes a corpus-sized prefix, keeping small-corpus
+    * results identical to the fixed-plane configuration.
     */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rng.nextDouble() - 0.5)
+  }
+
+  /** Plane count for a corpus of `n` vectors: the smallest p with
+    * 2^p * targetOccupancy >= n, clamped to [minPlanes, maxPlanes].
+    *
+    * THE scale knob for sign-bit LSH: a fixed plane set means bucket
+    * occupancy grows linearly with the corpus and bucket-local candidate
+    * pairs grow ~n^2/2^p (measured: 16-18x wall growth on 10x data at
+    * fixed p=4). Sizing p = ceil(log2(n/target)) pins expected occupancy
+    * in [target/2, target], making candidate volume — and the whole
+    * bucketed top-k — linear in n. Integer-exact on purpose: an oracle in
+    * any engine replicates `(1 << p) * target >= n` bit-for-bit, with no
+    * float-log2 boundary parity to defend.
+    */
+  def choosePlaneCount(n: Long, targetOccupancy: Int = 64,
+                       minPlanes: Int = 4, maxPlanes: Int = 16): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 0 && maxPlanes >= minPlanes)
+    val p = (0 to maxPlanes)
+      .find(p => (1L << p) * targetOccupancy >= n).getOrElse(maxPlanes)
+    math.max(minPlanes, p)
   }
 
   /** Sign-bit LSH bucket id for each vector: bit i = sign(v · plane_i).

@@ -20,7 +20,19 @@ object LlmQueries extends QueryPack {
   // threshold in a wide empirical gap, robust to any float representation.
   private val JaccardThreshold = 0.8
 
-  private val Planes = Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+  // LSH planes are ADAPTIVE: a prefix of this master set sized by
+  // Similarity.choosePlaneCount(corpus count) — fixed planes make bucket
+  // occupancy (and candidate pairs, quadratically) grow with the corpus;
+  // a log2-sized prefix pins occupancy ~LshTargetOcc at any scale. The
+  // prefix at sf0.01 (1k vectors) is the original 4-plane set, so the
+  // driver-facing results are unchanged there; sf0.1 uses 8, sf1 uses 11.
+  private val MaxPlanes = 16
+  private val LshTargetOcc = 64
+  private val PlanesMaster =
+    Similarity.hyperplanes(nPlanes = MaxPlanes, dim = 64, seed = 42L)
+  private def adaptivePlanes(nVecs: Long): Array[Array[Double]] =
+    PlanesMaster.take(Similarity.choosePlaneCount(
+      nVecs, LshTargetOcc, minPlanes = 4, maxPlanes = MaxPlanes))
 
   /** Ground-truth pair generator shared by the `*_contains` invariant
     * queries: all (id_a, id_b) pairs with id_a < id_b agreeing on `key`
@@ -171,9 +183,12 @@ object LlmQueries extends QueryPack {
     },
 
     // LSH-bucketed ANN (scale path): same shape, bucket-local candidates;
-    // recall vs brute force measured in SimilaritySpec.
+    // recall vs brute force measured in SimilaritySpec. The corpus count
+    // (a metadata-cheap parquet job) sizes the plane prefix — the one
+    // stat an index build legitimately reads before choosing its layout.
     "ann_lsh_bucketed" -> { (s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir), Planes, k = 5)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, adaptivePlanes(emb.count()), k = 5)
     },
 
     // Multi-probe LSH ANN: query fans out to its bucket + the nPlanes
@@ -181,7 +196,8 @@ object LlmQueries extends QueryPack {
     // lost at bucket boundaries (measured vs single-probe in
     // SimilarityScaleSpec).
     "ann_lsh_multiprobe" -> { (s, dir) =>
-      Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), Planes, k = 5)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKMultiProbe(emb, adaptivePlanes(emb.count()), k = 5)
     },
 
     // IVF ANN (the other scale path): Lloyd-trained inverted lists,
@@ -454,11 +470,20 @@ object LlmQueries extends QueryPack {
 
   // the hyperplanes are seeded driver-side constants, so the oracle can
   // inline them as DOUBLE list literals; the sign-bit fold mirrors
-  // Similarity.lshBuckets term by term
+  // Similarity.lshBuckets term by term. The plane COUNT is adaptive
+  // (choosePlaneCount over the corpus count), so the oracle inlines all
+  // MaxPlanes terms, each gated on `i < np.np` where the `np` CTE
+  // replicates the integer-exact (1 << p) * target >= n search — the same
+  // arithmetic in any engine, no float-log2 parity to defend.
   private def planeSqlLit(p: Array[Double]): String =
     p.map(sqlDouble).mkString("[", ", ", "]")
-  private def bucketSql: String = Planes.zipWithIndex.map { case (p, i) =>
-    s"(CASE WHEN list_sum(list_transform(range(1,65), " +
+  private def npCteSql: String =
+    s"""np AS (SELECT greatest(4, (
+       |  SELECT min(p) FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p)
+       |  WHERE (CAST(1 AS BIGINT) << p) * $LshTargetOcc >=
+       |        (SELECT count(*) FROM embeddings))) AS np)""".stripMargin
+  private def bucketSql: String = PlanesMaster.zipWithIndex.map { case (p, i) =>
+    s"(CASE WHEN $i < np.np AND list_sum(list_transform(range(1,65), " +
       s"j -> CAST(embedding[j] AS DOUBLE) * (${planeSqlLit(p)})[j])) >= 0 " +
       s"THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
@@ -548,7 +573,8 @@ object LlmQueries extends QueryPack {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE a.vec_id < 50) WHERE rank <= 5""".stripMargin,
     "ann_lsh_bucketed" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+      s"""WITH $npCteSql,
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, np)
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos,
@@ -563,10 +589,15 @@ object LlmQueries extends QueryPack {
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
     "ann_lsh_multiprobe" -> {
-      val probeUnion = (0L +: Planes.indices.map(i => 1L << i).map(_.toLong))
-        .map(m => s"SELECT vec_id, embedding, xor(bucket, $m) AS bucket FROM bk")
+      // probe masks follow the adaptive plane count: the own-bucket probe
+      // is unconditional, flip-bit-i probes exist only for i < np
+      val probeUnion = ("SELECT vec_id, embedding, bucket FROM bk" +:
+        (0 until MaxPlanes).map(i =>
+          s"SELECT vec_id, embedding, xor(bucket, ${1L << i}) AS bucket " +
+            s"FROM bk, np WHERE $i < np.np"))
         .mkString("\nUNION ALL ")
-      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+      s"""WITH $npCteSql,
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, np),
          |pr AS ($probeUnion)
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,

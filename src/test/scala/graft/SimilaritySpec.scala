@@ -85,4 +85,27 @@ class SimilaritySpec extends SparkTestBase {
     val b = Similarity.hyperplanes(4, 8, 7L)
     assert(a.flatten.toSeq === b.flatten.toSeq)
   }
+
+  test("hyperplanes are prefix-stable (adaptive prefix == fixed set)") {
+    val master = Similarity.hyperplanes(16, 8, 7L)
+    val small = Similarity.hyperplanes(4, 8, 7L)
+    assert(master.take(4).flatten.toSeq === small.flatten.toSeq)
+  }
+
+  test("choosePlaneCount pins bucket occupancy across corpus scales") {
+    import Similarity.choosePlaneCount
+    // the three bench SFs: 4 planes at 1k, 8 at 10k, 11 at 100k
+    assert(choosePlaneCount(1000L) === 4)
+    assert(choosePlaneCount(10000L) === 8)
+    assert(choosePlaneCount(100000L) === 11)
+    // smallest p with 2^p * 64 >= n, so expected occupancy stays in
+    // (target/2, target] — the linear-candidate-volume invariant
+    for (n <- Seq(100000L, 1000000L, 100000000L)) {
+      val p = choosePlaneCount(n, maxPlanes = 62)
+      assert((1L << p) * 64 >= n && (1L << (p - 1)) * 64 < n)
+    }
+    // clamps: floor at minPlanes, ceiling at maxPlanes
+    assert(choosePlaneCount(1L) === 4)
+    assert(choosePlaneCount(Long.MaxValue / 128, maxPlanes = 16) === 16)
+  }
 }
