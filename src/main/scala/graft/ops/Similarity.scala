@@ -112,6 +112,37 @@ object Similarity {
     math.max(minPlanes, p)
   }
 
+  /** Inverted-list count for an IVF index over `n` vectors: the smallest m
+    * with m^2 * listsPerProbeSq >= n, clamped to [minList, maxList] — i.e.
+    * nlist ~ sqrt(n/4), the classic IVF balance point. Fixed nlist makes
+    * list size n/nlist grow linearly, so nprobe-list search work grows
+    * ~n^2/nlist (measured 12.3x wall on 10x data at nlist=16); nlist ~
+    * sqrt(n) balances the two cost terms — train/assign (n*nlist) and
+    * search (n*nprobe*n/nlist) — at ~n^1.5 total. Integer-exact search
+    * like [[choosePlaneCount]], and the m^2*4 >= n form lands exactly on
+    * the legacy default at the driver's SF (n=1000 -> 16), so small-corpus
+    * results are unchanged.
+    */
+  def chooseNList(n: Long, minList: Int = 16, maxList: Int = 4096): Int = {
+    require(minList >= 1 && maxList >= minList)
+    val m = (minList to maxList).find(m => m.toLong * m * 4 >= n).getOrElse(maxList)
+    m
+  }
+
+  /** Probe count for `nlist` lists: nprobe ~ 1.5*sqrt(nlist), floored at
+    * the measured sf0.1 default (6 at nlist=16). Fixed nprobe over growing
+    * nlist probes a vanishing fraction of the corpus and recall decays;
+    * constant-fraction probing (nprobe ~ nlist) is quadratic again.
+    * sqrt growth holds scanned volume at ~1.5*n/sqrt(nlist) ~ n^0.75 —
+    * recall measured at the resulting operating points in RecallProbe
+    * (see LlmQueries.IvfRecallFloorPct).
+    */
+  def chooseNProbe(nlist: Int): Int = {
+    require(nlist >= 1)
+    val p = (1 to nlist).find(p => p.toLong * p >= 9L * nlist / 4).getOrElse(nlist)
+    math.min(nlist, math.max(6, p))
+  }
+
   /** Sign-bit LSH bucket id for each vector: bit i = sign(v · plane_i).
     * Bucket key is what a 100 TB corpus is hash-partitioned on, turning ANN
     * into co-partitioned bucket-local scans.

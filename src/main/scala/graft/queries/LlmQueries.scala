@@ -24,8 +24,9 @@ object LlmQueries extends QueryPack {
   // Similarity.choosePlaneCount(corpus count) — fixed planes make bucket
   // occupancy (and candidate pairs, quadratically) grow with the corpus;
   // a log2-sized prefix pins occupancy ~LshTargetOcc at any scale. The
-  // prefix at sf0.01 (1k vectors) is the original 4-plane set, so the
-  // driver-facing results are unchanged there; sf0.1 uses 8, sf1 uses 11.
+  // prefix at sf0.01 (500 vectors) is the original 4-plane set, so the
+  // driver-facing results are unchanged there; sf0.1 (2k) uses 5, sf1
+  // (20k) uses 9.
   private val MaxPlanes = 16
   private val LshTargetOcc = 64
   private val PlanesMaster =
@@ -64,7 +65,10 @@ object LlmQueries extends QueryPack {
 
   // ann_ivf_recall floor, in percent. Measured recall@5 on the vec_id%4
   // sample (tools/RecallProbe, 3 reps each, stable to the last digit):
-  // 0.710 at sf0.01, 0.686 at sf0.1 (defaults nlist=16/nprobe=6/iters=2).
+  // 0.710 at sf0.01 (adaptive = legacy 16/6 there), 0.690 at sf0.1
+  // (adaptive 23/8; the old fixed 16/6 measured 0.686), 1.000 at sf1
+  // (71/13 — perfect by copy-structure: the 10x generator gives every
+  // vector 9 exact duplicates that share its centroid list).
   // 60% is ~4σ below the measured spread yet catches a genuinely broken
   // index: a halved-recall regression (0.69 → ~0.35; nprobe=1 measures
   // ≈ 0.3) flips the driver row, where the former 50% floor let a
@@ -201,10 +205,18 @@ object LlmQueries extends QueryPack {
     },
 
     // IVF ANN (the other scale path): Lloyd-trained inverted lists,
-    // nprobe-centroid search with the measured defaults (recall@5 ≈ 0.69
-    // at sf0.1; see SimilarityScaleSpec).
+    // nprobe-centroid search. nlist/nprobe are ADAPTIVE (~sqrt scaling,
+    // Similarity.chooseNList/chooseNProbe) for the same reason as the LSH
+    // planes: fixed nlist=16 measured 12.3x wall on 10x data because list
+    // sizes grow linearly. At sf0.01 (500 vectors) the adaptive values ARE
+    // the old defaults (16/6), so driver-facing results are unchanged;
+    // sf0.1 (2k) uses 23/8, sf1 (20k) uses 71/13 (recall at each point
+    // measured via RecallProbe — see IvfRecallFloorPct).
     "ann_ivf" -> { (s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5)
+      val emb = Tables.embeddings(s, dir)
+      val nlist = Similarity.chooseNList(emb.count())
+      Similarity.ivfTopK(emb, k = 5, nlist = nlist,
+        nprobe = Similarity.chooseNProbe(nlist))
     },
 
     // Driver-visible IVF recall gate — the oracle-able face of ann_ivf
@@ -220,7 +232,9 @@ object LlmQueries extends QueryPack {
       val brute = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") % 4 === 0), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_b"))
-      val ivf = Similarity.ivfTopK(emb, k = 5)
+      val nlist = Similarity.chooseNList(emb.count())
+      val ivf = Similarity.ivfTopK(emb, k = 5, nlist = nlist,
+          nprobe = Similarity.chooseNProbe(nlist))
         .filter(col("query_id") % 4 === 0)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_v"))
       brute.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")

@@ -7,23 +7,32 @@ import graft.sources.Tables
 
 /** Measure IVF recall@5 on the ann_ivf_recall query sample (vec_id%4) at a
   * given sfDir — the measurement behind IvfRecallFloorPct. Not part of the
-  * library surface. Usage: runMain graft.tools.RecallProbe [sfDir] [reps]
+  * library surface.
+  * Usage: runMain graft.tools.RecallProbe [sfDir] [reps] [nlist] [nprobe]
+  * (nlist/nprobe <= 0 → Similarity.chooseNList / chooseNProbe over the
+  * corpus count, i.e. the library's adaptive defaults)
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val reps = if (args.length > 1) args(1).toInt else 3
+    val nlistArg = if (args.length > 2) args(2).toInt else 0
+    val nprobeArg = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = if (nlistArg > 0) nlistArg else Similarity.chooseNList(n)
+    val nprobe = if (nprobeArg > 0) nprobeArg else Similarity.chooseNProbe(nlist)
+    println(s"[recall] n=$n nlist=$nlist nprobe=$nprobe")
     for (r <- 1 to reps) {
       val brute = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") % 4 === 0), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_b"))
-      val ivf = Similarity.ivfTopK(emb, k = 5)
+      val ivf = Similarity.ivfTopK(emb, k = 5, nlist = nlist, nprobe = nprobe)
         .filter(col("query_id") % 4 === 0)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_v"))
       val row = brute.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")

@@ -108,4 +108,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(choosePlaneCount(1L) === 4)
     assert(choosePlaneCount(Long.MaxValue / 128, maxPlanes = 16) === 16)
   }
+
+  test("chooseNList/chooseNProbe: sqrt scaling, legacy defaults at the driver SF") {
+    import Similarity.{chooseNList, chooseNProbe}
+    // the three data SFs: sf0.01 lands exactly on the legacy (16, 6)
+    assert(chooseNList(500L) === 16 && chooseNProbe(16) === 6)
+    assert(chooseNList(2000L) === 23 && chooseNProbe(23) === 8)
+    assert(chooseNList(20000L) === 71 && chooseNProbe(71) === 13)
+    // smallest m with 4m^2 >= n — the integer-exact sqrt(n/4) balance point
+    // (maxList raised past the default clamp so the exact form is testable)
+    for (n <- Seq(100000L, 1000000L, 100000000L)) {
+      val m = chooseNList(n, maxList = 100000)
+      assert(4L * m * m >= n && 4L * (m - 1) * (m - 1) < n)
+      // nprobe ~ 1.5*sqrt(nlist): smallest p with p^2 >= 9*nlist/4
+      val p = chooseNProbe(m)
+      assert(p.toLong * p >= 9L * m / 4 && (p - 1).toLong * (p - 1) < 9L * m / 4)
+    }
+    // clamps: nlist floors/ceils; nprobe floors at 6 but never exceeds nlist
+    assert(chooseNList(1L) === 16)
+    assert(chooseNList(Long.MaxValue, maxList = 4096) === 4096)
+    assert(chooseNProbe(1) === 1)
+    assert(chooseNProbe(4) === 4)
+    assert(chooseNProbe(9) === 6)
+  }
 }
