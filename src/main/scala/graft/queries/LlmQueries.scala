@@ -180,6 +180,22 @@ object LlmQueries extends QueryPack {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
     },
 
+    // Embedding cosine near-dup pairs, LSH-bucketed — the scale path the
+    // exact query's scaladoc points at, now driver-visible: identical
+    // scoring, candidates restricted to same-bucket pairs under the
+    // adaptive plane prefix. The oracle rebuilds the bucket ids with the
+    // same np-CTE machinery as the ANN queries, so the bucket restriction
+    // itself (not just the cosine math) is oracle-checked. Threshold 0.35
+    // (vs the exact query's 0.45) sits in dense cosine mass on purpose:
+    // boundary pairs are safe because the cosine is bit-exact cross-engine
+    // (index-ordered DotF both sides), and the lower bar leaves enough
+    // same-bucket survivors to make the bucket restriction non-vacuous.
+    "dd_embedding_cosine_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineDupPairs(emb, threshold = 0.35,
+        planes = adaptivePlanes(emb.count()))
+    },
+
     // Brute-force exact ANN: top-5 cosine neighbors for query vecs id<50.
     "ann_topk_brute" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -578,6 +594,13 @@ object LlmQueries extends QueryPack {
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+    "dd_embedding_cosine_lsh" ->
+      s"""WITH $npCteSql,
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, np)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
     "ann_topk_brute" ->
       s"""SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -80,6 +80,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(bucketed.subsetOf(exact)) // bucket-local candidates, same scoring
   }
 
+  test("bucketed cosineDupPairs == exact pairs restricted to shared buckets") {
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    val bucketOf = Similarity.lshBuckets(emb, planes)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val exactAll: Set[(Long, Long)] = Similarity.cosineDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactShared = exactAll.filter { case (a, b) => bucketOf(a) == bucketOf(b) }
+    val bucketed = Similarity.cosineDupPairs(emb, threshold = 0.4, planes = planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactShared.nonEmpty)
+    assert(bucketed === exactShared) // complete, not merely sound
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     val a = Similarity.hyperplanes(4, 8, 7L)
     val b = Similarity.hyperplanes(4, 8, 7L)
