@@ -268,6 +268,49 @@ object Dedup {
       .select("doc_id", "chunk_pos", "dup_group", "n_docs")
   }
 
+  /** Boilerplate removal — the reassembly half of [[chunkDupGroups]]: drop
+    * every chunk occurrence that belongs to a cross-document duplicate
+    * group, then stitch each document back together from its surviving
+    * chunks in position order.
+    *
+    * Tumbling windows only (overlap is pinned to 0): with overlapping
+    * windows a removed chunk shares tokens with its neighbors and
+    * "remove the chunk" is ill-defined. Output: `(doc_id, clean_text,
+    * n_kept)` with `clean_text` = surviving chunks joined by single spaces
+    * (whitespace-normalized exactly as [[TextOps.tokens]] sees the text).
+    * A document whose every chunk is boilerplate survives with
+    * `clean_text = ''`/`n_kept = 0` — row counts stay stable so a
+    * pipeline drops empties with a filter it can see, not a silent loss.
+    *
+    * Scale shape: [[chunkDupGroups]]'s linear explode + hash-agg + equi-
+    * join, one more anti-join on `(doc_id, chunk_pos)`, one hash agg to
+    * reassemble — still no pair join anywhere, cost linear in corpus size.
+    */
+  def stripDupChunks(df: DataFrame, textCol: String, idCol: String,
+                     chunkSize: Int, minDocs: Int = 2,
+                     maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val dups = chunkDupGroups(df, textCol, idCol, chunkSize, overlap = 0,
+      minDocs = minDocs, maxDocFreq = maxDocFreq)
+      .select(col("doc_id"), col("chunk_pos"))
+    val chunks = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.chunkTokens(col("toks"), chunkSize, 0))
+          .as(Seq("chunk_pos", "chunk")))
+    val kept = chunks.join(dups, Seq("doc_id", "chunk_pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_pos"), col("chunk")))),
+          e => e.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash over the distinct token set (weight 1 per token): for
     * each bit, majority vote of token-hash bits. Pure column expressions —
     * 64 codegen'd subexpressions, no UDF.

@@ -149,6 +149,19 @@ object LlmQueries extends QueryPack {
         chunkSize = 32, overlap = 0, minDocs = 2)
     },
 
+    // Boilerplate removal — the reassembly half of dd_chunk_dedup: strip
+    // every cross-document duplicate chunk and stitch the survivors back
+    // in position order. Same planted paragraph (doc_id % 7, one exact
+    // 32-token stride) so the strip is non-vacuous: planted docs come
+    // back as their whitespace-normalized originals, fully-boilerplate
+    // docs survive with clean_text = '' (row count stays 500).
+    "dd_strip_boilerplate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(BoilerPara), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripDupChunks(docs, "text", "doc_id", chunkSize = 32, minDocs = 2)
+    },
+
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
     // against the Jaccard pairs in DedupSpec).
     "dd_simhash" -> { (s, dir) =>
@@ -554,6 +567,30 @@ object LlmQueries extends QueryPack {
          |      FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
          |SELECT c.doc_id, c.chunk_pos, g.dup_group, g.n_docs
          |FROM c JOIN g USING (fp)""".stripMargin,
+    "dd_strip_boilerplate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$BoilerPara' || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |        CAST(greatest(ceil(len(string_split(text,' '))/32.0), 1) AS INTEGER) AS nc
+         |      FROM d),
+         |c AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS chunk_pos,
+         |        array_to_string(t.toks[p.i*32+1 : p.i*32+32], ' ') AS chunk
+         |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+         |      WHERE p.i < t.nc),
+         |g AS (SELECT md5(chunk) AS fp FROM c
+         |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |k AS (SELECT doc_id, chunk_pos, chunk FROM c
+         |      WHERE md5(chunk) NOT IN (SELECT fp FROM g)),
+         |ka AS (SELECT doc_id,
+         |        array_to_string(list(chunk ORDER BY chunk_pos), ' ') AS clean_text,
+         |        CAST(count(*) AS BIGINT) AS n_kept
+         |      FROM k GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  coalesce(ka.n_kept, 0) AS n_kept
+         |FROM d LEFT JOIN ka USING (doc_id)""".stripMargin,
     "dd_dedup_corpus" ->
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents

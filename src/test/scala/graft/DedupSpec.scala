@@ -150,6 +150,24 @@ class DedupSpec extends SparkTestBase {
       "only the shared paragraph's two occurrences may collapse, labeled min doc_id")
   }
 
+  test("stripDupChunks: removes exactly the shared chunks, reassembles in order") {
+    val para = "ad buy now please"
+    val corpus = Seq(
+      (1L, s"$para alpha beta gamma delta epsilon zeta eta theta"), // para = chunk 0
+      (2L, "totally unrelated words about spark plans here now"),
+      (3L, s"one two three four five six seven eight $para"),       // para = chunk 2
+      (4L, para)                                                    // ALL boilerplate
+    ).toDF("doc_id", "text")
+    val m = Dedup.stripDupChunks(corpus, "text", "doc_id", chunkSize = 4)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) === ("alpha beta gamma delta epsilon zeta eta theta", 2L))
+    assert(m(2L) === ("totally unrelated words about spark plans here now", 2L))
+    assert(m(3L) === ("one two three four five six seven eight", 2L))
+    assert(m(4L) === ("", 0L), "fully-boilerplate doc survives as an empty row")
+    assert(m.size === 4)
+  }
+
   test("chunkDupGroups: intra-doc repeats don't qualify; maxDocFreq excludes hot chunks") {
     val para = "ad buy now please"
     val corpus = Seq(
