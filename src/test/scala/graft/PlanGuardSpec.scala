@@ -79,6 +79,17 @@ class PlanGuardSpec extends SparkTestBase {
         s"groupBy to reuse one hash partitioning, found $exchanges exchanges:\n$plan")
   }
 
+  test("dd_strip_boilerplate: linear shape — no pair join of any kind") {
+    // chunkDupGroups + reassembly must stay explode + hash-agg + equi-
+    // joins: unlike the dd_ pair queries (where a broadcast NLJ is the
+    // documented exactness baseline), the strip path has no legitimate
+    // all-pairs form at any scale
+    val p = finalPlan("dd_strip_boilerplate")
+    assert(!p.contains("CartesianProduct"), "cartesian planned in chunk strip")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair join planned in chunk strip")
+    assert(p.contains("HashAggregate"), "reassembly must be a hash aggregation")
+  }
+
   test("no dedup/ANN/text query ever plans a non-broadcast CartesianProduct") {
     // the one operator shape that cannot survive 100 TB: every all-pairs
     // comparison in this family must go through an inverted-index /
