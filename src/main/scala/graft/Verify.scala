@@ -2,10 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Usage: runMain graft.Verify <sfDir> <outDir> [queryName ...] — with
+  * names given, only those queries are dumped and oracle_sql.json is
+  * filtered to match (targeted re-checks at big SFs without re-running
+  * the whole surface). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.length > 2) {
+        val names = args.drop(2).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      } else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +48,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses every stage
       // upstream of the last exchange into one task — for broadcast-join
       // plans (no exchange at all, e.g. the O(n²) cosine baseline) that
@@ -60,7 +72,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
