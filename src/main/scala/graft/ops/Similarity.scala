@@ -299,6 +299,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Int8-quantized ANN top-k with exact re-rank — the memory-bandwidth
+    * pattern of production embedding search: score bucket-local candidates
+    * with a symmetric per-vector int8 quantization (q_i = floor(127 *
+    * x_i / maxabs + 0.5), 4× smaller than float32 and integer-dot cheap),
+    * keep the top `k * oversample` per query by approximate score, then
+    * re-rank ONLY those survivors with the exact float cosine. Every step
+    * is engine-replicable: floor() and the double products are identical
+    * IEEE ops in any engine (no round-half-even ambiguity), the integer
+    * dot is exact, and ties break on neighbor id — so the whole pipeline,
+    * not just the re-ranked face, is oracle-checkable.
+    *
+    * Scale shape: identical to [[lshTopK]] (bucket = partition key, only
+    * the query side fans out) with the approximate pass reading 8-bit
+    * codes; `oversample` bounds the exact-scoring work per query at
+    * k*oversample vectors regardless of bucket size. With `oversample`
+    * >= bucket size the prefilter keeps everything and the result equals
+    * [[lshTopK]] exactly (pinned in SimilaritySpec).
+    */
+  def int8TopK(df: DataFrame, planes: Array[Array[Double]], k: Int,
+               oversample: Int = 3): DataFrame = {
+    require(k >= 1 && oversample >= 1)
+    val prep = lshBuckets(df, planes).select(
+        col("vec_id"), col("embedding"), col("bucket"),
+        greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+          lit(1e-300)).as("mx"),
+        l2Norm(col("embedding")).as("nrm"))
+      .withColumn("q8", transform(col("embedding"),
+        x => floor(lit(127.0) * x.cast("double") / col("mx") + lit(0.5)).cast("long")))
+      .withColumn("f", col("mx") / (lit(127.0) * col("nrm")))
+    val a = fanOut(prep.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("q8").as("qa"), col("f").as("fa"), col("nrm").as("na_"), col("bucket")), col("bucket"))
+    val b = prep.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      col("q8").as("qb"), col("f").as("fb"), col("nrm").as("nb_"), col("bucket"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dq",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (s, x) => s + x))
+      .withColumn("approx", col("dq").cast("double") * col("fa") * col("fb"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("na_") * col("nb_")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact over all
     * pairs when `planes` is empty (broadcast nested-loop, parallel over the
     * left side); bucket-local when LSH planes are given.

@@ -233,6 +233,17 @@ object LlmQueries extends QueryPack {
       Similarity.lshTopKMultiProbe(emb, adaptivePlanes(emb.count()), k = 5)
     },
 
+    // Int8-quantized ANN with exact re-rank: symmetric per-vector int8
+    // codes score bucket-local candidates (integer dot, 4x smaller reads),
+    // top k*oversample survivors re-ranked by exact float cosine. The
+    // quantization (floor(127*x/maxabs + 0.5)) and approximate score are
+    // identical IEEE arithmetic in any engine, so the WHOLE pipeline is
+    // oracle-checked — prefilter, oversample cut, and re-rank.
+    "ann_int8_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, adaptivePlanes(emb.count()), k = 5)
+    },
+
     // IVF ANN (the other scale path): Lloyd-trained inverted lists,
     // nprobe-centroid search. nlist/nprobe are ADAPTIVE (~sqrt scaling,
     // Similarity.chooseNList/chooseNProbe) for the same reason as the LSH
@@ -656,6 +667,35 @@ object LlmQueries extends QueryPack {
          |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
          |WHERE rank <= 5""".stripMargin,
+    // mirrors int8TopK step by step: same quantization arithmetic (floor
+    // and the double products are identical IEEE ops), same oversample
+    // cut (k*oversample = 15), same exact-cosine re-rank. 127.0/0.5 as
+    // plain literals is safe here: both are exactly representable, so
+    // DuckDB's DECIMAL->DOUBLE promotion is value-identical.
+    "ann_int8_rerank" ->
+      s"""WITH $npCteSql,
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, np),
+         |pr AS (SELECT vec_id, embedding, bucket,
+         |    greatest(list_max(list_transform(range(1,65), j -> abs(CAST(embedding[j] AS DOUBLE)))), 1E-300) AS mx,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM bk),
+         |qv AS (SELECT vec_id, embedding, bucket, nrm,
+         |    list_transform(range(1,65), j -> CAST(floor(127.0 * CAST(embedding[j] AS DOUBLE) / mx + 0.5) AS BIGINT)) AS q8,
+         |    mx / (127.0 * nrm) AS f
+         |  FROM pr),
+         |cand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    a.embedding AS qe, b.embedding AS ne,
+         |    CAST(list_sum(list_transform(range(1,65), j -> a.q8[j] * b.q8[j])) AS DOUBLE) * a.f * b.f AS approx
+         |  FROM qv a JOIN qv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |pre AS (SELECT query_id, neighbor_id, qe, ne,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS arank
+         |  FROM cand),
+         |ex AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos
+         |  FROM pre WHERE arank <= 15)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM ex) WHERE rank <= 5""".stripMargin,
     "ann_ivf_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(5*count(*) AS BIGINT) AS n_brute,

@@ -93,6 +93,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(bucketed === exactShared) // complete, not merely sound
   }
 
+  test("int8TopK: exact cosines on survivors; huge oversample degenerates to lshTopK") {
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    val int8 = Similarity.int8TopK(emb, planes, k = 5)
+    // re-ranked cosines are the TRUE cosines (quantization only prefilters)
+    val brute = Similarity.bruteForceTopK(emb, emb, k = 2000)
+      .select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    assert(int8.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs($"cos" - $"bcos") > 1e-12).count() === 0)
+    // with oversample >= any bucket size, the prefilter keeps everything
+    // and the pipeline IS single-probe LSH — exact equality, not recall
+    val full = Similarity.int8TopK(emb, planes, k = 5, oversample = 100000)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, planes, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === lsh)
+    // default oversample keeps high agreement with the unquantized ranking
+    val int8Set = int8.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshSet = lsh.map { case (q, n, _) => (q, n) }
+    val agree = (int8Set intersect lshSet).size.toDouble / lshSet.size
+    info(f"int8 prefilter agreement with float ranking = $agree%.3f")
+    assert(agree > 0.8, s"int8 prefilter lost too much: $agree")
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     val a = Similarity.hyperplanes(4, 8, 7L)
     val b = Similarity.hyperplanes(4, 8, 7L)
