@@ -121,6 +121,61 @@ object CorpusOps {
     df.filter(h < (when(threshold === "10", "g").otherwise(threshold)))
   }
 
+  /** Deterministic 32-bit uniform in [0,1) from the md5 of an id: the
+    * first 8 hex digits parsed as an integer, divided by 2^32. The parse
+    * is exact integer arithmetic and the division is by a power of two,
+    * so the value is bit-identical on any IEEE engine — the fine-grained
+    * sibling of the 1/16-granular hex-digit idiom in [[hashSplit]].
+    */
+  def hashUniform(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Mixture sampling: downsample each source so the output matches a
+    * target mixture — the data-mixing step that turns "whatever the crawl
+    * yielded" into the weighted blend a training run specifies.
+    *
+    * `weights` gives relative INTEGER parts per source value (integers so
+    * the normalizing sum is exact and engine-order-independent; ratios
+    * like 3:2:1 are how mixtures are specified anyway). Sources absent
+    * from the map get `defaultWeight`; weight 0 drops the source. The
+    * output size saturates the scarcest source: with target share
+    * `s_i = w_i / Σw` and available count `n_i`, the largest feasible
+    * total without upsampling is `T = min_i(n_i / s_i)`, and each source
+    * keeps rate `s_i·T / n_i` (= 1 for the binding source). A row is kept
+    * when its [[hashUniform]] falls below its source's rate — no RNG, so
+    * the sample is reproducible, stable under repartitioning, and
+    * engine-exact (rates are IEEE double arithmetic over exact integers,
+    * evaluated in one fixed order).
+    *
+    * Shuffle plan at 100 TB: one map-side-combined groupBy over the
+    * source column (cardinality = #sources, tiny), two scalar/broadcast
+    * joins to attach Σw, T, and the per-source rate, then a broadcast
+    * equi-join back onto the corpus — the corpus itself never shuffles.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Long], defaultWeight: Long = 1L): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "mixture weights must be >= 0")
+    val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val stats = df.groupBy(sourceCol)
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__wt", wt)
+      .filter(col("__wt") > 0)
+    val norm = stats
+      .crossJoin(broadcast(stats.agg(sum("__wt").as("__sumw"))))
+      .withColumn("__share", col("__wt").cast("double") / col("__sumw").cast("double"))
+    val rate = norm
+      .crossJoin(broadcast(norm.agg(min(col("__n") / col("__share")).as("__t"))))
+      .withColumn("__keep", col("__share") * col("__t") / col("__n"))
+      .select(col(sourceCol), col("__keep"))
+    df.join(broadcast(rate), Seq(sourceCol))
+      .filter(hashUniform(col(idCol)) < col("__keep"))
+      .drop("__keep")
+  }
+
   /** Calibrated chars-per-token divisor for [[estBpeTokens]]: ~4 characters
     * per BPE token on English web text — the published rule of thumb for
     * GPT-2/tiktoken-family vocabularies. A real tokenizer is corpus- and

@@ -412,6 +412,18 @@ object LlmQueries extends QueryPack {
         .select("doc_id", "lang")
     },
 
+    // Mixture sampling: downsample sources to a 3:2:1 target blend
+    // (src0:src1:everything else), saturating the scarcest source. The
+    // keep-rates are IEEE double arithmetic over exact integer counts and
+    // weights, and the per-row uniform is the md5 32-bit prefix over 2^32
+    // — both bit-identical in DuckDB, so the SAMPLED ROW SET itself is
+    // oracle-compared, not just its size.
+    "ta_mixture" -> { (s, dir) =>
+      CorpusOps.mixtureSample(Tables.documents(s, dir), "doc_id", "source",
+        weights = Map("src0" -> 3L, "src1" -> 2L), defaultWeight = 1L)
+        .select("doc_id", "source", "lang", "n_chars")
+    },
+
     // Okapi BM25 per (doc, term): the driver-compared face is the exact
     // rational pair (idf_arg, tf_weight) — score = ln(idf_arg)*tf_weight is
     // ScalaTest-covered because Spark's StrictMath ln and DuckDB's libm ln
@@ -779,6 +791,25 @@ object LlmQueries extends QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) <
         |  (CASE lang WHEN 'en' THEN '4' WHEN 'es' THEN '8' ELSE 'c' END)""".stripMargin,
+    // mirrors mixtureSample step by step: exact integer counts/weights,
+    // share = wt/sumw, T = min(n/share), keep = share*T/n (same left-assoc
+    // order as the Spark column expressions), uniform = md5 32-bit prefix
+    // / 2^32 (hex parse is exact, the division is by a power of two).
+    "ta_mixture" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS BIGINT) AS wt
+        |  FROM documents GROUP BY source),
+        |norm AS (
+        |  SELECT source, n,
+        |    CAST(wt AS DOUBLE) / CAST((SELECT sum(wt) FROM stats WHERE wt > 0) AS DOUBLE) AS share
+        |  FROM stats WHERE wt > 0),
+        |rate AS (
+        |  SELECT source, share * (SELECT min(n / share) FROM norm) / n AS keep FROM norm)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d JOIN rate r ON d.source = r.source
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296E0 < r.keep""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

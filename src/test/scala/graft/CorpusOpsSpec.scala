@@ -133,6 +133,39 @@ class CorpusOpsSpec extends SparkTestBase {
       rates = Map.empty, defaultRate = 0).count() == 0L)
   }
 
+  test("mixtureSample: saturates the scarcest-relative source, matches target shares, drops weight 0") {
+    // 3 sources, 600/600/300 rows; weights 1:1:4 -> shares 1/6,1/6,4/6.
+    // T = min(600/(1/6), 600/(1/6), 300/(4/6)) = 450: source c is the
+    // binding source and must be kept IN FULL.
+    val docs = (0L until 1500L).map(i =>
+      (i, if (i < 600) "a" else if (i < 1200) "b" else "c")).toDF("doc_id", "src")
+    val out = CorpusOps.mixtureSample(docs, "doc_id", "src", Map("c" -> 4L))
+    val got = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(got("c") === 300L) // binding source saturated, rate exactly 1
+    // a and b target 1/6 * 450 = 75 each; md5 uniform is ~binomial(600, 1/8)
+    assert(math.abs(got("a") - 75L) < 30 && math.abs(got("b") - 75L) < 30)
+    // deterministic: same rows both runs
+    val again = CorpusOps.mixtureSample(docs, "doc_id", "src", Map("c" -> 4L))
+    assert(out.select("doc_id").as[Long].collect().sorted
+      === again.select("doc_id").as[Long].collect().sorted)
+    // weight 0 drops the source entirely and re-normalizes over the rest
+    val dropped = CorpusOps.mixtureSample(docs, "doc_id", "src",
+      Map("c" -> 0L, "a" -> 1L, "b" -> 1L))
+    assert(dropped.filter($"src" === "c").count() === 0L)
+    assert(dropped.filter($"src" === "a").count() === 600L) // rate 1: both saturate
+  }
+
+  test("hashUniform: exact md5 32-bit prefix over 2^32, in [0,1)") {
+    val vals = (0L until 200L).toDF("id")
+      .select(CorpusOps.hashUniform($"id").as("u"), $"id").as[(Double, Long)].collect()
+    vals.foreach { case (u, id) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      assert(u === java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0)
+      assert(u >= 0.0 && u < 1.0)
+    }
+  }
+
   test("nearDupComponents: transitive chains collapse to min id, singletons self-label") {
     val docs = Seq(10L, 11L, 12L, 20L, 30L).toDF("doc_id")
     // chain 10-11, 11-12 (10 and 12 never directly paired) + pair-free 30
