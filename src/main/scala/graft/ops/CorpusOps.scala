@@ -236,4 +236,38 @@ object CorpusOps {
       .withColumn("seq_id", expr(s"tok_offset DIV ${maxTokens.toLong}"))
       .withColumn("pos_in_seq", (col("tok_offset") % lit(maxTokens.toLong)).cast("long"))
   }
+
+  /** Deterministic global shuffle + shard assignment — the last step of a
+    * training-data build: break any crawl/source/time ordering and write N
+    * shards a data loader can stream independently. `shuffle_key =
+    * md5(id:seed)` gives a reproducible pseudo-random total order (change
+    * `seed` for a fresh epoch permutation without touching the data);
+    * `shard` is the key's 32-bit prefix mod `nShards`, so shard sizes
+    * concentrate at n/nShards (multinomial, no coordination); `shard_pos`
+    * numbers rows 1..|shard| in shuffle order within each shard.
+    *
+    * Scale shape: NO global sort anywhere — the md5 mod is a narrow map,
+    * and the only ordering is the per-shard window, which at 100 TB is
+    * exactly the `repartition(nShards, shard).sortWithinPartitions(
+    * shuffle_key)` write layout — one shuffle, each task sorting one
+    * shard. An `ntile`-style "equal shards from a global order" would
+    * funnel the corpus through one partition; hash-mod sharding trades
+    * ±sqrt-sized shard imbalance for full parallelism.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val reserved = Seq("shuffle_key", "shard", "shard_pos").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"shuffleShard emits ${reserved.mkString(", ")}; rename or drop the input column(s)")
+    val key = md5(concat_ws(":", col(idCol).cast("string"), lit(seed)))
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key").asc, col(idCol).asc)
+    df.withColumn("shuffle_key", key)
+      // 32-bit prefix parse is exact (conv returns the decimal string of a
+      // value < 2^32), mod keeps it engine-exact integer arithmetic
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+          % nShards.toLong).cast("int"))
+      .withColumn("shard_pos", row_number().over(w))
+  }
 }

@@ -449,6 +449,15 @@ object LlmQueries extends QueryPack {
         shardCol = col("lang"), maxTokens = 512, packByBpeEstimate = true)
     },
 
+    // Deterministic epoch shuffle + sharding: md5(id:seed) order, 32-bit
+    // prefix mod 8 shard, per-shard positions. The WHOLE permutation is
+    // oracle-compared (key, shard, and position all exact cross-engine) —
+    // no global sort anywhere, only the per-shard window.
+    "ta_shuffle_shard" -> { (s, dir) =>
+      CorpusOps.shuffleShard(Tables.documents(s, dir), "doc_id", nShards = 8)
+        .select("doc_id", "shuffle_key", "shard", "shard_pos")
+    },
+
     // Rolling-fingerprint invariant — the oracle-able face of
     // ta_rolling_fp: identical text ⇒ identical shingle set ⇒ identical
     // min-shingle-hash, GUARANTEED. The corpus carries no exact-text dups
@@ -848,6 +857,21 @@ object LlmQueries extends QueryPack {
          |  CAST(tok_offset // 512 AS BIGINT) AS seq_id,
          |  CAST(tok_offset % 512 AS BIGINT) AS pos_in_seq
          |FROM o""".stripMargin,
+    // mirrors shuffleShard: md5(id:seed) key, exact 32-bit hex-prefix parse
+    // (the ta_mixture idiom), mod-8 shard, row_number in (key, id) order.
+    "ta_shuffle_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5(concat(CAST(doc_id AS VARCHAR), ':', '0')) AS shuffle_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shuffle_key,
+        |    CAST(CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shuffle_key, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key ASC, doc_id ASC) AS INT) AS shard_pos
+        |FROM s""".stripMargin,
     "ta_quality" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS n_tokens,

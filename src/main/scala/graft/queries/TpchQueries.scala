@@ -122,6 +122,42 @@ object TpchQueries extends QueryPack {
           (promoRev / 100.0).as("promo_revenue"),
           (sum(rev) / 100.0).as("total_revenue"),
           (lit(100.0) * promoRev / sum(rev)).as("promo_pct"))
+    },
+
+    // Q17-shaped small-quantity revenue: the correlated-scalar-subquery
+    // shape (l_quantity < 0.2 * per-part avg), decorrelated into a grouped
+    // aggregate joined back — the standard Catalyst-friendly plan. The
+    // threshold compare is exact cross-engine: quantities are integral
+    // doubles, so `5 * qty * cnt < sum` ⟺ `qty < 0.2 * avg` with no float
+    // division on either side. Both lineitem passes pre-filter through the
+    // broadcast brand slice, so at 100 TB the fact scans prune to ~1/25.
+    "tpch_q17" -> { (s, dir) =>
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val perPart = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(sum("l_quantity").as("sum_qty"), count("l_quantity").as("cnt_qty"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(perPart), Seq("l_partkey"))
+        .filter(col("l_quantity") * col("cnt_qty") * 5 < col("sum_qty"))
+        .agg((centsSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    // Q13-shaped customer order-count distribution: LEFT OUTER join with a
+    // filtered right side (customers with zero qualifying orders must
+    // survive as c_count=0), then a second aggregation over the first —
+    // the two-level "aggregate of an aggregate" shape. All-integer
+    // arithmetic; exact on any engine.
+    "tpch_q13" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+      Tables.customer(s, dir)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count("o_orderkey").as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }
   )
 
@@ -189,6 +225,22 @@ object TpchQueries extends QueryPack {
         |    AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
-        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    "tpch_q17" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey, SUM(l_quantity) AS sum_qty,
+        |         COUNT(l_quantity) AS cnt_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13' GROUP BY 1)
+        |SELECT SUM(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0/7.0 AS avg_yearly
+        |FROM lineitem JOIN per_part USING (l_partkey)
+        |WHERE l_quantity * cnt_qty * 5 < sum_qty""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 }

@@ -200,4 +200,38 @@ class CorpusOpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(full.values.forall(_ == 0L))
   }
+
+  test("shuffleShard: exact partition into shards, contiguous positions, seed changes order") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val out = CorpusOps.shuffleShard(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shuffle_key", "shard", "shard_pos")
+      .as[(Long, String, Int, Int)].collect()
+    // every doc exactly once, shards in range
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    assert(out.forall(r => r._3 >= 0 && r._3 < 4))
+    // positions are 1..|shard| with no gaps, and follow shuffle_key order
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (1 to rows.length))
+      assert(byPos.map(_._2).toSeq == byPos.map(_._2).sorted.toSeq)
+    }
+    // the permutation is NOT the input order (md5 actually shuffles): the
+    // first-positioned docs across shards aren't ids 0..3
+    val firsts = out.filter(_._4 == 1).map(_._1).sorted.toSeq
+    assert(firsts != (0L until 4L))
+    // deterministic under recomputation, different under a new seed
+    val again = CorpusOps.shuffleShard(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+    assert(again.sortBy(_._1).toSeq ==
+      out.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq)
+    val epoch2 = CorpusOps.shuffleShard(docs, "doc_id", nShards = 4, seed = "1")
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+    assert(epoch2.sortBy(_._1).toSeq !=
+      out.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq)
+    // reserved-name guard
+    val ex = intercept[IllegalArgumentException] {
+      CorpusOps.shuffleShard(docs.withColumn("shard", lit(1)), "doc_id", 4)
+    }
+    assert(ex.getMessage.contains("shard"))
+  }
 }
