@@ -158,6 +158,76 @@ object TpchQueries extends QueryPack {
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q4-shaped priority check: the EXISTS shape — a left-semi join from a
+    // date-windowed orders scan into a filtered lineitem, counted by
+    // priority. Each order counts once however many lineitems match
+    // (semi-join semantics, not an inner-join double count).
+    "tpch_q4" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q12-shaped shipping-priority split: fact join + conditional agg
+    // (CASE inside SUM) — all-integer counts, exact anywhere.
+    "tpch_q12" -> { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // Q19-shaped disjunctive-predicate join: three (brand, size, quantity)
+    // clauses OR-ed across the join — the shape that needs the join-key
+    // equality EXTRACTED from the disjunction (Catalyst does this; a naive
+    // planner falls back to a cartesian residual). Exact-cents revenue.
+    "tpch_q19" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val clauses =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30))
+      li.join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(clauses)
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // Q22-shaped dormant high-balance accounts: global-average scalar
+    // subquery (1-row broadcast) + NOT EXISTS (left-anti to a filtered
+    // orders scan — every customer HAS some order in this testdata, so the
+    // anti side is the urgent slice to keep the result non-vacuous) +
+    // nation rollup. The above-average threshold compares as
+    // bal_cents * cnt > sum_cents — exact integer arithmetic, the q17
+    // idiom — so no float-average boundary can flip membership.
+    "tpch_q22" -> { (s, dir) =>
+      val pos = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0.0)
+        .withColumn("bal_c", round(col("c_acctbal") * 100, 0).cast("long"))
+      val stats = pos.agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt_c"))
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      pos.crossJoin(broadcast(stats))
+        .filter(col("bal_c") * col("cnt_c") > col("sum_c"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"), (sum("bal_c") / 100.0).as("totacctbal"))
+        .orderBy("n_name")
     }
   )
 
@@ -241,6 +311,48 @@ object TpchQueries extends QueryPack {
         |      FROM customer LEFT OUTER JOIN orders
         |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |      GROUP BY c_custkey) c_orders
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q19" ->
+      """SELECT SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))/100.0
+        |  AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |stats AS (SELECT SUM(bal_c) AS sum_c, COUNT(*) AS cnt_c FROM pos)
+        |SELECT n_name, COUNT(*) AS numcust, SUM(bal_c)/100.0 AS totacctbal
+        |FROM pos CROSS JOIN stats
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_c * cnt_c > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

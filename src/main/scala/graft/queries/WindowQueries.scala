@@ -163,6 +163,20 @@ object WindowQueries extends QueryPack {
           min(col("ts")).cast("timestamp_ntz").as("sess_start"),
           max(col("ts")).cast("timestamp_ntz").as("sess_end"),
           (sum(cents) / 100.0).as("sess_value"))
+    },
+
+    // NTILE / PERCENT_RANK / CUME_DIST (beyond the reference — the
+    // distribution-rank window family): quartile + exact rank ratios per
+    // event over its type. The (value, event_id) order is total, so every
+    // function is deterministic; percent_rank/cume_dist are one integer
+    // division each — IEEE-exact cross-engine.
+    "w12_ntile_dist" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select("event_id", "event_type", "quartile", "pct_rank", "cume")
     }
   )
 
@@ -250,6 +264,13 @@ object WindowQueries extends QueryPack {
          |SELECT user_id, session_seq, COUNT(*) AS n_events,
          |  MIN(t) AS sess_start, MAX(t) AS sess_end,
          |  SUM($centsSql)/100.0 AS sess_value
-         |FROM s GROUP BY 1, 2""".stripMargin
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "w12_ntile_dist" ->
+      """SELECT event_id, event_type,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin
   )
 }

@@ -55,28 +55,50 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("dotf"), "cosine must evaluate through the codegen'd DotF kernel")
   }
 
-  test("w11_sessionize: windows and session rollup share ONE user_id exchange") {
-    // walk the executed plan tree rather than string-matching the formatted
-    // explain (whose layout shifts across Spark versions). A plain
-    // plan.collect is NOT enough: AdaptiveSparkPlanExec and QueryStageExec
-    // are leaf nodes whose real subtrees hang off finalPhysicalPlan/plan,
-    // so the walker descends through both; each materialized shuffle is
-    // exactly one ShuffleQueryStageExec
-    import org.apache.spark.sql.execution.SparkPlan
+  // walk the executed plan tree rather than string-matching the formatted
+  // explain (whose layout shifts across Spark versions). A plain
+  // plan.collect is NOT enough: AdaptiveSparkPlanExec and QueryStageExec
+  // are leaf nodes whose real subtrees hang off finalPhysicalPlan/plan,
+  // so the walker descends through both; each materialized shuffle is
+  // exactly one ShuffleQueryStageExec
+  private def countShuffleStages(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
-    def countShuffleStages(p: SparkPlan): Int = {
-      val self = p match { case _: ShuffleQueryStageExec => 1; case _ => 0 }
-      self + (p match {
-        case a: AdaptiveSparkPlanExec => countShuffleStages(a.finalPhysicalPlan)
-        case q: QueryStageExec => countShuffleStages(q.plan)
-        case other => other.children.map(countShuffleStages).sum
-      })
-    }
+    val self = p match { case _: ShuffleQueryStageExec => 1; case _ => 0 }
+    self + (p match {
+      case a: AdaptiveSparkPlanExec => countShuffleStages(a.finalPhysicalPlan)
+      case q: QueryStageExec => countShuffleStages(q.plan)
+      case other => other.children.map(countShuffleStages).sum
+    })
+  }
+
+  test("w11_sessionize: windows and session rollup share ONE user_id exchange") {
     val plan = finalQe("w11_sessionize").executedPlan
     val exchanges = countShuffleStages(plan)
     assert(exchanges === 1,
       s"expected the lag/running-sum windows and the (user_id, session_seq) " +
         s"groupBy to reuse one hash partitioning, found $exchanges exchanges:\n$plan")
+  }
+
+  test("ta_shuffle_shard: the epoch shuffle is ONE exchange, no global sort") {
+    // the md5 key + mod-shard assignment are narrow maps; the only data
+    // movement allowed is the per-shard window's hash partitioning —
+    // an ntile-style global ordering would show up as a range exchange
+    val qe = finalQe("ta_shuffle_shard")
+    val exchanges = countShuffleStages(qe.executedPlan)
+    assert(exchanges === 1,
+      s"expected exactly the shard hash exchange, found $exchanges:\n${qe.executedPlan}")
+    val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("rangepartitioning"), s"global sort planned in shuffleShard:\n$p")
+  }
+
+  test("tpch_q17: both lineitem passes join by broadcast — no sort-merge anywhere") {
+    // the per-part aggregate is bounded by the brand slice (~1/25 of part)
+    // and must broadcast back onto the fact scan; a SortMergeJoin here
+    // means the 100 TB fact table shuffles twice
+    val p = finalPlan("tpch_q17")
+    assert(p.contains("BroadcastHashJoin"), "brand slice / per-part agg must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join planned in q17:\n$p")
   }
 
   test("dd_strip_boilerplate: linear shape — no pair join of any kind") {
