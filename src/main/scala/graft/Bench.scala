@@ -104,6 +104,7 @@ object Bench {
     // subset below keeps this line ~1 KB so it survives tail truncation.
     val headline = Seq(
       "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18",
+      "tpch_q9", "tpch_q21",
       "dd_exact_hash", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
       "dd_cluster_cc", "dd_dedup_corpus", "dd_incremental_neardup",
       "dd_decontaminate", "dd_embedding_cosine",

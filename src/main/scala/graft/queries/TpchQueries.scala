@@ -228,6 +228,225 @@ object TpchQueries extends QueryPack {
         .groupBy("n_name")
         .agg(count(lit(1)).as("numcust"), (sum("bal_c") / 100.0).as("totacctbal"))
         .orderBy("n_name")
+    },
+
+    // Q2-shaped minimum-price supplier: the correlated-MIN-subquery shape
+    // (supplier offering the part's minimum price within one region),
+    // decorrelated into a grouped MIN joined back on equality. There is no
+    // partsupp table in this testdata, so "offer price" is the lineitem
+    // extended price in exact cents — the min/equality compare is all-integer
+    // on both engines. Part slice and EUROPE supplier roster both broadcast,
+    // so the fact scan prunes through both before the per-part MIN.
+    "tpch_q2" -> { (s, dir) =>
+      val eur = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val sized = Tables.part(s, dir)
+        .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+        .select("p_partkey")
+      val priced = Tables.lineitem(s, dir)
+        .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("p_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"))
+      val minc = priced.groupBy("p_partkey").agg(min("price_c").as("min_c"))
+        .withColumnRenamed("p_partkey", "mk")
+      priced
+        .join(broadcast(minc), col("p_partkey") === col("mk") && col("price_c") === col("min_c"))
+        .select("p_partkey", "l_suppkey").distinct()
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("s_suppkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+          col("p_partkey").asc, col("s_suppkey").asc)
+        .limit(100)
+    },
+
+    // Q7-shaped volume shipping: bidirectional nation-pair filter across two
+    // broadcast nation aliases, revenue by (supp_nation, cust_nation, year).
+    "tpch_q7" -> { (s, dir) =>
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q8-shaped national market share: numerator/denominator conditional agg
+    // — both sums are exact integer cents, so the share is one IEEE divide of
+    // two identical bigints on either engine.
+    "tpch_q8" -> { (s, dir) =>
+      val amer = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val std = Tables.part(s, dir).filter(col("p_type") === "STANDARD").select("p_partkey")
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(std), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amer), col("c_nationkey") === col("c_nk"), "left_semi")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L))
+          / sum(rev)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q9-shaped product-type profit: 5-way join over a name-substring part
+    // slice; profit = revenue cents − cost cents where cost is the exact
+    // all-integer product round(retail*100) × qty (quantities are integral
+    // in this testdata, pinned by the oracle's CAST).
+    "tpch_q9" -> { (s, dir) =>
+      val redParts = Tables.part(s, dir).filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val amount =
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long") -
+          round(col("p_retailprice") * 100, 0).cast("long") * col("l_quantity").cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(amount) / 100.0).as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    },
+
+    // Q11-shaped important stock: per-part value from one nation's suppliers
+    // vs a global-fraction threshold — the HAVING-over-scalar-subquery shape
+    // as a 1-row broadcast; threshold compare is integer-exact
+    // (value_c × 1000 > total_c ⟺ value > total/1000).
+    "tpch_q11" -> { (s, dir) =>
+      val n4 = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = Tables.lineitem(s, dir)
+        .join(broadcast(n4), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("value_c"))
+      val total = vals.agg(sum("value_c").as("total_c"))
+      vals.crossJoin(broadcast(total))
+        .filter(col("value_c") * 1000 > col("total_c"))
+        .select(col("l_partkey"), (col("value_c") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("l_partkey").asc)
+    },
+
+    // Q15-shaped top supplier: quarterly revenue per supplier, global MAX as
+    // a 1-row broadcast, equality join back (ties all surface, like the
+    // spec's view formulation). Exact-cents revenue both sides.
+    "tpch_q15" -> { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("rev_c"))
+      val maxRev = rev.agg(max("rev_c").as("max_c"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("rev_c") === col("max_c"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          (col("rev_c") / 100.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q16-shaped supplier count per part attribute: the NOT-IN-subquery shape
+    // as a broadcast left-anti join (suppliers in deficit stand in for the
+    // spec's complaint suppliers), COUNT(DISTINCT) per (brand, type, size).
+    "tpch_q16" -> { (s, dir) =>
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    },
+
+    // Q20-shaped part-promotion shortlist: chained semi joins — suppliers who
+    // shipped a strict majority of some name-prefixed part's 1997 volume.
+    // Quantities are integral, so the majority compare (2·sq > tq) is
+    // all-BIGINT on both engines.
+    "tpch_q20" -> { (s, dir) =>
+      val hot = Tables.part(s, dir).filter(col("p_name").startsWith("hot"))
+        .select("p_partkey")
+      val shipped = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(hot), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+      val perSupp = shipped.groupBy("l_partkey", "l_suppkey").agg(sum("qty").as("sq"))
+      val perPart = shipped.groupBy("l_partkey").agg(sum("qty").as("tq"))
+        .withColumnRenamed("l_partkey", "pk")
+      val qual = perSupp.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("sq") * 2 > col("tq"))
+        .select("l_suppkey").distinct()
+      val afr = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AFRICA")),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(afr), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // Q21-shaped waiting-orders: the double-correlated EXISTS/NOT-EXISTS
+    // shape (multi-supplier order whose latest shipment came from exactly
+    // one supplier), decorrelated into two grouped passes over lineitem —
+    // no self-join fanout, both aggregates shuffle once on l_orderkey.
+    // This testdata has no commit/receipt dates, so "kept the order
+    // waiting" is "sole latest shipper" (max l_shipdate stands in).
+    "tpch_q21" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val multi = li.groupBy("l_orderkey")
+        .agg(max("l_shipdate").as("max_ship"), countDistinct("l_suppkey").as("nsupp"))
+        .filter(col("nsupp") > 1)
+        .select(col("l_orderkey").as("ok"), col("max_ship"))
+      val sole = li
+        .join(multi, col("l_orderkey") === col("ok") && col("l_shipdate") === col("max_ship"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("nmax"), max("l_suppkey").as("late_supp"))
+        .filter(col("nmax") === 1)
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      sole.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, dir)), col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
     }
   )
 
@@ -353,6 +572,138 @@ object TpchQueries extends QueryPack {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q2" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sized AS (SELECT p_partkey FROM part
+        |          WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20),
+        |priced AS (
+        |  SELECT p_partkey, l_suppkey,
+        |         CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN sized ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)),
+        |minc AS (SELECT p_partkey AS mk, MIN(price_c) AS min_c FROM priced GROUP BY 1),
+        |win AS (SELECT DISTINCT p_partkey, l_suppkey
+        |        FROM priced JOIN minc ON p_partkey = mk AND price_c = min_c)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey
+        |FROM win JOIN eur ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  EXTRACT(YEAR FROM l_shipdate) AS l_year,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "tpch_q8" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |  SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |           THEN CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+        |           ELSE 0 END)
+        |  / SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q9" ->
+      """SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+        |      - CAST(round(p_retailprice*100,0) AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |  /100.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1,2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_4')
+        |  GROUP BY 1),
+        |total AS (SELECT SUM(value_c) AS total_c FROM vals)
+        |SELECT l_partkey, value_c/100.0 AS value
+        |FROM vals CROSS JOIN total
+        |WHERE value_c * 1000 > total_c
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal, rev_c/100.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'hot%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |per_supp AS (SELECT l_partkey, l_suppkey, SUM(qty) AS sq
+        |             FROM shipped GROUP BY 1,2),
+        |per_part AS (SELECT l_partkey AS pk, SUM(qty) AS tq FROM shipped GROUP BY 1),
+        |qual AS (SELECT DISTINCT l_suppkey
+        |         FROM per_supp JOIN per_part ON l_partkey = pk WHERE sq * 2 > tq)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q21" ->
+      """WITH multi AS (
+        |  SELECT l_orderkey AS ok, MAX(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY 1
+        |  HAVING COUNT(DISTINCT l_suppkey) > 1),
+        |sole AS (
+        |  SELECT l_orderkey, MAX(l_suppkey) AS late_supp
+        |  FROM lineitem JOIN multi ON l_orderkey = ok AND l_shipdate = max_ship
+        |  GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) = 1)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM sole
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON late_supp = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin
   )
 }

@@ -101,6 +101,23 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join planned in q17:\n$p")
   }
 
+  test("tpch_q21: decorrelated EXISTS/NOT-EXISTS — no self-join fanout, no cartesian") {
+    // the naive q21 plan correlates lineitem against itself twice per row;
+    // the decorrelated form is two grouped passes that shuffle on
+    // l_orderkey. Any CartesianProduct (or non-equi NLJ) here would be the
+    // O(n²) correlated shape leaking back in.
+    val p = finalPlan("tpch_q21")
+    assert(!p.contains("CartesianProduct"), s"correlated self-join shape planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi self-join planned:\n$p")
+    assert(p.contains("partial_max"), "per-order max must aggregate map-side")
+  }
+
+  test("tpch_q9: fact joins orders on the shuffle key once; part/supplier/nation broadcast") {
+    val p = finalPlan("tpch_q9")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    assert(p.contains("partial_sum"), "profit aggregate must be two-phase")
+  }
+
   test("dd_strip_boilerplate: linear shape — no pair join of any kind") {
     // chunkDupGroups + reassembly must stay explode + hash-agg + equi-
     // joins: unlike the dd_ pair queries (where a broadcast NLJ is the
