@@ -349,6 +349,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** SemDeDup-style semantic dedup survivor set: the LSH buckets act as the
+    * semantic clusters (hyperplane partitions of embedding space), cosine
+    * pairs ≥ `threshold` within a bucket mark near-duplicates, and the keep
+    * rule drops every vector that has a SMALLER-id above-threshold neighbor
+    * in its bucket — transitive chains collapse to their minimum id. This is
+    * the deterministic variant of the published keep-an-arbitrary-exemplar
+    * rule (SemDeDup, arXiv:2303.09540 — clusters + intra-cluster cosine);
+    * a fixed rule keeps results engine-independent and oracle-checkable.
+    *
+    * Scale shape: one bucket-local pair join (never corpus-quadratic — the
+    * candidate mass is Σ bucket_size², pinned ~linear by the adaptive plane
+    * count) + one anti join on the dropped-id set. Returns the surviving
+    * (vec_id, bucket) rows.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double,
+                    planes: Array[Array[Double]]): DataFrame = {
+    require(planes.nonEmpty, "semanticDedup clusters via LSH planes; pass at least one")
+    val dropped = cosineDupPairs(df, threshold, planes)
+      .select(col("id_b").as("vec_id")).distinct()
+    lshBuckets(df, planes)
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "bucket")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact over all
     * pairs when `planes` is empty (broadcast nested-loop, parallel over the
     * left side); bucket-local when LSH planes are given.

@@ -209,6 +209,17 @@ object LlmQueries extends QueryPack {
         planes = adaptivePlanes(emb.count()))
     },
 
+    // SemDeDup-style survivor set: LSH buckets as clusters, intra-bucket
+    // cosine ≥ 0.35 marks dups, keep-lowest-id rule (deterministic variant
+    // of the paper's arbitrary exemplar). The whole pipeline — bucketing,
+    // pair threshold, drop rule — is oracle-checked through the same
+    // np-CTE machinery as the pair query above.
+    "dd_semantic_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, threshold = 0.35,
+        planes = adaptivePlanes(emb.count()))
+    },
+
     // Brute-force exact ANN: top-5 cosine neighbors for query vecs id<50.
     "ann_topk_brute" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -670,6 +681,14 @@ object LlmQueries extends QueryPack {
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+    "dd_semantic_dedup" ->
+      s"""WITH $npCteSql,
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, np),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT vec_id, bucket FROM bk
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
     "ann_topk_brute" ->
       s"""SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

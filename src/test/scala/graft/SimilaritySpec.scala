@@ -116,6 +116,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(agree > 0.8, s"int8 prefilter lost too much: $agree")
   }
 
+  test("semanticDedup: planted exact duplicate collapses to the lower id; " +
+    "survivors have no in-bucket dup pair") {
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    // plant an exact duplicate of vec 0 under a fresh high id: cos = 1.0,
+    // same bucket by construction — it MUST be dropped, vec 0 must survive
+    val dupId = 1000000L
+    val planted = emb.filter($"vec_id" === 0L)
+      .withColumn("vec_id", lit(dupId))
+    val corpus = emb.unionByName(planted)
+    val survivors = Similarity.semanticDedup(corpus, threshold = 0.35, planes)
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(0L), "keep rule must retain the lowest id of a dup chain")
+    assert(!ids.contains(dupId), "planted exact duplicate must be dropped")
+    // soundness: no surviving pair within a bucket clears the threshold
+    // (the keep rule leaves only pairs whose smaller side was itself
+    // dropped — chain minima — so recheck against the full pair list)
+    val pairs = Similarity.cosineDupPairs(corpus, 0.35, planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val survivingPairs = pairs.filter { case (a, b) => ids.contains(a) && ids.contains(b) }
+    assert(survivingPairs.isEmpty,
+      s"surviving dup pairs remain: ${survivingPairs.take(5).mkString(", ")}")
+    // partition: every corpus id is either a survivor or a dropped id_b
+    val droppedIds = pairs.map(_._2).toSet
+    val all = corpus.select("vec_id").as[Long].collect().toSet
+    assert((ids union droppedIds) === all)
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     val a = Similarity.hyperplanes(4, 8, 7L)
     val b = Similarity.hyperplanes(4, 8, 7L)
