@@ -78,6 +78,38 @@ object CorpusOps {
     * pos+1), so construction stays in whole-stage codegen (no higher-order
     * lambdas); one aggregation shuffle on the bigram key.
     */
+  /** Top-k corpus vocabulary with the coverage curve: term frequency,
+    * document frequency, and the cumulative share of all token occurrences
+    * covered through each rank — the vocabulary-building pass of a
+    * tokenizer training pipeline (the coverage curve is what picks the
+    * vocab size: "k entries cover 97% of the corpus").
+    *
+    * Shuffle plan: one explode + hash agg for (tf, df) — map-side combined
+    * — then a distributed top-k (TakeOrderedAndProject, no global sort).
+    * Rank and running share over the k survivors are computed by a
+    * broadcast lexicographic self-join over k rows (k², but k is the vocab
+    * cut, not the corpus), NOT a single-partition window — so no stage ever
+    * funnels through one task regardless of corpus size.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val tf = df
+      .select(col(idCol).as("__doc"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("__doc").as("df"))
+    val total = tf.agg(sum("tf").as("total_tf"))
+    val top = tf.orderBy(col("tf").desc, col("token").asc).limit(k)
+    val prior = broadcast(top.select(col("tf").as("tf2"), col("token").as("token2")))
+    top
+      .join(prior, col("tf2") > col("tf")
+        || (col("tf2") === col("tf") && col("token2") <= col("token")))
+      .groupBy("token", "tf", "df")
+      .agg(count(lit(1)).as("rank"), sum("tf2").as("cum_tf"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"), col("df"),
+        (col("cum_tf") / col("total_tf")).as("cum_share"))
+  }
+
   def bigramCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = df.select(col(idCol).as("doc_id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))

@@ -370,6 +370,13 @@ object LlmQueries extends QueryPack {
         max(col("n_chars")).as("max_chars"))
     },
 
+    // Top-100 vocabulary + coverage curve: the tokenizer-training pass.
+    // tf/df/rank are exact integers; cum_share is one IEEE divide of two
+    // exact counts, so the whole curve is oracle-comparable.
+    "ta_vocab_topk" -> { (s, dir) =>
+      CorpusOps.vocabTopK(Tables.documents(s, dir), "text", "doc_id", k = 100)
+    },
+
     // Gopher/C4-style repetition ratios: duplicate tokens and duplicate
     // 3-gram positions per document (high → boilerplate/degenerate text).
     "ta_repetition" -> { (s, dir) =>
@@ -768,6 +775,19 @@ object LlmQueries extends QueryPack {
         |    AS n_unique_fp,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "ta_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |            FROM documents),
+        |tf AS (SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |       FROM tok GROUP BY 1),
+        |total AS (SELECT SUM(tf) AS total_tf FROM tf),
+        |top AS (SELECT token, tf, df,
+        |          row_number() OVER (ORDER BY tf DESC, token ASC) AS rank,
+        |          SUM(tf) OVER (ORDER BY tf DESC, token ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf
+        |        FROM tf ORDER BY tf DESC, token ASC LIMIT 100)
+        |SELECT rank, token, tf, df, cum_tf / total_tf AS cum_share
+        |FROM top, total""".stripMargin,
     "ta_repetition" ->
       """SELECT doc_id,
         |  1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)

@@ -155,6 +155,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(dropped.filter($"src" === "a").count() === 600L) // rate 1: both saturate
   }
 
+  test("vocabTopK: exact tf/df, dense rank order, monotone coverage curve") {
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "a b b d"),
+      (3L, "a c e")
+    ).toDF("doc_id", "text")
+    // tf: a=5 b=3 c=2 d=1 e=1 (total 12); df: a=3 b=2 c=2 d=1 e=1
+    val v = CorpusOps.vocabTopK(docs, "text", "doc_id", k = 3)
+      .orderBy("rank").collect()
+    assert(v.map(_.getAs[String]("token")).toSeq === Seq("a", "b", "c"))
+    assert(v.map(_.getAs[Long]("tf")).toSeq === Seq(5L, 3L, 2L))
+    assert(v.map(_.getAs[Long]("df")).toSeq === Seq(3L, 2L, 2L))
+    assert(v.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    val shares = v.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares === Seq(5.0 / 12, 8.0 / 12, 10.0 / 12))
+    // ties rank by token asc deterministically: d before e at the cut
+    val v4 = CorpusOps.vocabTopK(docs, "text", "doc_id", k = 4)
+      .orderBy("rank").collect()
+    assert(v4.last.getAs[String]("token") === "d")
+  }
+
   test("hashUniform: exact md5 32-bit prefix over 2^32, in [0,1)") {
     val vals = (0L until 200L).toDF("id")
       .select(CorpusOps.hashUniform($"id").as("u"), $"id").as[(Double, Long)].collect()
