@@ -192,6 +192,23 @@ object Similarity {
     topKInBuckets(q, corpusSide(bucketed), k)
   }
 
+  /** Filtered (two-sided) bucketed ANN: top-k neighbors for `queries` drawn
+    * from a `corpus` that has already been restricted by a metadata
+    * predicate (label/language/licence — the filtered-vector-search case).
+    * The filter applies BEFORE bucketing, so the index is built on exactly
+    * the searchable set: at high selectivity a post-filter strategy k-cuts
+    * then discards most candidates, while pre-filter keeps every scored
+    * candidate eligible. Same bucket-local join shape as [[lshTopK]]; size
+    * `planes` from the FILTERED corpus count so occupancy stays on target.
+    */
+  def lshTopKFiltered(queries: DataFrame, corpus: DataFrame,
+                      planes: Array[Array[Double]], k: Int): DataFrame = {
+    val q = lshBuckets(queries, planes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"), col("bucket"))
+    topKInBuckets(q, corpusSide(lshBuckets(corpus, planes)), k)
+  }
+
   /** Multi-probe LSH ANN top-k: each query searches its own bucket AND the
     * `nPlanes` buckets one sign-flip away (Hamming-1 neighbors of its
     * bucket id) — the standard trick to recover recall lost to boundary

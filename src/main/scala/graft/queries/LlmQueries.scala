@@ -244,6 +244,19 @@ object LlmQueries extends QueryPack {
       Similarity.lshTopKMultiProbe(emb, adaptivePlanes(emb.count()), k = 5)
     },
 
+    // Filtered ANN: top-5 neighbors for the id<50 query set drawn ONLY from
+    // the label=3 slice — the metadata-restricted vector search every real
+    // corpus needs (search within a language/licence/source). The filter
+    // applies before bucketing and the plane count is sized from the
+    // FILTERED corpus count, so index occupancy stays on target however
+    // selective the predicate.
+    "ann_filtered" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("label") === 3)
+      Similarity.lshTopKFiltered(emb.filter(col("vec_id") < 50), corpus,
+        adaptivePlanes(corpus.count()), k = 5)
+    },
+
     // Int8-quantized ANN with exact re-rank: symmetric per-vector int8
     // codes score bucket-local candidates (integer dot, 4x smaller reads),
     // top k*oversample survivors re-ranked by exact float cosine. The
@@ -570,11 +583,14 @@ object LlmQueries extends QueryPack {
   // arithmetic in any engine, no float-log2 parity to defend.
   private def planeSqlLit(p: Array[Double]): String =
     p.map(sqlDouble).mkString("[", ", ", "]")
-  private def npCteSql: String =
+  private def npCteSql: String = npCteSqlOver("embeddings")
+  // plane count sized from an arbitrary source relation — the filtered-ANN
+  // oracle counts the FILTERED corpus, mirroring adaptivePlanes(corpus.count)
+  private def npCteSqlOver(src: String): String =
     s"""np AS (SELECT greatest(4, (
        |  SELECT min(p) FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p)
        |  WHERE (CAST(1 AS BIGINT) << p) * $LshTargetOcc >=
-       |        (SELECT count(*) FROM embeddings))) AS np)""".stripMargin
+       |        (SELECT count(*) FROM $src))) AS np)""".stripMargin
   private def bucketSql: String = PlanesMaster.zipWithIndex.map { case (p, i) =>
     s"(CASE WHEN $i < np.np AND list_sum(list_transform(range(1,65), " +
       s"j -> CAST(embedding[j] AS DOUBLE) * (${planeSqlLit(p)})[j])) >= 0 " +
@@ -713,6 +729,19 @@ object LlmQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH ${npCteSqlOver("(SELECT * FROM embeddings WHERE label = 3)")},
+         |cq AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |       FROM embeddings, np WHERE label = 3),
+         |qq AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |       FROM embeddings, np WHERE vec_id < 50)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM qq q JOIN cq c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
          |WHERE rank <= 5""".stripMargin,
     // mirrors int8TopK step by step: same quantization arithmetic (floor
     // and the double products are identical IEEE ops), same oversample

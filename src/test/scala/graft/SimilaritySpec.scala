@@ -143,6 +143,22 @@ class SimilaritySpec extends SparkTestBase {
     assert((ids union droppedIds) === all)
   }
 
+  test("lshTopKFiltered: neighbors come only from the filtered corpus, cosines exact") {
+    val corpus = emb.filter($"label" === 3)
+    val corpusIds = corpus.select("vec_id").as[Long].collect().toSet
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    val res = Similarity.lshTopKFiltered(emb.filter($"vec_id" < 20), corpus, planes, k = 5)
+    val rows = res.collect()
+    assert(rows.nonEmpty, "filtered ANN found no candidates — bucketing broken?")
+    assert(rows.forall(r => corpusIds.contains(r.getAs[Long]("neighbor_id"))),
+      "a neighbor escaped the metadata filter")
+    // cosines must equal brute force over the same filtered corpus
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" < 20), corpus, k = 2000)
+      .select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    assert(res.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs($"cos" - $"bcos") > 1e-12).count() === 0)
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     val a = Similarity.hyperplanes(4, 8, 7L)
     val b = Similarity.hyperplanes(4, 8, 7L)
