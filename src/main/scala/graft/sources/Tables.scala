@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType}
+import org.apache.spark.sql.Column
 
 /** Readers for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -23,16 +24,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; the session sets `spark.sql.legacy.parquet.nanosAsLong=true`
-    * and this reader truncates to microseconds (`ts DIV 1000` — integral, no
-    * double round-trip) to match DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (rejected by the vectorized
+    * reader — the session sets `spark.sql.legacy.parquet.nanosAsLong=true`
+    * and we truncate `ts DIV 1000` to microseconds, integral, no double
+    * round-trip) and plain TIMESTAMP(µs) with isAdjustedToUTC=false, which
+    * Spark reads as TIMESTAMP_NTZ. Both normalize to the session-TZ
+    * TIMESTAMP the query surface was written for (sessions run UTC, so the
+    * NTZ→LTZ cast is value-identical and matches DuckDB's TIMESTAMP).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.withColumn("ts", normalizeTs(col("ts"), raw.schema("ts").dataType))
+  }
+
+  /** The ts normalization above as a reusable column transform — streaming
+    * readers (which must re-declare the file schema) apply the same rule.
+    */
+  def normalizeTs(c: Column, physical: DataType): Column = physical match {
+    case LongType         => timestamp_micros(c.cast(LongType).divide(lit(1000)).cast(LongType)) // ns → µs, integral
+    case TimestampNTZType => c.cast("timestamp")
+    case _                => c
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
