@@ -42,7 +42,10 @@ object Tables {
     * readers (which must re-declare the file schema) apply the same rule.
     */
   def normalizeTs(c: Column, physical: DataType): Column = physical match {
-    case LongType         => timestamp_micros(c.cast(LongType).divide(lit(1000)).cast(LongType)) // ns → µs, integral
+    // `div` is SQL integral division — epoch-nanos (~1.7e18) exceed double's
+    // 53-bit mantissa, so Column./ (double division) would silently lose up
+    // to ~128 ns and shift the truncated µs by one.
+    case LongType         => timestamp_micros(call_function("div", c.cast(LongType), lit(1000L)))
     case TimestampNTZType => c.cast("timestamp")
     case _                => c
   }

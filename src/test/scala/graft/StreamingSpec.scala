@@ -19,14 +19,27 @@ class StreamingSpec extends SparkTestBase {
     d.toString
   }
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  // The physical encoding of `events.ts` varies across testdata generations
+  // (ns-as-Long vs µs-NTZ — see Tables.events). A streaming reader must
+  // declare its schema up front, so derive the ts field from what the batch
+  // reader actually sees and normalize with the SAME dispatch the batch path
+  // uses — hardcoding either encoding silently breaks when testdata is
+  // regenerated with the other.
+  private def physicalTsType(dir: String): DataType =
+    spark.read.parquet(dir).schema("ts").dataType
+
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventsStream = spark.readStream.schema(eventsSchema)
-    .parquet(streamDir)
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private def eventsStreamFrom(dir: String) = {
+    val tsType = physicalTsType(dir)
+    spark.readStream.schema(eventsSchema(tsType)).parquet(dir)
+      .withColumn("ts", graft.sources.Tables.normalizeTs(col("ts"), tsType))
+  }
+
+  private def eventsStream = eventsStreamFrom(streamDir)
 
   private def eventsBatch = graft.sources.Tables.events(spark, sf("sf0.001"))
 
@@ -53,11 +66,42 @@ class StreamingSpec extends SparkTestBase {
     val d = Files.createTempDirectory("graft_stream_dup")
     Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"), d.resolve("a.parquet"))
     Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"), d.resolve("b.parquet"))
-    val dupStream = spark.readStream.schema(eventsSchema).parquet(d.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val dupStream = eventsStreamFrom(d.toString)
     Streaming.drainToMemory(
       Streaming.dedupIngest(dupStream, "event_id", "ts"), "dedup_out", OutputMode.Append())
     assert(spark.table("dedup_out").count() === eventsBatch.count())
+  }
+
+  test("dual ts encodings (ns-Long and µs-NTZ) normalize identically through the stream path") {
+    // Regenerate the same events in BOTH physical encodings testdata has
+    // shipped with, stream each through eventsStreamFrom, and pin that the
+    // normalized timestamps agree with each other and with the batch reader.
+    // This is the fixture that breaks loudly if a future testdata generation
+    // flips encodings and someone hardcodes one of them again.
+    val base = eventsBatch.select("event_id", "ts").limit(2000)
+    val nsDir = Files.createTempDirectory("graft_enc_ns")
+    val ntzDir = Files.createTempDirectory("graft_enc_ntz")
+    base.select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(nsDir.toString)
+    base.select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(ntzDir.toString)
+    def streamed(dir: String, sink: String): Set[(Long, Long)] = {
+      val tsType = physicalTsType(dir)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType)))
+      val s = spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", graft.sources.Tables.normalizeTs(col("ts"), tsType))
+      Streaming.drainToMemory(s, sink, OutputMode.Append())
+      spark.table(sink).select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().toSet
+    }
+    val fromNs = streamed(nsDir.toString, "enc_ns_out")
+    val fromNtz = streamed(ntzDir.toString, "enc_ntz_out")
+    val batch = base.select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().toSet
+    assert(fromNs === batch, "ns-Long stream encoding diverged from batch")
+    assert(fromNtz === batch, "µs-NTZ stream encoding diverged from batch")
+    assert(fromNs.nonEmpty)
   }
 
   test("stream-stream join matches the equivalent batch interval join") {
