@@ -424,21 +424,27 @@ object TpchQueries extends QueryPack {
 
     // Q21-shaped waiting-orders: the double-correlated EXISTS/NOT-EXISTS
     // shape (multi-supplier order whose latest shipment came from exactly
-    // one supplier), decorrelated into two grouped passes over lineitem —
-    // no self-join fanout, both aggregates shuffle once on l_orderkey.
+    // one supplier), decorrelated into ONE grouped pass over lineitem: a
+    // single collect_set(shipdate, suppkey) per order — bounded by the
+    // per-order line count (~4–7 in TPC-H, schema-bounded at any SF) — then
+    // nsupp / max_ship / the sole-latest-shipper all fall out of codegen'd
+    // array HOFs over that set. Round 6 shipped this as two separate
+    // groupBy(l_orderkey) passes plus a join between them (three exchanges
+    // of lineitem mass on the same key, 3.3 s at sf0.1); one exchange now.
     // This testdata has no commit/receipt dates, so "kept the order
     // waiting" is "sole latest shipper" (max l_shipdate stands in).
     "tpch_q21" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
-      val multi = li.groupBy("l_orderkey")
-        .agg(max("l_shipdate").as("max_ship"), countDistinct("l_suppkey").as("nsupp"))
-        .filter(col("nsupp") > 1)
-        .select(col("l_orderkey").as("ok"), col("max_ship"))
       val sole = li
-        .join(multi, col("l_orderkey") === col("ok") && col("l_shipdate") === col("max_ship"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
         .groupBy("l_orderkey")
-        .agg(countDistinct("l_suppkey").as("nmax"), max("l_suppkey").as("late_supp"))
-        .filter(col("nmax") === 1)
+        .agg(collect_set(struct(col("l_shipdate").as("sd"), col("l_suppkey").as("sk"))).as("ls"))
+        .withColumn("nsupp", size(array_distinct(transform(col("ls"), x => x("sk")))))
+        .withColumn("max_ship", array_max(transform(col("ls"), x => x("sd"))))
+        .withColumn("late_supps", array_distinct(
+          transform(filter(col("ls"), x => x("sd") === col("max_ship")), x => x("sk"))))
+        .filter(col("nsupp") > 1 && size(col("late_supps")) === 1)
+        .select(col("l_orderkey"), col("late_supps")(0).as("late_supp"))
       val fOrders = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F").select("o_orderkey")
       sole.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")

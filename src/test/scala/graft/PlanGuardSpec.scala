@@ -101,15 +101,19 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join planned in q17:\n$p")
   }
 
-  test("tpch_q21: decorrelated EXISTS/NOT-EXISTS — no self-join fanout, no cartesian") {
+  test("tpch_q21: decorrelated EXISTS/NOT-EXISTS — ONE lineitem scan, no self-join fanout") {
     // the naive q21 plan correlates lineitem against itself twice per row;
-    // the decorrelated form is two grouped passes that shuffle on
-    // l_orderkey. Any CartesianProduct (or non-equi NLJ) here would be the
+    // round 6's decorrelation still scanned lineitem twice into two grouped
+    // passes plus a join (three exchanges on l_orderkey). The current form
+    // is a single collect_set pass: lineitem must be scanned ONCE and
+    // aggregated map-side; any CartesianProduct / non-equi NLJ would be the
     // O(n²) correlated shape leaking back in.
     val p = finalPlan("tpch_q21")
     assert(!p.contains("CartesianProduct"), s"correlated self-join shape planned:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi self-join planned:\n$p")
-    assert(p.contains("partial_max"), "per-order max must aggregate map-side")
+    val liScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(liScans === 1, s"lineitem scanned $liScans times — single-pass plan regressed:\n$p")
+    assert(p.contains("partial_collect_set"), "per-order set must aggregate map-side")
   }
 
   test("tpch_q9: fact joins orders on the shuffle key once; part/supplier/nation broadcast") {
