@@ -226,13 +226,41 @@ object Similarity {
     topKInBuckets(q, corpusSide(bucketed), k)
   }
 
-  /** IVF centroids by Lloyd iterations over DataFrame ops, deterministically
-    * seeded with the `nlist` lowest vec_ids. Element-wise centroid means via
-    * posexplode → (centroid, dim) average → re-assembled arrays; every step
-    * is a hash aggregation, so training scales with the corpus.
+  /** Per-list Lloyd training budget: classic IVF trains centroids on a
+    * bounded sample (~tens-to-hundreds of points per centroid), not the
+    * full corpus — centroid quality saturates long before that, and
+    * full-corpus training makes index BUILD cost n·nlist·iters, which at
+    * nlist~sqrt(n) is superlinear for the one phase that never needed the
+    * whole dataset. Assignment (the inverted lists themselves) always
+    * stays full-corpus.
     */
-  def ivfCentroids(df: DataFrame, nlist: Int, iters: Int = 2): DataFrame = {
+  val TrainPerList = 256L
+
+  /** IVF centroids by Lloyd iterations over DataFrame ops, deterministically
+    * seeded with the `nlist` lowest vec_ids. Training runs over a
+    * deterministic ~`TrainPerList*nlist`-row sample when the corpus exceeds
+    * it: keep vec_ids whose md5 32-bit prefix falls below cap/n of the hash
+    * space — a threshold filter, not an orderBy(md5).limit(cap), so no
+    * top-k of a million hashes funnels anywhere; the sampled set is exact,
+    * engine-independent, and its size concentrates at cap (binomial).
+    * Per-iteration centroid means are ONE hash aggregation: collect the
+    * (sample-bounded) member vectors per list and reduce element-wise —
+    * one shuffle per iteration, vs posexplode's two.
+    *
+    * Pass `n` when the caller already counted the corpus (chooseNList
+    * does); n < 0 counts here.
+    */
+  def ivfCentroids(df: DataFrame, nlist: Int, iters: Int = 2, n: Long = -1L): DataFrame = {
     val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    val total = if (n >= 0L) n else vecs.count()
+    val cap = TrainPerList * nlist
+    val train =
+      if (total <= cap) vecs
+      else {
+        val thresh = ((BigInt(cap) << 32) / BigInt(total)).toLong
+        vecs.filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") < thresh)
+      }
     // cid = the seed's own vec_id: deterministic (nlist lowest ids) and
     // distinct, which is all downstream needs — cid is only a join/group
     // key and a tie-break, so no dense 0..nlist-1 renumbering (the old
@@ -246,14 +274,17 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroid(vecs, centroids)
+      val assigned = assignToCentroid(train, centroids)
+      val zero = transform(element_at(col("vs"), 1), _ => lit(0.0))
+      // array_sort pins the member order (collect_list arrival order is
+      // shuffle-nondeterministic) so float summation order — and thus the
+      // trained centroids — are identical across runs
       centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .groupBy("cid").agg(array_sort(collect_list(col("v"))).as("vs"))
         .select(col("cid"),
-          transform(col("pm"), e => e.getField("m").cast("float")).as("c"))
+          transform(
+            aggregate(col("vs"), zero, (acc, v) => zip_with(acc, v, (s, x) => s + x)),
+            s => (s / size(col("vs"))).cast("float")).as("c"))
         .localCheckpoint(true)
     }
     centroids
@@ -282,31 +313,41 @@ object Similarity {
     * construction; cost drops ~nlist/nprobe. Defaults chosen from a
     * measured sweep at sf0.1 (10k×64d): recall@5 = 0.69 at nprobe=6 vs
     * 0.55 at nprobe=4, while extra Lloyd iterations move recall <0.02 —
-    * probe count, not centroid quality, is the operative knob.
+    * probe count, not centroid quality, is the operative knob. That same
+    * sweep sets iters=1: each extra round costs a full assign+mean pass
+    * over the training sample and buys <0.02 recall (the floor gate
+    * `ann_ivf_recall` re-measures at every SF).
     */
   def ivfTopK(df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 6,
-              iters: Int = 2): DataFrame = {
+              iters: Int = 1, n: Long = -1L): DataFrame = {
     val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
     // already materialized: ivfCentroids localCheckpoints its final round
-    val centroids = ivfCentroids(df, nlist, iters)
-    val corpus = assignToCentroid(vecs, centroids)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-        l2Norm(col("v")).as("cn"), col("cid"))
-    // top-nprobe centroids per query: hash-aggregate a (−score, cid) list
-    // per vector and slice — the shuffle moves 16-byte score structs (one
-    // full vector via first()), not nlist copies of the embedding, and no
-    // partition-wide sort happens (a rank window would shuffle+sort every
-    // scored row with its vector attached)
-    val probes = fanOut(vecs).withColumn("qn", l2Norm(col("v")))
+    val centroids = ivfCentroids(df, nlist, iters, n)
+    // ONE scored pass over the corpus: each vector ranks all centroids
+    // once; its inverted-list assignment IS probe[0] (same (-score, cid)
+    // tie-break as the old separate max_by), so corpus assignment and the
+    // top-nprobe probe list come out of the same hash aggregation instead
+    // of two full crossJoin passes. The shuffle moves 16-byte score
+    // structs (one full vector via first()), not nlist embedding copies,
+    // and no partition-wide sort happens (a rank window would shuffle+sort
+    // every scored row with its vector attached). localCheckpoint because
+    // both the corpus side and the probe side read this frame — the
+    // materialization is one corpus-sized pass, strictly cheaper than
+    // re-scoring n×nlist twice (an IVF build materializes its inverted
+    // lists in any engine).
+    val ranked = fanOut(vecs).withColumn("vn", l2Norm(col("v")))
       .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
-      .withColumn("score", dot(col("v"), col("c")) / (col("qn") * col("cn")))
+      .withColumn("score", dot(col("v"), col("c")) / (col("vn") * col("cn")))
       .groupBy("vec_id")
-      .agg(first(col("v")).as("qv"), first(col("qn")).as("qn"),
+      .agg(first(col("v")).as("v"), first(col("vn")).as("vn"),
         slice(array_sort(collect_list(
           struct((-col("score")).as("ns"), col("cid").as("cid")))),
           1, nprobe).as("probe"))
-      .select(col("vec_id").as("query_id"), col("qv"), col("qn"),
-        explode(col("probe.cid")).as("cid"))
+      .localCheckpoint(true)
+    val corpus = ranked.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("vn").as("cn"), col("probe")(0)("cid").as("cid"))
+    val probes = ranked.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("vn").as("qn"), explode(col("probe.cid")).as("cid"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     probes.join(corpus, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -278,9 +278,10 @@ object LlmQueries extends QueryPack {
     // measured via RecallProbe — see IvfRecallFloorPct).
     "ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val nlist = Similarity.chooseNList(emb.count())
+      val n = emb.count()
+      val nlist = Similarity.chooseNList(n)
       Similarity.ivfTopK(emb, k = 5, nlist = nlist,
-        nprobe = Similarity.chooseNProbe(nlist))
+        nprobe = Similarity.chooseNProbe(nlist), n = n)
     },
 
     // Driver-visible IVF recall gate — the oracle-able face of ann_ivf
@@ -296,9 +297,10 @@ object LlmQueries extends QueryPack {
       val brute = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") % 4 === 0), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_b"))
-      val nlist = Similarity.chooseNList(emb.count())
+      val n = emb.count()
+      val nlist = Similarity.chooseNList(n)
       val ivf = Similarity.ivfTopK(emb, k = 5, nlist = nlist,
-          nprobe = Similarity.chooseNProbe(nlist))
+          nprobe = Similarity.chooseNProbe(nlist), n = n)
         .filter(col("query_id") % 4 === 0)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_v"))
       brute.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
