@@ -311,6 +311,92 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Chunk-level NEAR-dup pairs — the mutation-tolerant half of
+    * [[chunkDupGroups]]: exact window fingerprints miss boilerplate that
+    * mutates slightly between documents (dates, names, group tags), so
+    * this variant MinHash-bands each chunk's within-chunk shingle set and
+    * verifies candidates with exact Jaccard — [[minhashLshPairs]] applied
+    * at the chunk grain, (doc, chunk_pos) as the unit of identity.
+    *
+    * Output: one row per qualifying CROSS-document chunk pair
+    * `(id_a, pos_a, id_b, pos_b, jaccard)` with `id_a < id_b`; intra-doc
+    * repetition stays [[TextOps.dupShingleRatio]]'s job, mirroring
+    * [[chunkDupGroups]]'s distinct-docs semantics. Chunks shorter than
+    * `n` tokens have no shingles and never pair (their exact-dup case is
+    * [[chunkDupGroups]]'s).
+    *
+    * Band geometry defaults to r=2 slots × 16 bands (k=32): at the 0.8
+    * verification threshold a true pair collides in ≥1 band with
+    * P ≈ 1 − (1−0.8²)^16 ≈ 1 − 8e-8, so the banded output is the exact
+    * threshold contract for practical purposes — the property the oracle
+    * checks. (The whole-document [[minhashLshPairs]] keeps r=4: its
+    * corpus pairs sit near J≈1 where r=4 already misses ~1e-9, and wider
+    * bands quarter its candidate volume.)
+    *
+    * Scale shape: explode to chunks (linear), k hash columns + min per
+    * chunk (one hash agg), banded self-join on (band, bandHash) — the
+    * candidate mass tracks true near-dup density like every banding join
+    * here; `maxBandFreq` is the [[simhashPairs]]-style hot-bucket cap
+    * (buckets over the cap are dropped and counted out loud; pairs
+    * colliding only in dropped buckets are missed).
+    */
+  def chunkNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                        chunkSize: Int, n: Int = 3, k: Int = 32,
+                        bands: Int = 16, threshold: Double = 0.8,
+                        maxBandFreq: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    // chunk shingle sets feed signature hashing AND both verification
+    // joins; localCheckpoint for the same no-leak reason as
+    // [[ngramJaccardPairs]]'s index
+    val chunks = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        posexplode(TextOps.chunkTokens(col("toks"), chunkSize, 0))
+          .as(Seq("pos", "chunk")))
+      .select(col("id"), col("pos"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col("chunk")), n).as("sh"))
+      .localCheckpoint(false)
+    val hashed = chunks.select(col("id"), col("pos"), explode(col("sh")).as("shingle"))
+      .select(col("id") +: col("pos") +:
+        (0 until k).map(i => xxhash64(concat(col("shingle"), lit(s"#$i"))).as(s"h$i")): _*)
+    val sigs = hashed.groupBy("id", "pos")
+      .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val banded0 = sigs.select(col("id"), col("pos"), explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("pos"), col("bb.band"), col("bb.bh"))
+    val banded = if (maxBandFreq == Long.MaxValue) banded0 else {
+      val ck = banded0.localCheckpoint(false)
+      val hot = ck.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxBandFreq)
+        .localCheckpoint(false)
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(s"[graft] chunkNearDupPairs: dropped $nHot hot band " +
+          s"bucket(s) exceeding maxBandFreq=$maxBandFreq — pairs colliding " +
+          "only in dropped buckets are missed")
+      ck.join(hot.select("band", "bh"), Seq("band", "bh"), "left_anti")
+    }
+    val candidates = banded
+      .select(col("id").as("id_a"), col("pos").as("pos_a"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "pos_a", "id_b", "pos_b").distinct()
+    candidates
+      .join(chunks.select(col("id").as("id_a"), col("pos").as("pos_a"),
+        col("sh").as("sh_a")), Seq("id_a", "pos_a"))
+      .join(chunks.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("sh").as("sh_b")), Seq("id_b", "pos_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "pos_a", "id_b", "pos_b", "jaccard")
+  }
+
   /** 64-bit SimHash over the distinct token set (weight 1 per token): for
     * each bit, majority vote of token-hash bits. Pure column expressions —
     * 64 codegen'd subexpressions, no UDF.

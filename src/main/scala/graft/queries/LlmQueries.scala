@@ -162,6 +162,32 @@ object LlmQueries extends QueryPack {
       Dedup.stripDupChunks(docs, "text", "doc_id", chunkSize = 32, minDocs = 2)
     },
 
+    // Chunk-level NEAR-dup pairs — boilerplate that MUTATES between
+    // documents (dates, names), which dd_chunk_dedup's exact window
+    // fingerprint cannot see. Planted non-vacuously: every doc_id % 31
+    // doc gets a 32-token paragraph carrying TWO group-tag tokens
+    // (doc_id DIV 124 → bounded groups of 4 planted docs, so pair mass
+    // stays LINEAR in corpus size at every SF) and a one-token date
+    // mutation on the % 62 half ("four" → "five"). Within a group:
+    // exact copies pair at J = 1 and exact-vs-mutated at J = 27/33 ≈
+    // 0.818 ≥ 0.8 — the near-dup case the exact hash misses; across
+    // groups the two differing tag tokens push J to 24/36 ≈ 0.667 < 0.8.
+    "dd_chunk_neardup" -> { (s, dir) =>
+      val gTag = expr("doc_id DIV 124").cast("string")
+      val para = concat(
+        lit("subscribe to our newsletter g"), gTag,
+        lit(" the latest updates terms of service apply h"), gTag,
+        lit(" rights reserved click here to unsubscribe from this mailing " +
+          "list copyright two thousand twenty "),
+        when(col("doc_id") % 62 === 0, lit("five")).otherwise(lit("four")),
+        lit(" inc privacy policy cookies"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 31 === 0, concat(para, lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.chunkNearDupPairs(docs, "text", "doc_id", chunkSize = 32,
+        n = 3, k = 32, bands = 16, threshold = JaccardThreshold)
+    },
+
     // SimHash near-dup pairs (hash-internal values → rows-only; asserted
     // against the Jaccard pairs in DedupSpec).
     "dd_simhash" -> { (s, dir) =>
@@ -659,6 +685,37 @@ object LlmQueries extends QueryPack {
          |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
          |  coalesce(ka.n_kept, 0) AS n_kept
          |FROM d LEFT JOIN ka USING (doc_id)""".stripMargin,
+    // chunk near-dup: same planted corpus, chunk grain, exact Jaccard over
+    // within-chunk trigram shingles — the banded Spark path's output
+    // CONTRACT (r=2×16 bands make the banding miss ~8e-8 at J=0.8)
+    "dd_chunk_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN
+         |    'subscribe to our newsletter g' || CAST(doc_id // 124 AS VARCHAR) ||
+         |    ' the latest updates terms of service apply h' || CAST(doc_id // 124 AS VARCHAR) ||
+         |    ' rights reserved click here to unsubscribe from this mailing list copyright two thousand twenty ' ||
+         |    CASE WHEN doc_id % 62 = 0 THEN 'five' ELSE 'four' END ||
+         |    ' inc privacy policy cookies' || ' ' || text
+         |  ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |        CAST(greatest(ceil(len(string_split(text,' '))/32.0), 1) AS INTEGER) AS nc
+         |      FROM d),
+         |c AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS pos,
+         |        t.toks[p.i*32+1 : p.i*32+32] AS ctoks
+         |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+         |      WHERE p.i < t.nc),
+         |s AS (SELECT doc_id, pos,
+         |        list_distinct(list_transform(range(greatest(len(ctoks)-2,0)),
+         |          i -> ctoks[i+1] || ' ' || ctoks[i+2] || ' ' || ctoks[i+3])) AS sh
+         |      FROM c),
+         |ex AS (SELECT doc_id, pos, len(sh) AS n, unnest(sh) AS shingle FROM s),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b,
+         |         count(*) AS co, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2,3,4)
+         |SELECT id_a, pos_a, id_b, pos_b, co*1.0/(n_a+n_b-co) AS jaccard
+         |FROM pairs WHERE co*1.0/(n_a+n_b-co) >= $JaccardThreshold""".stripMargin,
     "dd_dedup_corpus" ->
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents

@@ -3,13 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
-/** Time a single SparkEntry query by name (2 runs: cold + warm) — the
+/** Time SparkEntry queries by name (2 runs each: cold + warm) — the
   * per-query iteration loop behind Bench. Not part of the library surface.
-  * Usage: runMain graft.tools.QueryTime <queryName> [sfDir]
+  * Usage: runMain graft.tools.QueryTime <name>[,<name>...] [sfDir]
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,7 +18,7 @@ object QueryTime {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (run <- 1 to 2) {
+    for (name <- names; run <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"[qt] $name run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

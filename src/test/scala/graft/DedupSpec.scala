@@ -197,4 +197,44 @@ class DedupSpec extends SparkTestBase {
   test("dd_chunk_dedup's planted boilerplate is exactly one 32-token window") {
     assert(graft.queries.LlmQueries.BoilerPara.split(" ").length === 32)
   }
+
+  test("chunkNearDupPairs: mutated boilerplate pairs across docs; exact hash misses it") {
+    // the near-dup case chunkDupGroups cannot see: the shared paragraph
+    // mutates one token between documents (a date flip), so its window
+    // fingerprints differ but chunk-level Jaccard stays 27/33 ≈ 0.818
+    val para = graft.queries.LlmQueries.BoilerPara // 32 tokens, "four" interior
+    val mutated = para.replace("four", "five")
+    def filler(tag: String) = (1 to 32).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$para ${filler("fa")}"),    // chunk 0 = exact para
+      (2L, s"$mutated ${filler("fb")}"), // chunk 0 = mutated para
+      (3L, para),                        // exact copy of doc 1's chunk 0
+      (4L, filler("fc"))                 // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkNearDupPairs(corpus, "text", "doc_id", chunkSize = 32)
+      .select("id_a", "pos_a", "id_b", "pos_b", "jaccard")
+      .as[(Long, Int, Long, Int, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 0, 2L, 0, 27.0 / 33.0),  // exact vs mutated — the near-dup case
+      (1L, 0, 3L, 0, 1.0),
+      (2L, 0, 3L, 0, 27.0 / 33.0)),
+      "exactly the three boilerplate chunk pairs qualify, nothing from fillers")
+    // the exact-window detector groups only the identical copies {1, 3}
+    val exact = Dedup.chunkDupGroups(corpus, "text", "doc_id", chunkSize = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(1L, 3L), "exact hash must not group the mutated doc")
+  }
+
+  test("chunkNearDupPairs: intra-doc repeats don't pair; maxBandFreq caps hot buckets") {
+    val para = graft.queries.LlmQueries.BoilerPara
+    val intra = Seq((1L, s"$para $para")).toDF("doc_id", "text")
+    assert(Dedup.chunkNearDupPairs(intra, "text", "doc_id", chunkSize = 32).count() === 0,
+      "identical chunks within ONE doc must not pair (id_a < id_b is cross-doc)")
+    val hot = (10L to 14L).map(i => (i, para)).toDF("doc_id", "text")
+    // 5 identical docs -> C(5,2) = 10 pairs uncapped; every band bucket
+    // holds all 5 chunks, so a cap of 4 drops them all (and says so)
+    assert(Dedup.chunkNearDupPairs(hot, "text", "doc_id", chunkSize = 32).count() === 10)
+    assert(Dedup.chunkNearDupPairs(hot, "text", "doc_id", chunkSize = 32,
+      maxBandFreq = 4).count() === 0)
+  }
 }

@@ -129,6 +129,29 @@ EXPLAINED = {
         "DuckDB sample 0.07 s sits just over the floor so the ~0.37 s "
         "excess crosses the 0.35 s constant bound [waiver added r6 with "
         "the query itself]"),
+    # round-6's late TPC-H wave, measured r7 (warm, 10x data sf0.01 ->
+    # sf0.1): every one sublinear — the excess over DuckDB is the 5-8
+    # broadcast-join/agg stage constants, not a data term. Plans verified:
+    # dims broadcast, semi/anti joins, decorrelated subqueries
+    # (PlanGuardSpec pins q9/q17/q21).
+    "tpch_q2": (6.0, "constant-dominated: 1.31 s @sf0.01 vs 1.87 s @sf0.1 "
+        "warm (+43% on 10x data); 8-stage min-cost-supplier plan, all "
+        "dims broadcast"),
+    "tpch_q7": (4.0, "constant-dominated: 0.70 s @sf0.01 vs 1.30 s @sf0.1 "
+        "warm; volume-shipping double dim join, both sides broadcast"),
+    "tpch_q8": (4.0, "constant-dominated: 0.79 s @sf0.01 vs 1.20 s @sf0.1 "
+        "warm; market-share two-level agg over broadcast dims"),
+    "tpch_q9": (3.0, "constant-dominated: 0.61 s @sf0.01 vs 0.90 s @sf0.1 "
+        "warm; profit agg, dims broadcast (plan-guarded)"),
+    "tpch_q12": (2.0, "constant-dominated: 0.32 s @sf0.01 vs 0.67 s "
+        "@sf0.1 warm; single shipmode agg join"),
+    "ta_vocab_topk": (2.0, "constant-dominated: 0.33 s @sf0.01 vs 0.54 s "
+        "@sf0.1 warm; coverage curve is a k-row (k=31) broadcast "
+        "self-join, bounded by k^2 pairs"),
+    "tpch_q21": (4.5, "single-pass rewrite r7 (one lineitem exchange, "
+        "plan-guarded): 0.62 s @sf0.01 vs 1.56 s @sf0.1 warm; remaining "
+        "excess over DuckDB (0.24 s) is the semi-join + final-agg stage "
+        "constants on a real but sublinear data term"),
 }
 
 
