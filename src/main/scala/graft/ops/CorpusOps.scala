@@ -86,10 +86,11 @@ object CorpusOps {
     *
     * Shuffle plan: one explode + hash agg for (tf, df) — map-side combined
     * — then a distributed top-k (TakeOrderedAndProject, no global sort).
-    * Rank and running share over the k survivors are computed by a
-    * broadcast lexicographic self-join over k rows (k², but k is the vocab
-    * cut, not the corpus), NOT a single-partition window — so no stage ever
-    * funnels through one task regardless of corpus size.
+    * Rank and running share are an unpartitioned running-sum window over
+    * the k SURVIVORS of the limit — the frame is k rows by construction
+    * (the vocab cut, not the corpus), and TakeOrderedAndProject already
+    * lands those k rows in one partition, so the window adds no funnel a
+    * corpus-sized input could widen.
     */
   def vocabTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
@@ -99,15 +100,14 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"), countDistinct("__doc").as("df"))
     val total = tf.agg(sum("tf").as("total_tf"))
     val top = tf.orderBy(col("tf").desc, col("token").asc).limit(k)
-    val prior = broadcast(top.select(col("tf").as("tf2"), col("token").as("token2")))
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
     top
-      .join(prior, col("tf2") > col("tf")
-        || (col("tf2") === col("tf") && col("token2") <= col("token")))
-      .groupBy("token", "tf", "df")
-      .agg(count(lit(1)).as("rank"), sum("tf2").as("cum_tf"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf", sum("tf").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))
-      .select(col("rank"), col("token"), col("tf"), col("df"),
-        (col("cum_tf") / col("total_tf")).as("cum_share"))
+      .select(col("rank").cast("long").as("rank"), col("token"), col("tf"),
+        col("df"), (col("cum_tf") / col("total_tf")).as("cum_share"))
   }
 
   def bigramCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
