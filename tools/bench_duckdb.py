@@ -152,6 +152,16 @@ EXPLAINED = {
         "plan-guarded): 0.62 s @sf0.01 vs 1.56 s @sf0.1 warm; remaining "
         "excess over DuckDB (0.24 s) is the semi-join + final-agg stage "
         "constants on a real but sublinear data term"),
+    # two r6-era queries whose stable warm times on the driver host sit
+    # just over the 0.35 s constant bound (passed on the quieter judge
+    # host r6; driver r6 detail and r7 re-measure agree to the ms):
+    "f2_combo_union": (1.5, "constant-dominated: 0.48 s @sf0.01 vs 0.49 s "
+        "@sf0.1 warm (flat on 10x data); the query IS the 4-branch "
+        "union idiom (one filtered events scan per combo, reference's "
+        "Jinja loop), so its floor is 4 scan-stage constants"),
+    "j6_theta_residual": (2.0, "constant-dominated: 0.47 s @sf0.01 vs "
+        "0.56 s @sf0.1 warm (+20% on 10x data); equi-join with OR "
+        "residual, two exchanges + probe stage constants"),
 }
 
 
