@@ -302,4 +302,56 @@ object CorpusOps {
           % nShards.toLong).cast("int"))
       .withColumn("shard_pos", row_number().over(w))
   }
+
+  /** Domain-targeted importance sampling — the data-selection step that
+    * upweights corpus documents resembling a target domain (DSIR-family,
+    * "Data Selection for Language Models via Importance Resampling",
+    * Xie et al. 2023, arXiv:2302.03169). The published method scores docs
+    * by a log-likelihood ratio of hashed-n-gram LMs; transcendentals are
+    * not bit-reproducible across engines (see [[bm25]]'s ln note), so this
+    * adaptation scores by INTEGER per-token votes: token w votes for a doc
+    * iff it is overrepresented in the target slice,
+    * `t_cnt(w) * C > c_cnt(w) * T` (exact int64 cross-multiplication of
+    * occurrence counts against total token masses — products stay under
+    * 2^63 up to ~3e9-token corpora per side; beyond that, cast the
+    * products to decimal). The doc's `target_share` = votes / n_tok is
+    * one IEEE divide of exact integers, the keep rate is the clamped
+    * linear ramp `(share - floor) * slope`, and acceptance compares
+    * against [[hashUniform]] — fully deterministic, no RNG, engine-exact.
+    *
+    * Shuffle plan at 100 TB: two token-keyed hash aggregations build the
+    * corpus/target count tables (map-side combined; vocabulary-sized
+    * output), the token stream joins them on the token key (AQE broadcasts
+    * when the vocab fits, sort-merge on the token key otherwise — cap the
+    * vocab by min-count to force the broadcast), the corpus-mass totals
+    * ride a 1-row broadcast, and one groupBy(doc) folds votes. The corpus
+    * itself shuffles once (the doc-keyed fold).
+    */
+  def dsirSample(df: DataFrame, textCol: String, idCol: String,
+                 sourceCol: String, targetSource: String,
+                 floorShare: Double = 0.3, slope: Double = 2.5): DataFrame = {
+    val toks = df.select(col(idCol), col(sourceCol),
+      explode(TextOps.tokens(col(textCol))).as("__w"))
+    val corpusCnt = toks.groupBy("__w").agg(count(lit(1)).as("__c_cnt"))
+    val targetCnt = toks.filter(col(sourceCol) === targetSource)
+      .groupBy("__w").agg(count(lit(1)).as("__t_cnt"))
+    val totals = toks.agg(
+      count(lit(1)).as("__c_tot"),
+      sum(when(col(sourceCol) === targetSource, 1L).otherwise(0L)).as("__t_tot"))
+    val vote = when(
+      coalesce(col("__t_cnt"), lit(0L)) * col("__c_tot") >
+        col("__c_cnt") * col("__t_tot"), 1L).otherwise(0L)
+    val scored = toks
+      .join(corpusCnt, "__w")
+      .join(targetCnt, Seq("__w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(sum(vote).as("votes"), count(lit(1)).as("n_tok"))
+    val share = col("votes").cast("double") / col("n_tok")
+    val keepRate = least(lit(1.0), greatest(lit(0.0), (share - floorShare) * slope))
+    scored.select(col(idCol), col(sourceCol),
+      col("votes"), col("n_tok"),
+      share.as("target_share"),
+      (hashUniform(col(idCol)) < keepRate).as("keep"))
+  }
 }

@@ -147,4 +147,33 @@ object TextOps {
     when(total === 0, lit(0.0))
       .otherwise(lit(1.0) - size(shingles(text, n)).cast("double") / total)
   }
+
+  /** Gopher/C4-style quality-rule cascade: the ordered rejection rules a
+    * web-corpus filter applies before training, each named so rejects can
+    * be ACCOUNTED per rule (the per-rule reject histogram is how such
+    * filters are tuned). Thresholds are corpus-calibrated knobs, not
+    * constants of nature — these defaults discriminate on the synthetic
+    * corpus (each length/stopword/repetition rule fires on a real tail)
+    * while `too_symbolic` exists for hostile input and is pinned by test.
+    *
+    * Every rule is a pure column predicate over ratios whose double
+    * arithmetic is bit-identical cross-engine (same building blocks as
+    * [[qualityScore]]), so the verdicts are oracle-comparable. Single
+    * scan, no shuffle, whole-stage codegen.
+    */
+  def cascadeRules(text: Column): Seq[(String, Column)] = Seq(
+    "too_short"     -> (size(tokens(text)) < 20),
+    "bad_token_len" -> (avgTokenLen(text) < 4.0 || avgTokenLen(text) > 5.2),
+    "too_symbolic"  -> (punctRatio(text) > 0.1),
+    "low_stopword"  -> (stopwordRatio(text) < 0.02),
+    "repetitive"    -> (dupShingleRatio(text, n = 3) > 0.01))
+
+  /** Name of the first cascade rule that fires, null when the doc passes —
+    * "first" in the declared rule order, which makes reject accounting
+    * deterministic regardless of evaluation order.
+    */
+  def firstReject(rules: Seq[(String, Column)]): Column =
+    rules.foldRight(lit(null).cast("string")) {
+      case ((name, cond), acc) => when(cond, lit(name)).otherwise(acc)
+    }
 }

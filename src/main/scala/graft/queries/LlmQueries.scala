@@ -354,6 +354,27 @@ object LlmQueries extends QueryPack {
         TextOps.qualityScore(t).as("quality_score"))
     },
 
+    // Quality-rule cascade with per-rule accounting: every Gopher/C4-style
+    // rejection rule as a named verdict column plus the first firing rule —
+    // the reject histogram a corpus-filter tuning loop reads. Single scan,
+    // codegen'd predicates, no shuffle.
+    "ta_filter_cascade" -> { (s, dir) =>
+      val rules = TextOps.cascadeRules(col("text"))
+      val ruleCols = rules.map { case (name, c) => c.as(name) }
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: ruleCols) :+
+          rules.map(_._2).reduce(_ || _).unary_!.as("keep") :+
+          TextOps.firstReject(rules).as("first_reject"): _*)
+    },
+
+    // DSIR-style domain importance sampling (integer-vote adaptation, see
+    // CorpusOps.dsirSample): docs resembling the src7 slice keep at a
+    // higher deterministic rate.
+    "ta_dsir_sample" -> { (s, dir) =>
+      CorpusOps.dsirSample(Tables.documents(s, dir), "text", "doc_id",
+        "source", targetSource = "src7")
+    },
+
     // Marker-based language ID with deterministic tie order, scored against
     // the labeled lang column.
     "ta_langid" -> { (s, dir) =>
@@ -946,6 +967,32 @@ object LlmQueries extends QueryPack {
         |FROM documents d JOIN rate r ON d.source = r.source
         |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
         |      / 4294967296E0 < r.keep""".stripMargin,
+    // mirrors dsirSample: integer vote cross-multiplication, one IEEE
+    // divide for the share, clamped linear ramp, md5-uniform acceptance.
+    "ta_dsir_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |cc AS (SELECT w, count(*) AS c_cnt FROM tok GROUP BY 1),
+        |tc AS (SELECT w, count(*) AS t_cnt FROM tok WHERE source = 'src7' GROUP BY 1),
+        |tot AS (SELECT
+        |  CAST((SELECT count(*) FROM tok) AS BIGINT) AS c_tot,
+        |  CAST((SELECT count(*) FROM tok WHERE source = 'src7') AS BIGINT) AS t_tot),
+        |per AS (
+        |  SELECT t.doc_id, any_value(t.source) AS source,
+        |    CAST(SUM(CASE WHEN COALESCE(tc.t_cnt, 0) * tot.c_tot
+        |                       > cc.c_cnt * tot.t_tot
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS votes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM tok t JOIN cc ON t.w = cc.w LEFT JOIN tc ON t.w = tc.w, tot
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, source, votes, n_tok,
+        |  CAST(votes AS DOUBLE) / n_tok AS target_share,
+        |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |    / 4294967296E0
+        |  < least(1.0, greatest(0.0, (CAST(votes AS DOUBLE) / n_tok - 0.3) * 2.5))
+        |  AS keep
+        |FROM per""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),
@@ -1016,6 +1063,46 @@ object LlmQueries extends QueryPack {
         |    - CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text))
         |    AS quality_score
         |FROM documents""".stripMargin,
+    // same ratio fragments as ta_quality/ta_repetition; verdicts are
+    // boolean comparisons on bit-identical doubles, so cell-exact.
+    "ta_filter_cascade" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    CAST(length(replace(text,' ','')) AS DOUBLE)
+        |      / len(string_split(text,' ')) AS avg_len,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)
+        |              / length(text) END AS punct,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the','and','of','is','in','to','a'))) AS DOUBLE)
+        |      / len(string_split(text,' ')) AS stopr,
+        |    CASE WHEN greatest(len(string_split(text,' ')) - 2, 0) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |                range(greatest(len(string_split(text,' '))-2,0)),
+        |                i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |                     || ' ' || string_split(text,' ')[i+3]))) AS DOUBLE)
+        |              / greatest(len(string_split(text,' ')) - 2, 0)
+        |    END AS dup3
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    n_tokens < 20 AS too_short,
+        |    avg_len < 4.0 OR avg_len > 5.2 AS bad_token_len,
+        |    punct > 0.1 AS too_symbolic,
+        |    stopr < 0.02 AS low_stopword,
+        |    dup3 > 0.01 AS repetitive
+        |  FROM m)
+        |SELECT doc_id, too_short, bad_token_len, too_symbolic, low_stopword,
+        |  repetitive,
+        |  NOT (too_short OR bad_token_len OR too_symbolic OR low_stopword
+        |       OR repetitive) AS keep,
+        |  CASE WHEN too_short THEN 'too_short'
+        |       WHEN bad_token_len THEN 'bad_token_len'
+        |       WHEN too_symbolic THEN 'too_symbolic'
+        |       WHEN low_stopword THEN 'low_stopword'
+        |       WHEN repetitive THEN 'repetitive' END AS first_reject
+        |FROM v""".stripMargin,
     "ta_langid" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -255,4 +255,26 @@ class CorpusOpsSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("shard"))
   }
+
+  test("dsirSample: integer votes, exact share, deterministic acceptance") {
+    val docs = Seq(
+      (1L, "t", "zebra yak zebra yak"),
+      (2L, "o", "cat dog cat dog"),
+      (3L, "o", "zebra yak cat dog")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.dsirSample(docs, "text", "doc_id", "source", "t")
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // C=12, T=4; zebra/yak: t_cnt=2 -> 2*12 > 3*4 votes; cat/dog: 0 votes
+    assert(out(1L)._3 == 4L && out(1L)._4 == 4L && out(1L)._5 == 1.0)
+    assert(out(2L)._3 == 0L && out(2L)._5 == 0.0)
+    assert(out(3L)._3 == 2L && out(3L)._5 == 0.5)
+    // keep: rate(1.0 share)=1 -> always kept; rate(0)=0 -> never;
+    // doc 3 rate=(0.5-0.3)*2.5=0.5, compare vs the md5 32-bit uniform
+    assert(out(1L)._6 && !out(2L)._6)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val uniform = java.lang.Long.parseLong(md.substring(0, 8), 16) / 4294967296.0
+    assert(out(3L)._6 == (uniform < 0.5))
+  }
 }

@@ -83,4 +83,28 @@ class EdgeCaseSpec extends SparkTestBase {
     // nlist > corpus size: every vector seeds its own centroid
     assert(Similarity.ivfTopK(tiny, k = 2, nlist = 16, nprobe = 6).count() > 0)
   }
+
+  test("filter cascade: rule order pins first_reject; hostile docs survive") {
+    // 20 five-char tokens, 40% punct chars: only too_symbolic (and later
+    // rules) fire, so first_reject must be the cascade-ordered one
+    val symbolic = (1 to 20).map(i => f"w$i%02d!!").mkString(" ")
+    val docs = (hostile.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+      (7L, symbolic)).toDF("doc_id", "text")
+    val rules = TextOps.cascadeRules(col("text"))
+    val out = docs.select(col("doc_id"),
+        TextOps.firstReject(rules).as("first_reject"),
+        rules.map(_._2).reduce(_ || _).unary_!.as("keep"))
+      .as[(Long, Option[String], Option[Boolean])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(2L)._2.contains("too_short") && out(2L)._3.contains(false))
+    assert(out(5L)._2.contains("too_short"))
+    assert(out(7L)._2.contains("too_symbolic"))
+    // a clean doc: 25 distinct plain words incl. a stopword, avg len 4.92
+    val clean = (1 to 24).map(i => f"wrd$i%02d").mkString("the ", " ", "")
+    val cleanOut = Seq((8L, clean)).toDF("doc_id", "text")
+      .select(TextOps.firstReject(rules).as("fr"),
+        rules.map(_._2).reduce(_ || _).unary_!.as("keep"))
+      .as[(Option[String], Option[Boolean])].head()
+    assert(cleanOut._1.isEmpty && cleanOut._2.contains(true))
+  }
 }
