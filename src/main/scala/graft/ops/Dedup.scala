@@ -217,6 +217,40 @@ object Dedup {
       .select("corpus_id", "probe_id", "containment")
   }
 
+  /** Per-document n-gram contamination score — the GPT-3/Llama-report-style
+    * overlap check: what fraction of a corpus document's DISTINCT n-grams
+    * appears anywhere in the probe (benchmark) set. [[containmentPairs]]
+    * answers "which probe leaked into which doc"; this answers the
+    * per-document triage question "how contaminated is each doc", which is
+    * what a pre-training filter thresholds on.
+    *
+    * `overlap_share = |sh(doc) ∩ sh(probes)| / |sh(doc)|`, one IEEE divide
+    * of exact integer counts, so verdicts are engine-exact.
+    *
+    * Scale shape: the probe shingle SET (distinct union over the benchmark
+    * suite — small by nature) broadcasts; the corpus's exploded shingles
+    * left-join it with no fanout (probe side is distinct) and fold back in
+    * one doc-keyed aggregation — the only corpus shuffle. Docs with fewer
+    * than n tokens have no shingles and carry no contamination evidence;
+    * they are absent from the output (same totality contract as the
+    * shingle-pair family, `EdgeCaseSpec`).
+    */
+  def contaminationScore(corpus: DataFrame, probes: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, flagThreshold: Double = 0.5): DataFrame = {
+    val cx = shingleIndex(corpus, textCol, idCol, n)
+    val pSet = shingleIndex(probes, textCol, idCol, n)
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1L))
+    cx.join(broadcast(pSet), Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_share"),
+        (col("n_overlap").cast("double") / col("n_shingles") >= flagThreshold)
+          .as("contaminated"))
+  }
+
   /** Cross-document chunk-level dedup — the boilerplate-paragraph detector:
     * finds sub-document spans (fixed token windows) repeated across
     * DISTINCT documents, the units whole-document dedup (fingerprint,

@@ -124,6 +124,16 @@ object LlmQueries extends QueryPack {
         "text", "doc_id", n = 3, threshold = 0.5)
     },
 
+    // Per-doc contamination triage over the same corpus/probe split as
+    // dd_decontaminate: distinct-3-gram overlap share vs the probe union.
+    "dd_contamination_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationScore(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 3, flagThreshold = 0.5)
+    },
+
     // Incremental near-dup: tonight's batch (doc_id % 10 == 1) vs the
     // existing corpus — cross-set pairs only, batch index broadcast.
     "dd_incremental_neardup" -> { (s, dir) =>
@@ -763,6 +773,21 @@ object LlmQueries extends QueryPack {
          |  GROUP BY 1,2)
          |SELECT corpus_id, probe_id, co*1.0/n_p AS containment
          |FROM co WHERE co*1.0/n_p >= 0.5""".stripMargin,
+    // mirrors contaminationScore: distinct probe shingle union, left join,
+    // exact counts, one divide, threshold in E-notation for IEEE parity.
+    "dd_contamination_score" ->
+      s"""WITH toks AS ($shingleSql),
+         |probe AS (SELECT DISTINCT unnest(sh) AS shingle FROM toks WHERE doc_id % 10 = 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM toks WHERE doc_id % 10 <> 0)
+         |SELECT ex.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |  CAST(SUM(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS overlap_share,
+         |  CAST(SUM(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) >= 5E-1 AS contaminated
+         |FROM ex LEFT JOIN probe p ON ex.shingle = p.shingle
+         |GROUP BY ex.doc_id""".stripMargin,
     "dd_cluster_cc" ->
       s"""WITH RECURSIVE p AS ($jaccardPairsSql),
          |e AS (SELECT id_a AS src, id_b AS dst FROM p

@@ -237,4 +237,21 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.chunkNearDupPairs(hot, "text", "doc_id", chunkSize = 32,
       maxBandFreq = 4).count() === 0)
   }
+
+  test("contaminationScore: exact overlap share, shingle-less docs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // all 4 shingles in probe
+      (2L, "one two three four five six"),           // none
+      (3L, "alpha beta gamma unrelated tail words"), // 1 of 4
+      (4L, "too short")                              // no shingles
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(corpus, probes, "text", "doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 4L, 4L, 1.0, true)))
+    assert(out(2L) == ((2L, 4L, 0L, 0.0, false)))
+    assert(out(3L) == ((3L, 4L, 1L, 0.25, false)))
+  }
 }
