@@ -177,6 +177,22 @@ object WindowQueries extends QueryPack {
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
         .select("event_id", "event_type", "quartile", "pct_rank", "cume")
+    },
+
+    // W13 (beyond ref) — VALUE-range frame: trailing 7-day activity per
+    // user via RANGE BETWEEN on an integer day key (row frames count rows;
+    // range frames cover a value interval and make same-key rows peers —
+    // deterministic with no tiebreaker by construction). Day arithmetic is
+    // exact integers; the frame sum is integer cents.
+    "w13_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("day_key").asc)
+        .rangeBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("day_key",
+          datediff(col("ts").cast("date"), lit("1992-01-01").cast("date")))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("amt_7d", sum(cents).over(w).cast("double") / 100.0)
+        .select("event_id", "user_id", "day_key", "n_7d", "amt_7d")
     }
   )
 
@@ -271,6 +287,18 @@ object WindowQueries extends QueryPack {
         |  percent_rank() OVER w AS pct_rank,
         |  cume_dist() OVER w AS cume
         |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin,
+    "w13_range_frame" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, value,
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST($tsUs AS DATE)) AS INT) AS day_key
+         |  FROM events)
+         |SELECT event_id, user_id, day_key,
+         |  COUNT(*) OVER w AS n_7d,
+         |  CAST(SUM($centsSql) OVER w AS DOUBLE) / 100.0 AS amt_7d
+         |FROM d
+         |WINDOW w AS (PARTITION BY user_id ORDER BY day_key
+         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }
