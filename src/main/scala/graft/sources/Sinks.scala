@@ -43,4 +43,27 @@ object Sinks {
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
       .parquet(path)
   }
+
+  /** Bucketed parquet table for CO-LOCATED joins — the other half of the
+    * 100 TB sink problem: a fact table that will be joined on the same key
+    * every night should pay its shuffle ONCE, at write time. `bucketBy`
+    * hash-partitions rows into a fixed bucket count recorded in the
+    * catalog; a later equi-join between two tables bucketed on the join
+    * key with the same count plans with NO Exchange on either side (and
+    * with `sortBy` the per-bucket sort is pre-paid too, so the sort-merge
+    * join reads presorted buckets). `SinksSpec` pins the exchange-free
+    * plan property and result parity vs the unbucketed join.
+    *
+    * Bucketing requires a catalog table (`saveAsTable`) — bucket metadata
+    * lives in the catalog, not the files — which is exactly how a
+    * warehouse deployment would ship it.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(table)
+  }
 }

@@ -212,4 +212,30 @@ class ScaleOpsSpec extends SparkTestBase {
     }
     assert(spark.read.parquet(s"$d/out").count() == 5000)
   }
+
+  test("bucketedTable: same-key same-count join plans with zero exchanges") {
+    // managed tables land in the gitignored ./spark-warehouse; DROP cleans up
+    val facts = spark.range(0, 20000).toDF("k")
+      .withColumn("v", col("k") % 1000)
+    val dims = spark.range(0, 2000).toDF("k")
+      .withColumn("name", concat(lit("n"), col("k")))
+    graft.sources.Sinks.bucketedTable(facts, "b_facts", "k", 8, sortCols = Seq("k"))
+    graft.sources.Sinks.bucketedTable(dims, "b_dims", "k", 8, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the whole point of bucketing: neither side shuffles at read time
+      assert(!plan.contains("Exchange"), s"bucketed join still exchanges:\n$plan")
+      // result parity vs the unbucketed join
+      assert(joined.count() ===
+        facts.join(dims, "k").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
 }
