@@ -116,4 +116,55 @@ class CorpusPropertySpec extends SparkTestBase {
       .groupBy(_._2).map { case (_, rows) => rows.map(_._1).min }.toSet
     assert(g.map(_.getAs[Long]("keep_id")).toSet == byText)
   }
+
+  test("dsirSample: total, bounded, deterministic; pure-target-vocab doc scores 1.0") {
+    val src = corpus
+      .withColumn("source", when(col("doc_id") < 40, "t").otherwise("o"))
+      .union(Seq((200L, "qqq www zzz qqq www zzz", "t"),
+        (201L, "qqq www zzz", "o")).toDF("doc_id", "text", "source"))
+    def run() = CorpusOps.dsirSample(src, "text", "doc_id", "source", "t")
+      .as[(Long, String, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val out = run()
+    assert(out.length == 122) // every doc tokenizes; none lost, none duplicated
+    out.foreach { case (_, _, votes, nTok, share, _) =>
+      assert(votes >= 0 && votes <= nTok)
+      assert(share == votes.toDouble / nTok)
+    }
+    // doc 201's tokens occur otherwise only inside the target slice, and
+    // the corpus is strictly bigger than the target -> every token votes
+    assert(out.find(_._1 == 201L).get._5 == 1.0)
+    assert(run().toSeq == out.toSeq)
+  }
+
+  test("cascade: keep == no rule fires; first_reject is the first firing rule") {
+    import graft.ops.TextOps
+    val rules = TextOps.cascadeRules(col("text"))
+    val names = rules.map(_._1)
+    val out = corpus.select(
+        (col("doc_id") +: rules.map { case (n, c) => c.as(n) }) :+
+          rules.map(_._2).reduce(_ || _).unary_!.as("keep") :+
+          TextOps.firstReject(rules).as("first_reject"): _*)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val fired = names.zipWithIndex.filter { case (n, _) => r.getAs[Boolean](n) }
+      assert(r.getAs[Boolean]("keep") == fired.isEmpty)
+      val want = fired.headOption.map(_._1).orNull
+      assert(r.getAs[String]("first_reject") == want)
+    }
+  }
+
+  test("contaminationScore: bounds hold; exact-dup band is fully contained") {
+    val probes = corpus.filter(col("doc_id") < 40)
+    val corp = corpus.filter(col("doc_id") >= 40)
+    val out = Dedup.contaminationScore(corp, probes, "text", "doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    out.foreach { case (_, nSh, nOv, share, flagged) =>
+      assert(nOv >= 0 && nOv <= nSh)
+      assert(share == nOv.toDouble / nSh)
+      assert(flagged == (share >= 0.5))
+    }
+    // docs 70-89 are byte-exact copies of base docs: every shingle leaks
+    out.filter(r => r._1 >= 70 && r._1 < 90).foreach(r => assert(r._4 == 1.0))
+  }
 }
