@@ -78,9 +78,46 @@ object SketchQueries extends QueryPack {
         (abs(col("m_gk") - col("median_exact")) / col("median_exact") <= bound)
           .as("gk_within_bound"))
 
+  /** Misra-Gries capacity for `sk_freq_items`: 64 counters track every
+    * token with frequency above n/65 (~1.5% of the corpus) — the stopword
+    * tier that dominates any natural corpus.
+    */
+  val FreqItemsCapacity = 64
+
+  /** Heavy hitters with an exactness gate, the [[hllCard]] pattern for the
+    * frequent-items sketch: exact token total and exact heavy-hitter count
+    * are the oracle face; the boolean asserts the MG guarantee held — every
+    * token with true count > n/(capacity+1) is present in the sketch
+    * (deterministic, Agarwal et al. PODS'12 merge; `SketchSpec` pins that a
+    * wrong-capacity gate DOES go false).
+    */
+  def freqItems(s: SparkSession, dir: String, capacity: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.FreqSketch
+    import graft.ops.TextOps
+    val toksDf = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val mgKeys = toksDf.as[String].select(FreqSketch.freqItems(capacity).name("m"))
+      .select(explode(map_keys(col("m"))).as("tok"), lit(1L).as("in_mg"))
+    val exact = toksDf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum(col("cnt")).as("n_total"))
+    val gate = exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * (capacity + 1) > col("n_total"))
+      .join(broadcast(mgKeys), Seq("tok"), "left")
+      .agg(
+        count(lit(1)).as("n_heavy"),
+        (count(lit(1)) === sum(coalesce(col("in_mg"), lit(0L)))).as("mg_ok_raw"))
+    // tot always has one row, so a heavy-hitter-free corpus still emits
+    // (n_total, 0, true) — empty containment is vacuously satisfied
+    tot.crossJoin(broadcast(gate))
+      .select(col("n_total"), col("n_heavy"),
+        coalesce(col("mg_ok_raw"), lit(true)).as("mg_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sk_hll_card" -> (hllCard(_, _, HllRelBound)),
-    "sk_approx_quantile" -> (approxQuantile(_, _, PctRelBound))
+    "sk_approx_quantile" -> (approxQuantile(_, _, PctRelBound)),
+    "sk_freq_items" -> (freqItems(_, _, FreqItemsCapacity))
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,6 +129,16 @@ object SketchQueries extends QueryPack {
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS median_exact,
         |  true AS gk_within_bound
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "sk_freq_items" ->
+      s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+         |SELECT tot.n_total,
+         |  CAST((SELECT count(*) FROM c, tot
+         |        WHERE cnt * ${FreqItemsCapacity + 1} > n_total) AS BIGINT)
+         |    AS n_heavy,
+         |  true AS mg_ok
+         |FROM tot""".stripMargin
   )
 }

@@ -53,4 +53,43 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / math.max(1.0, exact) < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("freqItems: MG containment + undercount bound hold across partitionings") {
+    import graft.functions.FreqSketch
+    // 1000 'hot' (10%), 500 'warm', and 2000 distinct cold singletons
+    val items = (Seq.fill(1000)("hot") ++ Seq.fill(500)("warm") ++
+      (0 until 2000).map(i => s"cold$i"))
+    for (parts <- Seq(1, 8)) {
+      val ds = spark.createDataset(items).repartition(parts)
+      val m = ds.select(FreqSketch.freqItems(64)).collect()(0)
+      val n = items.size
+      // containment: every item with count > n/65 (~54) is present
+      assert(m.contains("hot") && m.contains("warm"), s"parts=$parts m=$m")
+      // estimates never overcount, and undercount at most n/(cap+1)
+      assert(m("hot") <= 1000 && m("hot") >= 1000 - n / 65)
+      assert(m("warm") <= 500 && m("warm") >= 500 - n / 65)
+      assert(m.size <= 64)
+    }
+  }
+
+  test("sk_freq_items gate: green as shipped; data-derived (capacity 1 misses)") {
+    import graft.queries.SketchQueries
+    val row = SketchQueries.freqItems(spark, sf("sf0.01"),
+      SketchQueries.FreqItemsCapacity).collect()(0)
+    assert(row.getAs[Long]("n_heavy") > 0, "no heavy hitters — gate vacuous")
+    assert(row.getAs[Boolean]("mg_ok"))
+    // data-derivedness: a ONE-counter sketch cannot retain the 30-token
+    // heavy tier, so replaying the containment check against the SAME
+    // capacity-64 threshold with a starved sketch must find misses
+    import graft.functions.FreqSketch
+    import graft.ops.TextOps
+    val toks = Tables.documents(spark, sf("sf0.01"))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val starved = toks.as[String].select(FreqSketch.freqItems(1)).collect()(0)
+    val exact = toks.groupBy("tok").count().as[(String, Long)].collect()
+    val n = exact.map(_._2).sum
+    val heavy = exact.filter(_._2 * 65 > n).map(_._1)
+    assert(heavy.nonEmpty && !heavy.forall(starved.contains),
+      "capacity-1 sketch retained every heavy token — the gate is vacuous")
+  }
 }
