@@ -166,6 +166,93 @@ object Multimodal {
     }.toDF("doc_id", "media", "mime", "n_bytes")
   }
 
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                          new_w: Int, new_h: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Fit (w, h) inside a `maxDim` box preserving aspect ratio — pure
+    * integer arithmetic (floor division, floor ≥ 1) so an SQL oracle can
+    * replicate the target dims exactly.
+    */
+  def targetDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val mx = math.max(w, h)
+    if (mx <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+  }
+
+  /** REAL image resize — the training-pipeline downscale step, decode →
+    * scale into a `maxDim` bounding box → pixel stats of the RESIZED
+    * raster, all through the JDK (`javax.imageio` + a headless
+    * `Graphics2D` nearest-neighbor draw; no external codecs). Same
+    * per-partition codec lifecycle as [[decodeImages]]; non-decodable
+    * payloads yield (-1, -1, -1, -1, NaN…) rather than failing the
+    * partition.
+    *
+    * Oracle-ability: target dims are [[targetDims]]'s integer arithmetic,
+    * and for solid-color inputs every resized pixel keeps the source
+    * color (nearest-neighbor copies pixels), so the channel means are
+    * exact — mm_image_resize recomputes all of it from doc_id.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   maxDim: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        val readers = scala.collection.mutable.Map.empty[String, Option[javax.imageio.ImageReader]]
+        def readerFor(mime: String): Option[javax.imageio.ImageReader] =
+          readers.getOrElseUpdate(mime, {
+            val it = javax.imageio.ImageIO.getImageReadersByMIMEType(mime)
+            if (it.hasNext) Some(it.next()) else None
+          })
+        rows.map { r =>
+          val img: java.awt.image.BufferedImage =
+            readerFor(r.mime) match {
+              case Some(reader) =>
+                try {
+                  val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                    new java.io.ByteArrayInputStream(r.media))
+                  reader.setInput(iis)
+                  val out = reader.read(0)
+                  iis.close()
+                  out
+                } catch { case _: Exception => null }
+              case None => null
+            }
+          if (img == null)
+            ResizedImage(r.doc_id, -1, -1, -1, -1,
+              Double.NaN, Double.NaN, Double.NaN)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val (nw, nh) = targetDims(w, h, maxDim)
+            val scaled = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < nh) {
+              var x = 0
+              while (x < nw) {
+                val p = scaled.getRGB(x, y)
+                sr += (p >> 16) & 0xFF
+                sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (nw.toLong * nh).toDouble
+            ResizedImage(r.doc_id, w, h, nw, nh, sr / n, sg / n, sb / n)
+          }
+        }
+      }
+  }
+
   /** "Frame sampling" over an opaque payload: k fixed-width byte windows at
     * even strides (the video-frame-sample access pattern, bytes standing in
     * for frames).

@@ -598,6 +598,17 @@ object LlmQueries extends QueryPack {
       Multimodal.decodeImages(s,
         Multimodal.syntheticPngTable(s, Tables.documents(s, dir).select("doc_id")))
         .toDF()
+    },
+
+    // REAL image resize, oracle-checked: encode -> decode -> fit into a
+    // 4px box (nearest-neighbor) -> pixel stats of the RESIZED raster.
+    // Target dims are integer arithmetic and solid colors survive
+    // resampling exactly, so the oracle recomputes everything from id.
+    "mm_image_resize" -> { (s, dir) =>
+      Multimodal.resizeImages(s,
+        Multimodal.syntheticPngTable(s, Tables.documents(s, dir).select("doc_id")),
+        maxDim = 4)
+        .toDF()
     }
   )
 
@@ -1188,6 +1199,25 @@ object LlmQueries extends QueryPack {
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // targetDims replicated in integer SQL (floor division, floor >= 1);
+    // solid colors survive nearest-neighbor resampling exactly
+    "mm_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 7 AS INTEGER) AS width,
+        |    CAST(1 + doc_id % 5 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 4 THEN width
+        |       ELSE greatest(1, (width * 4) // greatest(width, height)) END
+        |    AS INTEGER) AS new_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 4 THEN height
+        |       ELSE greatest(1, (height * 4) // greatest(width, height)) END
+        |    AS INTEGER) AS new_h,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        |FROM d""".stripMargin
   )
 }

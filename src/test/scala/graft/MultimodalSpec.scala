@@ -66,6 +66,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.forall(f => f.width == -1 && f.height == -1 && f.mean_r.isNaN))
   }
 
+  test("resizeImages fits the box, keeps aspect floors, survives junk") {
+    // targetDims: pure integer contract
+    assert(Multimodal.targetDims(7, 5, 4) === ((4, 2)))  // 7x5 -> 4x(5*4/7=2)
+    assert(Multimodal.targetDims(3, 2, 4) === ((3, 2)))  // already inside
+    assert(Multimodal.targetDims(100, 1, 4) === ((4, 1))) // floor >= 1
+    // synthetic solid PNGs: dims follow targetDims, colors survive exactly
+    val ids = Seq(6L, 13L, 34L).toDF("doc_id")
+    val out = Multimodal.resizeImages(spark,
+        Multimodal.syntheticPngTable(spark, ids), maxDim = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    Seq(6L, 13L, 34L).foreach { id =>
+      val r = out(id)
+      val (w, h) = ((1 + id % 7).toInt, (1 + id % 5).toInt)
+      assert((r.width, r.height) === ((w, h)))
+      assert((r.new_w, r.new_h) === Multimodal.targetDims(w, h, 4))
+      assert(r.mean_r === (id % 256).toDouble)
+      assert(r.mean_b === ((id * 13) % 256).toDouble)
+    }
+    // junk payloads flag, not fail
+    val junk = Multimodal.resizeImages(spark, Multimodal.asMediaTable(docs), 4)
+      .collect()
+    assert(junk.forall(f => f.new_w == -1 && f.mean_r.isNaN))
+  }
+
   test("frameSample cuts k windows from the payload") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("doc_id", "text"))
