@@ -327,6 +327,55 @@ object CorpusOps {
     * ride a 1-row broadcast, and one groupBy(doc) folds votes. The corpus
     * itself shuffles once (the doc-keyed fold).
     */
+  /** Token-vote quality/language classifier — the fastText-style linear
+    * classifier slot of a training-data pipeline (CCNet/RefinedWeb run one
+    * to score every crawled page), with the train-and-score loop expressed
+    * as two hash aggregations so it stays engine-exact.
+    *
+    * Train: per distinct token, count the labeled documents containing it
+    * per class (`d1`/`d0`); a token votes +1/-1/0 by the exact int64
+    * cross-multiplication `d1·N0 <=> d0·N1` (is the token's class-1
+    * document rate above the base rate?) — the sign of the naive-Bayes
+    * log-odds without evaluating any transcendental, so Spark and any
+    * oracle engine agree bit-for-bit. Score: each document sums its
+    * distinct tokens' votes; prediction is `score > 0`.
+    *
+    * In production the weights table usually arrives EXTERNAL (a trained
+    * model exported as (token, weight) rows); this op trains on its own
+    * labeled input to stay self-contained, but the scoring plan is
+    * identical either way: the vocabulary-sized stats table attaches to
+    * the exploded token stream on the token key (AQE broadcasts it when it
+    * fits, sort-merge otherwise), totals ride a 1-row broadcast, and the
+    * corpus shuffles exactly once — the doc-keyed vote fold. Same scale
+    * shape as [[dsirSample]].
+    */
+  def tokenVoteClassifier(df: DataFrame, textCol: String, idCol: String,
+                          label: Column): DataFrame = {
+    val base = df.select(col(idCol), label.as("__y"), col(textCol).as("__text"))
+    // distinct tokens per doc: presence/absence features, like the binary
+    // bag-of-words fastText baseline
+    val toks = base.select(col(idCol), col("__y"),
+      explode(array_distinct(TextOps.tokens(col("__text")))).as("__w"))
+    val stats = toks.groupBy("__w").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__d1"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__d0"))
+    val totals = base.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__n0"))
+    val vote = when(col("__d1") * col("__n0") > col("__d0") * col("__n1"), 1L)
+      .when(col("__d1") * col("__n0") < col("__d0") * col("__n1"), -1L)
+      .otherwise(0L)
+    toks.join(stats, "__w")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol), col("__y"))
+      .agg(
+        sum(when(vote > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(vote < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(vote).as("score"))
+      .select(col(idCol), col("n_pos"), col("n_neg"), col("score"),
+        (col("score") > 0).as("pred"), col("__y").as("label"))
+  }
+
   def dsirSample(df: DataFrame, textCol: String, idCol: String,
                  sourceCol: String, targetSource: String,
                  floorShare: Double = 0.3, slope: Double = 2.5): DataFrame = {

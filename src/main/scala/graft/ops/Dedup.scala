@@ -105,6 +105,68 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin-style, Bayardo
+    * et al. WWW'07; Xiao et al. WWW'08): identical output contract to
+    * [[ngramJaccardPairs]] — every pair with true Jaccard ≥ `threshold` —
+    * but the candidate self-join runs over each document's PREFIX only.
+    *
+    * Under a global canonical shingle order (document frequency ascending,
+    * rarest first), a pair with overlap ≥ α must share a shingle within the
+    * first |x|−α+1 shingles of BOTH sides; for Jaccard ≥ t the minimum
+    * overlap against any length-eligible partner is ⌈t·|x|⌉, so indexing
+    * the first |x|−⌈t·|x|⌉+1 shingles per document is LOSSLESS. At t=0.8
+    * the index keeps ~20% of each document's shingles, cutting hot-shingle
+    * pair mass ~(1−t)² ≈ 25× before the exact verification — the same
+    * shape as [[minhashLshPairs]] (candidates → array verify) but with a
+    * deterministic no-miss guarantee instead of a 1−1e-9 probabilistic one.
+    *
+    * `maxDocFreq` is the same semantic knob as [[ngramJaccardPairs]]:
+    * unset = exact. Prefix POSITIONS are computed over the full ordered
+    * set (unique shingles occupy prefix slots but generate no candidates),
+    * so frequency pruning does not disturb the lemma.
+    */
+  def ngramPrefixPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(df, textCol, idCol, n).localCheckpoint(false)
+    val ix0 = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    // full document frequency (before any cap) — it defines the canonical
+    // order, which must be the same for every document
+    val docFreq = ix0.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    // rarest-first rank within each document; the 1e-9 slack makes the
+    // ⌈t·size⌉ ceiling robust to binary-fraction thresholds (0.8·5 in IEEE
+    // is 4.0000000000000002 → ceil 5 would under-size the prefix; the
+    // slack can only ENLARGE the prefix — the lossless direction)
+    val pos = row_number().over(
+      Window.partitionBy("id").orderBy(col("dfreq"), col("shingle")))
+    val prefixLen = col("set_size") - ceil(lit(threshold) * col("set_size") - lit(1e-9)) + 1
+    val prefix = ix0.join(docFreq, Seq("shingle"))
+      .withColumn("pos", pos)
+      .filter(col("pos") <= prefixLen)
+      // dfreq==1 rows can never match in the self-join; dropping them here
+      // only shrinks the shuffle. dfreq>maxDocFreq is the semantic cap.
+      .filter(col("dfreq") > 1 && col("dfreq") <= maxDocFreq)
+      .select("id", "set_size", "shingle")
+    val candidates = prefix.select(col("id").as("id_a"), col("set_size").as("n_a"), col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("set_size").as("n_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|); the same
+      // 1e-9 slack keeps exact-boundary sizes (t=0.8, 4-vs-5) in play
+      .filter(lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9) <=
+        least(col("n_a"), col("n_b")))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature as a single Column (k seeded slots over a shingle
     * array). Column-level variant for ad-hoc use; [[minhashLshPairs]] uses
     * the equivalent exploded/codegen'd formulation internally (same values:

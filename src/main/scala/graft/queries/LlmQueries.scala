@@ -87,6 +87,14 @@ object LlmQueries extends QueryPack {
         n = 3, threshold = JaccardThreshold)
     },
 
+    // Prefix-filtered (AllPairs/PPJoin) exact Jaccard pairs: lossless
+    // candidate pruning, identical contract to dd_ngram_jaccard — same
+    // oracle proves the prefix lemma implementation drops nothing.
+    "dd_ngram_prefix" -> { (s, dir) =>
+      Dedup.ngramPrefixPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = JaccardThreshold)
+    },
+
     // MinHash+LSH near-dup pairs (banded candidates + exact verification);
     // output contract equals dd_ngram_jaccard — same oracle.
     "dd_minhash_lsh" -> { (s, dir) =>
@@ -385,6 +393,14 @@ object LlmQueries extends QueryPack {
         "source", targetSource = "src7")
     },
 
+    // Token-vote quality classifier (the fastText-classifier slot): train
+    // per-token class votes on the corpus's own lang label, score every
+    // doc. All-integer votes — engine-exact.
+    "ta_quality_classifier" -> { (s, dir) =>
+      CorpusOps.tokenVoteClassifier(Tables.documents(s, dir), "text", "doc_id",
+        col("lang") === "en")
+    },
+
     // Marker-based language ID with deterministic tie order, scored against
     // the labeled lang column.
     "ta_langid" -> { (s, dir) =>
@@ -678,6 +694,7 @@ object LlmQueries extends QueryPack {
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_id,
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> jaccardPairsSql,
+    "dd_ngram_prefix" -> jaccardPairsSql,
     "dd_minhash_lsh" -> jaccardPairsSql,
     "dd_simhash_contains" ->
       """WITH fp AS (SELECT doc_id,
@@ -1029,6 +1046,35 @@ object LlmQueries extends QueryPack {
         |  < least(1.0, greatest(0.0, (CAST(votes AS DOUBLE) / n_tok - 0.3) * 2.5))
         |  AS keep
         |FROM per""".stripMargin,
+    // mirrors tokenVoteClassifier: distinct-token presence features,
+    // integer cross-multiplied per-token class votes, per-doc vote sum.
+    "ta_quality_classifier" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, (lang = 'en') AS y, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, y, w FROM tok0),
+        |stats AS (
+        |  SELECT w,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS d0
+        |  FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM documents),
+        |v AS (
+        |  SELECT t.doc_id, t.y,
+        |    CASE WHEN s.d1 * tot.n0 > s.d0 * tot.n1 THEN 1
+        |         WHEN s.d1 * tot.n0 < s.d0 * tot.n1 THEN -1
+        |         ELSE 0 END AS vote
+        |  FROM toks t JOIN stats s ON t.w = s.w, tot)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN vote < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(SUM(vote) AS BIGINT) AS score,
+        |  SUM(vote) > 0 AS pred,
+        |  y AS label
+        |FROM v GROUP BY doc_id, y""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

@@ -277,4 +277,23 @@ class CorpusOpsSpec extends SparkTestBase {
     val uniform = java.lang.Long.parseLong(md.substring(0, 8), 16) / 4294967296.0
     assert(out(3L)._6 == (uniform < 0.5))
   }
+
+  test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
+    // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
+    // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.
+    // Doc 5's repeated "good good" is ONE presence feature, not two.
+    val docs = Seq(
+      (1L, true, "good nice meh"),
+      (2L, true, "good good nice"),
+      (3L, false, "bad meh"),
+      (4L, false, "bad bad")
+    ).toDF("doc_id", "y", "text")
+    val out = CorpusOps.tokenVoteClassifier(docs, "text", "doc_id", col("y"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 0L, 2L, true, true)))   // good+nice, meh ties
+    assert(out(2L) === ((2L, 2L, 0L, 2L, true, true)))   // repeat counted once
+    assert(out(3L) === ((3L, 0L, 1L, -1L, false, false)))
+    assert(out(4L) === ((4L, 0L, 1L, -1L, false, false)))
+  }
 }

@@ -49,6 +49,38 @@ class DedupSpec extends SparkTestBase {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("ngramPrefixPairs equals the unfiltered exact join (lossless prefix lemma)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(_.toSeq).toSet
+    val prefix = Dedup.ngramPrefixPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(_.toSeq).toSet
+    assert(prefix === exact)
+  }
+
+  test("ngramPrefixPairs keeps the exact-boundary pair the IEEE ceiling would drop") {
+    // |A|=5, |B|=4 shingles at n=1, overlap 4 → J = 4/5 = 0.8 exactly.
+    // ceil(0.8*5) in naive double arithmetic is 5 (0.8*5 = 4.0000000000000002),
+    // which would shrink A's prefix to 1 rarest shingle and can lose the
+    // pair; the slack in ngramPrefixPairs must keep it.
+    val d = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "aa bb cc dd")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramPrefixPairs(d, "text", "doc_id", n = 1, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toList
+    assert(got === List((1L, 2L, 0.8)))
+  }
+
+  test("ngramPrefixPairs matches exact pairs on real documents at sf0.001") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prefix = Dedup.ngramPrefixPairs(d, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(prefix === exact)
+    assert(exact.nonEmpty) // non-vacuous: the corpus plants near-dups
+  }
+
   test("minhashLshPairs output equals exact ngram pairs at same threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
