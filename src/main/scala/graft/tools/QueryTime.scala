@@ -16,6 +16,11 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's scan-split configs — without them a single-file
+      // compute-dense table (sf1 documents) scans as ONE task and every
+      // downstream number is a 1-core artifact, not the plan's cost
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; run <- 1 to 2) {
