@@ -357,6 +357,158 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the embedding splits into
+    * `m` contiguous subspaces of dim/m dims; each subspace gets its own
+    * `ksub`-centroid Lloyd codebook so a vector compresses to m small
+    * codes (m bytes at ksub ≤ 256 — 32× smaller than 64 float32s).
+    *
+    * All m subspace trainings run as ONE iterated job over the
+    * subspace-exploded sample — the codebook key is (j, cid), so per-
+    * iteration cost is a single assign+mean pass regardless of m (m
+    * sequential Lloyds would schedule m× the stages for the same work).
+    * Training sample, seeding, and tie-breaks follow [[ivfCentroids]]:
+    * deterministic md5 sample capped at `TrainPerList*ksub`, seeds = the
+    * ksub lowest vec_ids' subvectors, L2 assignment ties to the lower cid,
+    * member arrays sorted before the float mean — bit-stable across runs
+    * and partitionings. Returns (j, cid, c).
+    */
+  def pqCodebooks(df: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+                  n: Long = -1L): DataFrame = {
+    val vecs = normalized(df)
+    val total = if (n >= 0L) n else vecs.count()
+    val cap = TrainPerList * ksub
+    val train =
+      if (total <= cap) vecs
+      else {
+        val thresh = ((BigInt(cap) << 32) / BigInt(total)).toLong
+        vecs.filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") < thresh)
+      }
+    val sub = subvectors(train, m).localCheckpoint(false)
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    var cb = subvectors(vecs.orderBy("vec_id").limit(ksub), m)
+      .select(col("j"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val zero = transform(element_at(col("vs"), 1), _ => lit(0.0))
+      cb = sub.join(broadcast(cb), Seq("j"))
+        .withColumn("d2", l2(col("sv"), col("c")))
+        .groupBy("vec_id", "j")
+        .agg(min_by(struct(col("sv"), col("cid")),
+          struct(col("d2"), col("cid"))).as("a"))
+        .groupBy(col("j"), col("a.cid").as("cid"))
+        .agg(array_sort(collect_list(col("a.sv"))).as("vs"))
+        .select(col("j"), col("cid"),
+          transform(
+            aggregate(col("vs"), zero, (acc, v) => zip_with(acc, v, (s, x) => s + x)),
+            s => (s / size(col("vs"))).cast("float")).as("c"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** (vec_id, j, sv): the m contiguous subvectors of each vector. */
+  private def subvectors(vecs: DataFrame, m: Int): DataFrame = {
+    val d = 64 // embeddings are 64-dim (TESTDATA.md); require clean split
+    require(d % m == 0, s"m=$m must divide dim=$d")
+    val sub = d / m
+    vecs.select(col("vec_id"), explode(array((0 until m).map { j =>
+      struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("sv"))
+    }: _*)).as("s")).select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+  }
+
+  /** Unit-normalized vectors (PQ trains/encodes on the normalized corpus so
+    * the asymmetric inner product approximates cosine directly).
+    */
+  private def normalized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<float>").as("v0"))
+      .withColumn("nrm", l2Norm(col("v0")))
+      .select(col("vec_id"),
+        transform(col("v0"), x => (x / col("nrm")).cast("float")).as("v"))
+
+  /** IVF-PQ ANN top-k — the canonical billion-scale layout (FAISS
+    * IndexIVFPQ): a coarse `nlist`-centroid quantizer routes each vector
+    * to an inverted list, vectors inside lists are stored as m-byte PQ
+    * codes, a query probes `nprobe` lists scoring candidates by the
+    * ASYMMETRIC distance (exact query side against the neighbor's
+    * reconstruction — ⟨q̂, recon(x)⟩ ≡ the classic per-subspace ADC lookup
+    * sum, expressed as one codegen'd dot so Spark evaluates it columnar),
+    * and only the top `k*oversample` approximate survivors per query are
+    * re-ranked with the exact float cosine.
+    *
+    * Scale shape: the coarse stage is [[ivfTopK]]'s one-scored-pass build
+    * (list id = hash partition key); PQ bounds per-candidate memory
+    * traffic to m bytes + one 64-float reconstruction held broadcast-side
+    * (codebooks are m*ksub tiny arrays); `oversample` bounds exact-vector
+    * reads to k*oversample per query — at 100 TB the full-precision
+    * vectors live in cold storage and only re-rank survivors are fetched
+    * (here: a join back to the corpus by neighbor id).
+    *
+    * Degenerate-exactness contract (pinned in SimilaritySpec): when the
+    * `ksub` seed vectors (lowest vec_ids) already cover every distinct
+    * subvector value, Lloyd is at a fixpoint (every assignment distance is
+    * 0), reconstruction is exact, and with `nprobe = nlist` + large
+    * `oversample` the (query, neighbor, rank) set equals [[ivfTopK]] at
+    * the same geometry.
+    */
+  def ivfPqTopK(df: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                m: Int = 16, ksub: Int = 16, oversample: Int = 8,
+                iters: Int = 1, n: Long = -1L): DataFrame = {
+    val vecs = normalized(df)
+    val cb = pqCodebooks(df, m, ksub, iters = iters, n = n)
+    // encode every corpus vector: nearest sub-centroid per subspace, then
+    // reconstruct (the decoded approximation the ADC scores against).
+    // flatten(sorted-by-j sub-centroids) ≡ the LUT sum: ⟨q, recon⟩ =
+    // Σ_j ⟨q_j, c_{j,code_j}⟩ — identical values, columnar-friendly form.
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val recon = subvectors(vecs, m).join(broadcast(cb), Seq("j"))
+      .withColumn("d2", l2(col("sv"), col("c")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(struct(col("c"), col("cid")), struct(col("d2"), col("cid"))).as("a"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("a.c").as("c")))),
+        s => s("c"))).as("rv"))
+    // coarse quantizer over the normalized corpus (same pass as ivfTopK:
+    // assignment = probe[0], probes = top-nprobe centroid lists)
+    val centroids = ivfCentroids(vecs.select(col("vec_id"), col("v").as("embedding")),
+      nlist, iters, n)
+    val ranked = fanOut(vecs).withColumn("vn", l2Norm(col("v")))
+      .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
+      .withColumn("score", dot(col("v"), col("c")) / (col("vn") * col("cn")))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"),
+        slice(array_sort(collect_list(
+          struct((-col("score")).as("ns"), col("cid").as("cid")))),
+          1, nprobe).as("probe"))
+      .localCheckpoint(true)
+    val corpus = ranked.select(col("vec_id").as("neighbor_id"),
+        col("probe")(0)("cid").as("cid"))
+      .join(recon.select(col("vec_id").as("neighbor_id"), col("rv")), Seq("neighbor_id"))
+    val probes = ranked.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      explode(col("probe.cid")).as("cid"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val survivors = probes.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", dot(col("qv"), col("rv")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .select("query_id", "qv", "neighbor_id")
+    // exact re-rank: fetch full-precision vectors for survivors only
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    survivors
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Int8-quantized ANN top-k with exact re-rank — the memory-bandwidth
     * pattern of production embedding search: score bucket-local candidates
     * with a symmetric per-vector int8 quantization (q_i = floor(127 *

@@ -75,6 +75,14 @@ object LlmQueries extends QueryPack {
   // 0.69 → 0.51 regression slide.
   private val IvfRecallFloorPct = 60L
 
+  // ann_ivfpq_recall floor, in percent. Measured recall@5 (vec_id%4
+  // queries, defaults m=16/ksub=16/oversample=8 over the adaptive
+  // nlist/nprobe; RecallProbe pq, stable across reps): 0.656 at sf0.01,
+  // 0.569 at sf0.1, 0.970 at jittered sf1. 40% is well under the
+  // measured band yet catches a halved-recall regression (0.28 flags),
+  // the same margin discipline as IvfRecallFloorPct.
+  private val PqRecallFloorPct = 40L
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy to canonical row (one shuffle on md5 key).
     "dd_exact_hash" -> { (s, dir) =>
@@ -359,6 +367,42 @@ object LlmQueries extends QueryPack {
             .cast("long").as("n_hits"))
         .select(col("n_queries"), col("n_brute"), col("n_ivf"),
           (col("n_hits") * 100L >= col("n_brute") * IvfRecallFloorPct).as("recall_ok"))
+    },
+
+    // IVF-PQ ANN (FAISS IndexIVFPQ layout): coarse inverted lists + m-byte
+    // PQ codes + asymmetric-distance candidate scoring + exact re-rank of
+    // the top k*oversample. Rows-only (Lloyd float order is engine-
+    // internal); ann_ivfpq_recall is the oracled face.
+    "ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val nlist = Similarity.chooseNList(n)
+      Similarity.ivfPqTopK(emb, k = 5, nlist = nlist,
+        nprobe = Similarity.chooseNProbe(nlist), n = n)
+    },
+
+    // Recall gate for ann_ivfpq, same contract shape as ann_ivf_recall
+    // (floor from measurement with margin, see PqRecallFloorPct).
+    "ann_ivfpq_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 4 === 0), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_b"))
+      val n = emb.count()
+      val nlist = Similarity.chooseNList(n)
+      val pq = Similarity.ivfPqTopK(emb, k = 5, nlist = nlist,
+          nprobe = Similarity.chooseNProbe(nlist), n = n)
+        .filter(col("query_id") % 4 === 0)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_v"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("in_b"), lit(0))).cast("long").as("n_brute"),
+          sum(coalesce(col("in_v"), lit(0))).cast("long").as("n_pq"),
+          sum(when(col("in_b") === 1 && col("in_v") === 1, 1).otherwise(0))
+            .cast("long").as("n_hits"))
+        .select(col("n_queries"), col("n_brute"), col("n_pq"),
+          (col("n_hits") * 100L >= col("n_brute") * PqRecallFloorPct).as("recall_ok"))
     },
 
     // Text quality metrics: token/char counts, avg token length, stopword
@@ -912,6 +956,12 @@ object LlmQueries extends QueryPack {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(5*count(*) AS BIGINT) AS n_brute,
         |  CAST(5*count(*) AS BIGINT) AS n_ivf,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
+    "ann_ivfpq_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(5*count(*) AS BIGINT) AS n_brute,
+        |  CAST(5*count(*) AS BIGINT) AS n_pq,
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
     "ann_lsh_multiprobe" -> {

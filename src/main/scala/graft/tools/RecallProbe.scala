@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 import graft.sources.Tables
 
-/** Measure IVF recall@5 on the ann_ivf_recall query sample (vec_id%4) at a
-  * given sfDir — the measurement behind IvfRecallFloorPct. Not part of the
-  * library surface.
-  * Usage: runMain graft.tools.RecallProbe [sfDir] [reps] [nlist] [nprobe]
+/** Measure IVF (or IVF-PQ) recall@5 on the ann_*_recall query sample
+  * (vec_id%4) at a given sfDir — the measurement behind IvfRecallFloorPct
+  * and PqRecallFloorPct. Not part of the library surface.
+  * Usage: runMain graft.tools.RecallProbe [sfDir] [reps] [nlist] [nprobe] [ivf|pq]
   * (nlist/nprobe <= 0 → Similarity.chooseNList / chooseNProbe over the
   * corpus count, i.e. the library's adaptive defaults)
   */
@@ -32,7 +32,11 @@ object RecallProbe {
       val brute = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") % 4 === 0), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_b"))
-      val ivf = Similarity.ivfTopK(emb, k = 5, nlist = nlist, nprobe = nprobe)
+      val mode = if (args.length > 4) args(4) else "ivf"
+      val approx =
+        if (mode == "pq") Similarity.ivfPqTopK(emb, k = 5, nlist = nlist, nprobe = nprobe)
+        else Similarity.ivfTopK(emb, k = 5, nlist = nlist, nprobe = nprobe)
+      val ivf = approx
         .filter(col("query_id") % 4 === 0)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("in_v"))
       val row = brute.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")

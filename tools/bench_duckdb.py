@@ -87,6 +87,10 @@ EXPLAINED = {
     "ann_ivf_recall": (6.0, "recall audit: Spark runs brute-force top-k on "
         "a 25% sample PLUS the full IVF path; the oracle recomputes the "
         "integer pair-count contract in ~ms"),
+    "ann_ivfpq_recall": (12.0, "recall audit: Spark runs brute-force top-k "
+        "on a 25% sample PLUS the full IVF-PQ path (codebook training, "
+        "encode, ADC, re-rank); the oracle recomputes the integer "
+        "pair-count contract in ~ms. Measured 6.8 s warm @sf0.1"),
     "mm_image_decode": (5.0, "codec harness: Spark encodes AND decodes 500 "
         "PNGs through javax.imageio; the oracle recomputes dims/means "
         "arithmetically from doc_id"),
