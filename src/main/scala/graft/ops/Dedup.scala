@@ -364,6 +364,48 @@ object Dedup {
       .select("doc_id", "chunk_pos", "dup_group", "n_docs")
   }
 
+  /** Intra-document repetition removal (the MassiveText/Gopher repetition
+    * cleanup): split each document into tumbling `blockSize`-token blocks,
+    * keep only the FIRST occurrence of each distinct block within the
+    * document, and stitch the survivors back together in position order.
+    * The complement of [[stripDupChunks]], which removes CROSS-document
+    * boilerplate and deliberately ignores within-doc repeats.
+    *
+    * Output: `(doc_id, clean_text, n_kept, n_dropped)` — clean_text is the
+    * surviving blocks joined by single spaces (whitespace-normalized
+    * exactly as [[graft.ops.TextOps.tokens]] sees the text).
+    *
+    * Scale shape: NO joins — one explode (≈ token count / blockSize rows),
+    * one window keyed (doc_id, block-md5) for first-occurrence, one window
+    * keyed doc_id for the block count, one doc-keyed reassembly
+    * aggregation. Everything partitions on the document key, so cost is
+    * linear and skew-free regardless of how repetitive any one document
+    * is (a pathological doc costs its own block count, nothing quadratic).
+    */
+  def stripIntraDocRepeats(df: DataFrame, textCol: String, idCol: String,
+                           blockSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.chunkTokens(col("toks"), blockSize, 0))
+          .as(Seq("pos", "block")))
+    val firstPos = min(col("pos")).over(
+      Window.partitionBy(col("doc_id"), md5(col("block"))))
+    val docBlocks = count(lit(1)).over(Window.partitionBy(col("doc_id")))
+    blocks
+      .withColumn("first_pos", firstPos)
+      .withColumn("n_blocks", docBlocks)
+      .filter(col("pos") === col("first_pos"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("block")))),
+          s => s("block")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        (first(col("n_blocks")) - count(lit(1))).as("n_dropped"))
+  }
+
   /** Boilerplate removal — the reassembly half of [[chunkDupGroups]]: drop
     * every chunk occurrence that belongs to a cross-document duplicate
     * group, then stitch each document back together from its surviving

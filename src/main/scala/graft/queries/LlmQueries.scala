@@ -191,6 +191,20 @@ object LlmQueries extends QueryPack {
       Dedup.stripDupChunks(docs, "text", "doc_id", chunkSize = 32, minDocs = 2)
     },
 
+    // Intra-document repetition removal: first occurrence of each tumbling
+    // 16-token block survives, later repeats drop, text reassembles in
+    // order. Planted non-vacuously: every doc_id % 5 doc becomes its own
+    // first-32-token span repeated 3x (block-aligned, so 4 of its 6
+    // blocks strip).
+    "dd_intra_repeat" -> { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val s32 = array_join(slice(toks, 1, 32), " ")
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat_ws(" ", s32, s32, s32))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripIntraDocRepeats(docs, "text", "doc_id", blockSize = 16)
+    },
+
     // Chunk-level NEAR-dup pairs — boilerplate that MUTATES between
     // documents (dates, names), which dd_chunk_dedup's exact window
     // fingerprint cannot see. Planted non-vacuously: every doc_id % 31
@@ -767,6 +781,31 @@ object LlmQueries extends QueryPack {
          |      FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
          |SELECT c.doc_id, c.chunk_pos, g.dup_group, g.n_docs
          |FROM c JOIN g USING (fp)""".stripMargin,
+    "dd_intra_repeat" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN array_to_string((string_split(text,' '))[1:32], ' ') || ' ' ||
+        |           array_to_string((string_split(text,' '))[1:32], ' ') || ' ' ||
+        |           array_to_string((string_split(text,' '))[1:32], ' ')
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |        CAST(greatest(ceil(len(string_split(text,' '))/16.0), 1) AS INTEGER) AS nc
+        |      FROM d),
+        |b AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS pos,
+        |        array_to_string(t.toks[p.i*16+1 : p.i*16+16], ' ') AS block, t.nc
+        |      FROM t CROSS JOIN (SELECT unnest(range(0, 512)) AS i) p
+        |      WHERE p.i < t.nc),
+        |f AS (SELECT doc_id, pos, block, nc,
+        |        min(pos) OVER (PARTITION BY doc_id, md5(block)) AS first_pos
+        |      FROM b)
+        |SELECT doc_id,
+        |  string_agg(block, ' ' ORDER BY pos) AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(any_value(nc) - count(*) AS BIGINT) AS n_dropped
+        |FROM f WHERE pos = first_pos
+        |GROUP BY doc_id""".stripMargin,
     "dd_strip_boilerplate" ->
       s"""WITH d AS (
          |  SELECT doc_id,

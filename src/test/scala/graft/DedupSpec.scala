@@ -270,6 +270,19 @@ class DedupSpec extends SparkTestBase {
       maxBandFreq = 4).count() === 0)
   }
 
+  test("stripIntraDocRepeats: first block occurrence survives, order kept, counts exact") {
+    val docs = Seq(
+      (1L, "a b c d a b e f"), // blocks [a b][c d][a b][e f] -> drop pos 2
+      (2L, "x y x y x y"),     // [x y]x3 -> keep first only
+      (3L, "p q r")            // [p q][r] -> nothing repeated
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripIntraDocRepeats(docs, "text", "doc_id", blockSize = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "a b c d e f", 3L, 1L)))
+    assert(out(2L) === ((2L, "x y", 1L, 2L)))
+    assert(out(3L) === ((3L, "p q r", 2L, 0L)))
+  }
+
   test("contaminationScore: exact overlap share, shingle-less docs absent") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // all 4 shingles in probe
