@@ -327,6 +327,77 @@ object CorpusOps {
     * ride a 1-row broadcast, and one groupBy(doc) folds votes. The corpus
     * itself shuffles once (the doc-keyed fold).
     */
+  /** Word-frequency table with each word split to its character symbols —
+    * the starting state of BPE training. At 100 TB the corpus collapses to
+    * its VOCABULARY here (one shuffle), and every BPE iteration after this
+    * runs on vocabulary-sized data — the classic trick that makes corpus
+    * BPE training tractable (Sennrich et al., ACL 2016: merges operate on
+    * the word-count dictionary, never the raw text).
+    */
+  def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // array_remove guards the empty-string artifacts Java regex split
+      // emits around zero-width matches; character symbols are never empty
+      .select(array_remove(split(col("w"), ""), "").as("sym"), col("n"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — one BPE
+    * iteration's statistics. (a, b, n_pairs); a codegen'd zip of two
+    * array slices, one hash aggregation.
+    */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("sym")) >= 2)
+      .select(explode(zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("n"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("n_pairs"))
+
+  /** BPE merge training (Sennrich et al., "Neural Machine Translation of
+    * Rare Words with Subword Units", ACL 2016): `rounds` iterations of
+    * count-adjacent-pairs → take the most frequent pair (ties break
+    * lexicographically — fully deterministic) → merge it corpus-wide.
+    * Returns the learned merge table `(round, left, right, n_pairs)` — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: all per-round state is VOCABULARY-sized ([[bpeWordTable]]
+    * collapses the corpus first). The argmax is a 1-row TakeOrdered whose
+    * result stays on the cluster — it re-enters the next round as a 1-row
+    * broadcast, and the merge itself is a codegen'd left fold over each
+    * word's symbol array (greedy left-to-right, the reference semantics:
+    * "aaa" under (a,a) → ["aa","a"]). localCheckpoint per round keeps the
+    * iteration-k plan flat instead of nesting all k−1 prior merges
+    * (the [[Dedup.nearDupComponents]] lineage discipline).
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    var words = bpeWordTable(df, textCol).localCheckpoint(true)
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 0 until rounds) {
+      val best = bpePairCounts(words)
+        .orderBy(col("n_pairs").desc, col("a"), col("b")).limit(1)
+        .select(col("a").as("ba"), col("b").as("bb"), col("n_pairs"))
+        .localCheckpoint(true)
+      out += best.select(lit(r).as("round"), col("ba").as("left"),
+        col("bb").as("right"), col("n_pairs"))
+      val mergedSym = aggregate(
+        col("sym"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === col("ba") && x === col("bb"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("ba"), col("bb")))))
+            .otherwise(concat(acc, array(x))))
+      words = words.crossJoin(broadcast(best))
+        .select(mergedSym.as("sym"), col("n"))
+        .localCheckpoint(true)
+    }
+    out.result().reduce(_ union _)
+  }
+
   /** Token-vote quality/language classifier — the fastText-style linear
     * classifier slot of a training-data pipeline (CCNet/RefinedWeb run one
     * to score every crawled page), with the train-and-score loop expressed

@@ -541,6 +541,20 @@ object LlmQueries extends QueryPack {
       CorpusOps.bigramCounts(Tables.documents(s, dir), "text", "doc_id")
     },
 
+    // BPE round-0 statistics: character-pair counts weighted by word
+    // frequency — the oracled face of the BPE trainer (exact integers).
+    "ta_bpe_pairs" -> { (s, dir) =>
+      CorpusOps.bpePairCounts(CorpusOps.bpeWordTable(Tables.documents(s, dir), "text"))
+    },
+
+    // BPE merge training, 6 rounds: the learned merge table. Rows-only —
+    // the iterative argmax+merge loop is not one SQL query; round 0 is
+    // oracle-pinned via ta_bpe_pairs and the loop semantics via
+    // CorpusOpsSpec's hand-computed corpus.
+    "ta_bpe_merges" -> { (s, dir) =>
+      CorpusOps.bpeTrainMerges(Tables.documents(s, dir), "text", rounds = 6)
+    },
+
     // Deterministic md5-prefix train/val/test split (12/2/2 sixteenths):
     // reproducible on any engine, stable under repartitioning.
     "ta_split" -> { (s, dir) =>
@@ -1167,6 +1181,17 @@ object LlmQueries extends QueryPack {
         |  SUM(vote) > 0 AS pred,
         |  y AS label
         |FROM v GROUP BY doc_id, y""".stripMargin,
+    // mirrors bpePairCounts over bpeWordTable: vocabulary collapse, then
+    // adjacent character pairs weighted by word count.
+    "ta_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+        |       WHERE length(w) > 0 GROUP BY w),
+        |pos AS (SELECT w, n, unnest(range(1, length(w))) AS i FROM wc)
+        |SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+        |       substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
+        |       CAST(sum(n) AS BIGINT) AS n_pairs
+        |FROM pos GROUP BY 1, 2""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

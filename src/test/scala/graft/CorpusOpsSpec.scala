@@ -278,6 +278,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L)._6 == (uniform < 0.5))
   }
 
+  test("bpeTrainMerges: hand-computed merges, lexicographic ties, greedy left fold") {
+    // words: low x3, lower x1, lowest x1.
+    // r0 pairs: (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1
+    //   -> tie at 5 breaks lexicographically: (l,o)
+    // r1: (lo,w)=5 (w,e)=2 ... -> (lo,w)
+    // r2: low x3 is a single symbol; (low,e)=2 wins
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrainMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toList
+    assert(merges === List((0, "l", "o", 5L), (1, "lo", "w", 5L), (2, "low", "e", 2L)))
+  }
+
+  test("bpeTrainMerges: overlapping pair merges left-to-right (aaa -> [aa, a])") {
+    // "aaa" x2: r0 pair (a,a)=4 (two adjacent pairs per word x2 words);
+    // merged greedily left-to-right each word becomes [aa, a], so r1 sees
+    // (aa,a)=2 — the reference BPE fold, not a regex-global replace.
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrainMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toList
+    assert(merges === List((0, "a", "a", 4L), (1, "aa", "a", 2L)))
+  }
+
   test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
     // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
     // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.
