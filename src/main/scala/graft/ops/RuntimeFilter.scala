@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** Bloom-filter runtime pruning as a first-class operator — the pattern
+  * behind Spark's own row-level runtime filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`, `InjectRuntimeFilter`),
+  * exposed so a pipeline can apply it where the optimizer cannot see it:
+  * across materialization boundaries, before an aggregation keyed by
+  * another table's survivors, or against a build side produced by an
+  * earlier job.
+  *
+  * The build side collapses to ONE bloom-sketch binary (a
+  * `BloomFilterAggregate` over the xxhash64 of the key — the same internal
+  * aggregate Catalyst injects, reached through [[GraftSqlBridge]]); the
+  * sketch broadcasts and prunes the probe side as a codegen'd
+  * `might_contain` predicate BEFORE the probe rows reach any exchange. At
+  * 100 TB that is the difference between shuffling the whole fact table
+  * into a semi join and shuffling only the ~matching slice (plus the
+  * bloom's false positives — bounded by `numBits`).
+  */
+object RuntimeFilter {
+
+  /** Aggregate Column: bloom sketch (binary) over the xxhash64 of `key`. */
+  def bloomOf(key: Column, expectedItems: Long, numBits: Long): Column =
+    GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(key)),
+        GraftSqlBridge.expression(lit(expectedItems)),
+        GraftSqlBridge.expression(lit(numBits))).toAggregateExpression())
+
+  /** Predicate Column: bloom membership probe of the xxhash64 of `key`. */
+  def mightContain(bloom: Column, key: Column): Column =
+    GraftSqlBridge.column(new BloomFilterMightContain(
+      GraftSqlBridge.expression(bloom),
+      GraftSqlBridge.expression(xxhash64(key))))
+
+  /** Semi join with a bloom prefilter: output ≡ `probe LEFT SEMI JOIN
+    * build` exactly — the bloom pass may keep false positives (never drops
+    * a true match: no false negatives by construction), and the exact semi
+    * join afterwards removes them. The bloom's only effect is how many
+    * probe rows reach that join's exchange; EXACTNESS is independent of
+    * `numBits`, which SemiJoinSpec pins by forcing a tiny, FP-heavy sketch.
+    */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    expectedItems: Long = 4096L,
+                    numBits: Long = 65536L): DataFrame = {
+    // scalar subquery, not a joined column: might_contain requires its
+    // sketch side be constant-foldable at execution (same shape Catalyst's
+    // InjectRuntimeFilter emits)
+    val bloom = GraftSqlBridge.scalarSubquery(
+      build.agg(bloomOf(col(buildKey), expectedItems, numBits).as("__bf")))
+    val pre = probe.filter(mightContain(bloom, col(probeKey)))
+    pre.join(
+      build.select(col(buildKey).as(probeKey)).distinct(),
+      Seq(probeKey), "left_semi")
+  }
+}

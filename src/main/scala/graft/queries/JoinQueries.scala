@@ -141,6 +141,18 @@ object JoinQueries extends QueryPack {
       IntervalJoin.pointInInterval(pts, "l_shipdate", ivs, "iv_start", "iv_end",
           bucketDays = 7)
         .select("l_orderkey", "l_linenumber", "l_shipdate", "iv_key", "iv_start")
+    },
+
+    // Bloom-prefiltered semi join (runtime row-level filtering as an
+    // operator): build side -> one broadcast bloom sketch pruning the
+    // probe scan, exact semi join after. Output == the plain semi join.
+    "j13_bloom_semi" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.ops.RuntimeFilter.bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
     }
   )
 
@@ -204,6 +216,12 @@ object JoinQueries extends QueryPack {
         |JOIN orders o
         |  ON o.o_custkey % 1000 = 0
         | AND l.l_shipdate BETWEEN o.o_orderdate
-        |                      AND o.o_orderdate + INTERVAL 6 DAY""".stripMargin
+        |                      AND o.o_orderdate + INTERVAL 6 DAY""".stripMargin,
+    "j13_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderpriority = '1-URGENT'
+        |                AND o.o_orderkey = l.l_orderkey)""".stripMargin
   )
 }

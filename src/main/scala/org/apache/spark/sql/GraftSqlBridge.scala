@@ -12,6 +12,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A 1-row/1-column DataFrame as a scalar-subquery Column — how
+    * Catalyst's own `InjectRuntimeFilter` feeds a bloom sketch to
+    * `might_contain` (which requires a constant or scalar subquery, not a
+    * joined column).
+    */
+  def scalarSubquery(df: Dataset[Row]): Column =
+    ExpressionUtils.column(catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed))
+
   /** Rebind a DataFrame's logical plan to another session (same
     * SparkContext) — lets a writer scope session confs (e.g. AQE advisory
     * partition size) to a cloned session instead of mutating the caller's.

@@ -238,4 +238,27 @@ class ScaleOpsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_dims")
     }
   }
+
+  test("bloomSemiJoin equals the exact semi join, even with an FP-heavy tiny sketch") {
+    import graft.ops.RuntimeFilter
+    val probe = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val build = (1L to 2000L).filter(_ % 13 == 0).map(i => (i, "b")).toDF("bk", "tag")
+    val exact = probe.join(build.select(col("bk").as("k")).distinct(), Seq("k"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    val roomy = RuntimeFilter.bloomSemiJoin(probe, "k", build, "bk")
+      .as[(Long, String)].collect().toSet
+    assert(roomy === exact)
+    // 64 bits for 153 keys: most probes are false positives — output must
+    // not change (the exact join removes them; the bloom never drops a match)
+    val tiny = RuntimeFilter.bloomSemiJoin(probe, "k", build, "bk",
+      expectedItems = 8L, numBits = 64L)
+      .as[(Long, String)].collect().toSet
+    assert(tiny === exact)
+    // soundness of the prefilter alone: every true match passes the bloom
+    val bloom = org.apache.spark.sql.GraftSqlBridge.scalarSubquery(
+      build.agg(RuntimeFilter.bloomOf(col("bk"), 8L, 64L).as("bf")))
+    val kept = probe.filter(RuntimeFilter.mightContain(bloom, col("k")))
+      .select("k").as[Long].collect().toSet
+    assert(exact.map(_._1).subsetOf(kept))
+  }
 }
