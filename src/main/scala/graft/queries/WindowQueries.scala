@@ -193,6 +193,35 @@ object WindowQueries extends QueryPack {
         .withColumn("n_7d", count(lit(1)).over(w))
         .withColumn("amt_7d", sum(cents).over(w).cast("double") / 100.0)
         .select("event_id", "user_id", "day_key", "n_7d", "amt_7d")
+    },
+
+    // SCD2 interval builder — the slowly-changing-dimension collapse every
+    // warehouse runs: consecutive equal attribute values per entity merge
+    // into one validity interval [valid_from, valid_to), open (null) on
+    // the current segment. Segment ids come from a lag-change flag +
+    // running sum (gaps-and-islands); everything partitions on the entity
+    // key, (ts, event_id) totally orders within it — deterministic, no
+    // global sort, one exchange.
+    "w14_scd2_intervals" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val chg = when(lag(col("event_type"), 1).over(byUser).isNull ||
+        lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+        .otherwise(0L)
+      val seg = sum(chg).over(byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow))
+      val bySeg = Window.partitionBy("user_id").orderBy(col("seg").asc)
+      Tables.events(s, dir)
+        .withColumn("seg", seg)
+        .groupBy("user_id", "seg")
+        .agg(first(col("event_type")).as("event_type"),
+          // NTZ for the same parquet-dump reason as w11: LTZ writes INT96/ns
+          min(col("ts")).cast("timestamp_ntz").as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(bySeg))
+        .select(col("user_id"), col("seg"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          col("valid_to").isNull.as("is_current"))
     }
   )
 
@@ -299,6 +328,29 @@ object WindowQueries extends QueryPack {
          |  CAST(SUM($centsSql) OVER w AS DOUBLE) / 100.0 AS amt_7d
          |FROM d
          |WINDOW w AS (PARTITION BY user_id ORDER BY day_key
-         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w14_scd2_intervals" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, event_type, $tsUs AS ts,
+         |    CASE WHEN lag(event_type) OVER w IS NULL
+         |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs ASC, event_id ASC)),
+         |segs AS (
+         |  SELECT user_id, event_id, event_type, ts,
+         |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         |  FROM flagged),
+         |g AS (
+         |  SELECT user_id, CAST(seg AS BIGINT) AS seg,
+         |    any_value(event_type) AS event_type,
+         |    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM segs GROUP BY user_id, seg)
+         |SELECT user_id, seg, event_type, valid_from,
+         |  lead(valid_from) OVER wseg AS valid_to,
+         |  n_events,
+         |  lead(valid_from) OVER wseg IS NULL AS is_current
+         |FROM g
+         |WINDOW wseg AS (PARTITION BY user_id ORDER BY seg)""".stripMargin
   )
 }

@@ -81,6 +81,17 @@ EXPLAINED = {
     "tpch_q3": (5.0, "constant-dominated: 1.34 s @sf0.01 vs 1.52 s @sf0.1 warm"),
     "tpch_q5": (5.0, "constant-dominated: 1.25 s @sf0.01 vs 1.69 s @sf0.1 warm"),
     "ta_bigram_lm": (3.0, "constant-dominated: 0.63 s @sf0.01 vs 1.02 s @sf0.1 warm"),
+    "ta_quality_classifier": (2.5, "constant-dominated 4-stage train+score "
+        "pipeline: 0.67 s @sf0.01 vs 0.83 s @sf0.1 warm (10x data, +24%)"),
+    "dd_intra_repeat": (2.0, "constant-dominated explode+2-window+fold: "
+        "0.52 s @sf0.01 vs 0.70 s @sf0.1 warm (+35%)"),
+    "ta_dsir_sample": (2.0, "constant-dominated 3-join/2-agg stack: "
+        "0.56 s @sf0.01 vs 0.59 s @sf0.1 warm (+5%); sf1 grows 3.1x, "
+        "sub-linear (BENCH_NOTES r7)"),
+    "j13_bloom_semi": (2.5, "constant-dominated bloom-build + scalar-"
+        "subquery prefilter + semi join: 0.51 s @sf0.01 vs 0.78 s @sf0.1 "
+        "warm (+53%); the bloom stage exists to SAVE shuffle at scale, "
+        "its build is pure constant at toy SF"),
     "p11_variant_path": (2.5, "constant-dominated: 0.43 s @sf0.01 vs 0.69 s @sf0.1 warm"),
     # semantically lopsided audit harnesses (previously rode the 50 ms
     # floor waiver — explicit caps so a real regression re-flags):
