@@ -88,6 +88,9 @@ EXPLAINED = {
     "ta_dsir_sample": (2.0, "constant-dominated 3-join/2-agg stack: "
         "0.56 s @sf0.01 vs 0.59 s @sf0.1 warm (+5%); sf1 grows 3.1x, "
         "sub-linear (BENCH_NOTES r7)"),
+    "w14_scd2_intervals": (2.0, "constant-dominated 2-window gaps-and-"
+        "islands + fold: 0.66 s @sf0.01 vs 0.96 s @sf0.1 warm (+45%); "
+        "sf1 bench 1.33 s, sub-linear"),
     "j13_bloom_semi": (2.5, "constant-dominated bloom-build + scalar-"
         "subquery prefilter + semi join: 0.51 s @sf0.01 vs 0.78 s @sf0.1 "
         "warm (+53%); the bloom stage exists to SAVE shuffle at scale, "
