@@ -222,6 +222,33 @@ object WindowQueries extends QueryPack {
         .select(col("user_id"), col("seg"), col("event_type"),
           col("valid_from"), col("valid_to"), col("n_events"),
           col("valid_to").isNull.as("is_current"))
+    },
+
+    // Funnel conversion (MATCH_RECOGNIZE-lite): first purchase within 7
+    // days of the user's most recent preceding signup. The as-of idiom —
+    // one ordered pass with an ignore-nulls last_value over the strictly-
+    // preceding frame — so no pair join and no candidate fanout on users
+    // with many events; one exchange on the entity key.
+    "w15_funnel" -> { (s, dir) =>
+      val windowUs = 7L * 86400L * 1000000L
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val lastSignup = last(
+        when(col("event_type") === "signup", unix_micros(col("ts"))), ignoreNulls = true)
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val conv = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("sig_us", lastSignup)
+        .filter(col("event_type") === "purchase" && col("sig_us").isNotNull &&
+          unix_micros(col("ts")) - col("sig_us") <= windowUs)
+        .select(col("user_id"), col("event_id"), col("sig_us"),
+          unix_micros(col("ts")).as("pur_us"))
+      conv.groupBy("user_id")
+        .agg(min_by(struct(col("sig_us"), col("pur_us"), col("event_id")),
+          struct(col("pur_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.sig_us").as("signup_us"),
+          col("m.pur_us").as("purchase_us"),
+          (col("m.pur_us") - col("m.sig_us")).as("delta_us"),
+          col("m.event_id").as("purchase_event_id"))
     }
   )
 
@@ -351,6 +378,26 @@ object WindowQueries extends QueryPack {
          |  n_events,
          |  lead(valid_from) OVER wseg IS NULL AS is_current
          |FROM g
-         |WINDOW wseg AS (PARTITION BY user_id ORDER BY seg)""".stripMargin
+         |WINDOW wseg AS (PARTITION BY user_id ORDER BY seg)""".stripMargin,
+    "w15_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, $tsUs AS t
+         |  FROM events WHERE event_type IN ('signup','purchase')),
+         |m AS (
+         |  SELECT user_id, event_id, event_type, t,
+         |    last_value(CASE WHEN event_type = 'signup' THEN epoch_us(t) END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sig_us
+         |  FROM ev),
+         |c AS (
+         |  SELECT user_id, event_id, sig_us, epoch_us(t) AS pur_us
+         |  FROM m
+         |  WHERE event_type = 'purchase' AND sig_us IS NOT NULL
+         |    AND epoch_us(t) - sig_us <= 604800000000)
+         |SELECT user_id, sig_us AS signup_us, pur_us AS purchase_us,
+         |  pur_us - sig_us AS delta_us, event_id AS purchase_event_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY pur_us, event_id) AS rn FROM c)
+         |WHERE rn = 1""".stripMargin
   )
 }

@@ -84,6 +84,36 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Similarity.ivfTopK(tiny, k = 2, nlist = 16, nprobe = 6).count() > 0)
   }
 
+  test("r7 second-wave ops are total over hostile and empty inputs") {
+    // prefix-filtered pairs: same no-pair result as the unfiltered join
+    assert(Dedup.ngramPrefixPairs(hostile, "text", "doc_id", n = 3, threshold = 0.1)
+      .count() == 0L)
+    val empty = hostile.filter(col("doc_id") < 0)
+    assert(Dedup.ngramPrefixPairs(empty, "text", "doc_id").count() == 0L)
+    // intra-doc repeat strip: total (empty text keeps its one empty block;
+    // the degenerate repetition doc collapses to one block)
+    val strip = Dedup.stripIntraDocRepeats(hostile, "text", "doc_id", blockSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strip.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(strip(5L) === "a a")
+    assert(strip(2L) === "")
+    // BPE on a vocabulary of single-char words: no pairs, no merges, no error
+    val single = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(CorpusOps.bpeTrainMerges(single, "text", rounds = 2).count() == 0L)
+    assert(CorpusOps.bpeTrainMerges(empty, "text", rounds = 1).count() == 0L)
+    // single-class classifier: every vote ties (d1*0 vs d0*N1 both 0), total
+    val oneClass = CorpusOps.tokenVoteClassifier(hostile, "text", "doc_id", lit(true))
+      .collect()
+    assert(oneClass.length == 5 && oneClass.forall(_.getAs[Long]("score") == 0L))
+  }
+
+  test("bloomSemiJoin with an EMPTY build side returns empty, not an error") {
+    import graft.ops.RuntimeFilter
+    val probe = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val build = probe.filter(col("k") < 0).select(col("k").as("bk"))
+    assert(RuntimeFilter.bloomSemiJoin(probe, "k", build, "bk").count() == 0L)
+  }
+
   test("filter cascade: rule order pins first_reject; hostile docs survive") {
     // 20 five-char tokens, 40% punct chars: only too_symbolic (and later
     // rules) fire, so first_reject must be the cascade-ordered one

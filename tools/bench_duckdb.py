@@ -88,6 +88,9 @@ EXPLAINED = {
     "ta_dsir_sample": (2.0, "constant-dominated 3-join/2-agg stack: "
         "0.56 s @sf0.01 vs 0.59 s @sf0.1 warm (+5%); sf1 grows 3.1x, "
         "sub-linear (BENCH_NOTES r7)"),
+    "w15_funnel": (2.0, "constant-dominated as-of window + min_by fold: "
+        "0.60 s @sf0.01, 0.81 s @sf0.1, 0.95 s @sf1 warm (100x data, "
+        "+58% time)"),
     "w14_scd2_intervals": (2.0, "constant-dominated 2-window gaps-and-"
         "islands + fold: 0.66 s @sf0.01 vs 0.96 s @sf0.1 warm (+45%); "
         "sf1 bench 1.33 s, sub-linear"),
