@@ -78,6 +78,44 @@ object SketchQueries extends QueryPack {
         (abs(col("m_gk") - col("median_exact")) / col("median_exact") <= bound)
           .as("gk_within_bound"))
 
+  /** DataSketches HLL union bound for `sk_hll_union`: lgk=12 target rsd
+    * ≈ 1.04/sqrt(2^12) ≈ 1.6%; measured union error on the token
+    * vocabulary is well inside (SketchSpec pins non-vacuity). 3σ + margin.
+    */
+  val HllUnionRelBound = 0.10
+
+  /** Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    * default: each source (shard) aggregates its own token sketch in one
+    * pass, and the corpus-wide cardinality comes from unioning the ~20
+    * sketch BINARIES (kilobytes) without ever revisiting rows — the
+    * two-level rollup a 1000-executor job ships to its reducer, visible
+    * here as a real two-level plan (`hll_sketch_agg` per source →
+    * `hll_union_agg` over the partials). Exactness face per [[hllCard]]:
+    * the oracle recomputes the exact global distinct; the boolean asserts
+    * the unioned estimate landed within bound. DataSketches HLL unions are
+    * register-wise max — order-independent, so the boolean is stable under
+    * any partitioning.
+    */
+  def hllUnion(s: SparkSession, dir: String, bound: Double): DataFrame = {
+    import graft.ops.TextOps
+    // 3-gram shingles, not tokens: the shingle vocabulary (tens of
+    // thousands) pushes the sketch past its exact sparse mode, so the
+    // bound measures REAL estimation error (SketchSpec pins non-vacuity;
+    // the token vocabulary is so small the sketch is exact there)
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)).as("sh"))
+    val partials = sh.groupBy("source").agg(hll_sketch_agg(col("sh")).as("sk"))
+    val est = partials.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"),
+      count(lit(1)).as("n_sources"))
+    val exact = sh.agg(countDistinct(col("sh")).as("n_exact_total"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_exact_total"), col("n_sources"),
+        (abs(col("est_total") - col("n_exact_total")) / col("n_exact_total") <= bound)
+          .as("hll_union_within_bound"))
+  }
+
   /** Misra-Gries capacity for `sk_freq_items`: 64 counters track every
     * token with frequency above n/65 (~1.5% of the corpus) — the stopword
     * tier that dominates any natural corpus.
@@ -116,6 +154,7 @@ object SketchQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "sk_hll_card" -> (hllCard(_, _, HllRelBound)),
+    "sk_hll_union" -> (hllUnion(_, _, HllUnionRelBound)),
     "sk_approx_quantile" -> (approxQuantile(_, _, PctRelBound)),
     "sk_freq_items" -> (freqItems(_, _, FreqItemsCapacity))
   )
@@ -125,6 +164,18 @@ object SketchQueries extends QueryPack {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |  true AS hll_within_bound
         |FROM events GROUP BY 1""".stripMargin,
+    "sk_hll_union" ->
+      """WITH s AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    range(greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2] || ' ' ||
+        |         string_split(text,' ')[i+3]))) AS sh
+        |  FROM documents)
+        |SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_exact_total,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       true AS hll_union_within_bound
+        |FROM s""".stripMargin,
     "sk_approx_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS median_exact,

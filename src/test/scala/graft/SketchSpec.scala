@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.queries.SketchQueries
 
 /** Approximate aggregates — the 100 TB defaults the oracles can't check
   * (sketch values are engine-specific): bounded-error guarantees against
@@ -91,5 +92,35 @@ class SketchSpec extends SparkTestBase {
     val heavy = exact.filter(_._2 * 65 > n).map(_._1)
     assert(heavy.nonEmpty && !heavy.forall(starved.contains),
       "capacity-1 sketch retained every heavy token — the gate is vacuous")
+  }
+
+  test("sk_hll_union: mergeable (union of shard sketches == one global sketch), gated, non-vacuous") {
+    import graft.ops.TextOps
+    val dir = sf("sf0.01")
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)).as("sh"))
+    // THE mergeability property: estimating from unioned per-source
+    // partials agrees with one direct sketch over the whole corpus.
+    // Agreement is within a tight band, not bit-equality: a DataSketches
+    // union carries an HLL_8 gadget while the direct path stays HLL_4,
+    // so the two estimators differ in a few low-order coupons (measured
+    // 16392 vs 16348 here, 0.27%)
+    val viaUnion = sh.groupBy("source").agg(hll_sketch_agg(col("sh")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).collect()(0).getLong(0)
+    val direct = sh.agg(hll_sketch_estimate(hll_sketch_agg(col("sh"))))
+      .collect()(0).getLong(0)
+    assert(math.abs(viaUnion - direct).toDouble / direct < 0.01,
+      s"union=$viaUnion direct=$direct")
+    // deterministic + green at the shipped bound
+    val run1 = SketchQueries.hllUnion(spark, dir, SketchQueries.HllUnionRelBound)
+      .collect()(0)
+    val run2 = SketchQueries.hllUnion(spark, dir, SketchQueries.HllUnionRelBound)
+      .collect()(0)
+    assert(run1.toSeq === run2.toSeq)
+    assert(run1.getAs[Boolean]("hll_union_within_bound"))
+    // non-vacuous: an absurdly tight bound flips the gate
+    assert(!SketchQueries.hllUnion(spark, dir, 1e-7)
+      .collect()(0).getAs[Boolean]("hll_union_within_bound"))
   }
 }
