@@ -398,6 +398,36 @@ object CorpusOps {
     out.result().reduce(_ union _)
   }
 
+  /** BPE encoding — the inference half of [[bpeTrainMerges]]: apply a
+    * SHIPPED merge list (the tokenizer artifact) to every document. Each
+    * merge is one greedy left fold over a word's symbol array, and the R
+    * merges chain as R nested folds inside a single projection — so the
+    * whole encode is one narrow codegen'd map over the corpus: NO joins,
+    * no shuffles, no iteration at runtime. Output per doc: word count,
+    * BPE token count (what sequence packing actually budgets), and the
+    * encoded pieces (the tokenized corpus a training run reads).
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    def mergeOnce(sym: Column, a: String, b: String): Column =
+      aggregate(sym, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(array_remove(split(w, ""), ""): Column) {
+        case (sym, (a, b)) => mergeOnce(sym, a, b)
+      }
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).as("n_words"),
+        flatten(transform(col("__toks"), encodeWord)).as("pieces"))
+      .withColumn("n_bpe_tokens", size(col("pieces")).cast("long"))
+      .select(col(idCol), col("n_words").cast("long").as("n_words"),
+        col("n_bpe_tokens"), col("pieces"))
+  }
+
   /** Token-vote quality/language classifier — the fastText-style linear
     * classifier slot of a training-data pipeline (CCNet/RefinedWeb run one
     * to score every crawled page), with the train-and-score loop expressed

@@ -547,6 +547,17 @@ object LlmQueries extends QueryPack {
       CorpusOps.bpePairCounts(CorpusOps.bpeWordTable(Tables.documents(s, dir), "text"))
     },
 
+    // BPE encode with a shipped 6-merge artifact (the sf0.01-trained
+    // list): word count, BPE token count, and the encoded pieces — the
+    // tokenized corpus + the packing budget. Rows-only (the chained
+    // greedy fold has no reasonable single-SQL twin; the count/stat face
+    // of the family is oracled via ta_bpe_pairs, loop semantics via
+    // CorpusOpsSpec hand cases).
+    "ta_bpe_encode" -> { (s, dir) =>
+      CorpusOps.bpeEncode(Tables.documents(s, dir), "text", "doc_id",
+        Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er"))
+    },
+
     // BPE merge training, 6 rounds: the learned merge table. Rows-only —
     // the iterative argmax+merge loop is not one SQL query; round 0 is
     // oracle-pinned via ta_bpe_pairs and the loop semantics via

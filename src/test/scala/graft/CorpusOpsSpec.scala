@@ -300,6 +300,23 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(merges === List((0, "a", "a", 4L), (1, "aa", "a", 2L)))
   }
 
+  test("bpeEncode: shipped merges apply in order, greedy per word, counts exact") {
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val out = CorpusOps.bpeEncode(docs, "text", "doc_id",
+        Seq("l" -> "o", "lo" -> "w", "low" -> "e"))
+      .as[(Long, Long, Long, Seq[String])].collect()(0)
+    // low -> [low]; lower -> [lowe, r]; lowest -> [lowe, s, t]
+    assert(out === ((1L, 3L, 6L, Seq("low", "lowe", "r", "lowe", "s", "t"))))
+    // encode(train(corpus)) round-trip: training's own merges re-derive
+    // the same segmentation the trainer's word table ends at
+    val merges = CorpusOps.bpeTrainMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => m._2 -> m._3).toSeq
+    val rt = CorpusOps.bpeEncode(docs, "text", "doc_id", merges)
+      .as[(Long, Long, Long, Seq[String])].collect()(0)
+    assert(rt._3 < 3L * 6L, "trained merges failed to compress at all")
+  }
+
   test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
     // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
     // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.
