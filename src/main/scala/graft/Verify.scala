@@ -9,6 +9,29 @@ import java.nio.file.{Files, Paths}
   * filtered to match (targeted re-checks at big SFs without re-running
   * the whole surface). */
 object Verify {
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** The driver's correctness harness reads each dump with pandas and
+    * sorts rows over ALL columns; a container-typed cell (array/map/
+    * struct) arrives as an ndarray/dict and `sort_values` dies on
+    * "unhashable type" — which in round 7 zeroed ta_bpe_encode's row
+    * without even a rows-only record. Query dump faces must therefore be
+    * scalar-only (array_join / element_at / to_json at the face; the
+    * typed columns stay in the library API). Enforced here at dump time
+    * and swept across every query in PlanGuardSpec.
+    */
+  def isAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  def assertAtomicFace(name: String, schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => isAtomic(f.dataType))
+    require(bad.isEmpty,
+      s"query '$name' dumps non-atomic columns the driver harness cannot " +
+        s"sort: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -54,9 +77,11 @@ object Verify {
       // plans (no exchange at all, e.g. the O(n²) cosine baseline) that
       // serializes the whole computation. The extra round-robin shuffle
       // moves only the final result rows; compute keeps full parallelism.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        assertAtomicFace(name, df.schema)
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

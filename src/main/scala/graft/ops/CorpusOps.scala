@@ -400,32 +400,51 @@ object CorpusOps {
 
   /** BPE encoding — the inference half of [[bpeTrainMerges]]: apply a
     * SHIPPED merge list (the tokenizer artifact) to every document. Each
-    * merge is one greedy left fold over a word's symbol array, and the R
-    * merges chain as R nested folds inside a single projection — so the
-    * whole encode is one narrow codegen'd map over the corpus: NO joins,
-    * no shuffles, no iteration at runtime. Output per doc: word count,
-    * BPE token count (what sequence packing actually budgets), and the
-    * encoded pieces (the tokenized corpus a training run reads).
+    * merge is one greedy left fold over a word's symbol array; merges
+    * chain as nested folds inside a projection — a narrow codegen'd map
+    * over the corpus with NO joins and no shuffles. Output per doc: word
+    * count, BPE token count (what sequence packing actually budgets), and
+    * the encoded pieces (the tokenized corpus a training run reads).
+    *
+    * A production artifact ships 30k–50k merges, and a single projection
+    * nesting all of them would build an R-deep expression tree (codegen
+    * blowup, analyzer O(R²)). So merges apply in batches of
+    * `mergesPerStage` nested folds per projection, with an eager
+    * localCheckpoint between batches truncating plan lineage (the
+    * [[bpeTrainMerges]] discipline) — R scales linearly in stage count
+    * while per-stage codegen stays bounded. With R ≤ mergesPerStage
+    * (e.g. the shipped 6-merge query face) the plan is the original
+    * single lazy projection, checkpoint-free. The default stage depth is
+    * analyzer-bounded, not codegen-bounded: Catalyst's Resolution batch
+    * spends iterations proportional to nested-lambda depth and caps at
+    * 100 (64 nested folds already trip it), so 16 keeps a wide margin.
     */
   def bpeEncode(df: DataFrame, textCol: String, idCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)],
+                mergesPerStage: Int = 16): DataFrame = {
+    require(mergesPerStage >= 1, "mergesPerStage >= 1")
     def mergeOnce(sym: Column, a: String, b: String): Column =
       aggregate(sym, array().cast("array<string>"),
         (acc, x) =>
           when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
-    val encodeWord = (w: Column) =>
-      merges.foldLeft(array_remove(split(w, ""), ""): Column) {
-        case (sym, (a, b)) => mergeOnce(sym, a, b)
-      }
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        size(col("__toks")).as("n_words"),
-        flatten(transform(col("__toks"), encodeWord)).as("pieces"))
+    def encodeBatch(batch: Seq[(String, String)])(w: Column): Column =
+      batch.foldLeft(w) { case (sym, (a, b)) => mergeOnce(sym, a, b) }
+    val batches = merges.grouped(mergesPerStage).toSeq
+    var cur = df.select(col(idCol),
+      transform(TextOps.tokens(col(textCol)),
+        w => array_remove(split(w, ""), "")).as("__sym"))
+    for ((batch, i) <- batches.zipWithIndex) {
+      cur = cur.select(col(idCol),
+        transform(col("__sym"), w => encodeBatch(batch)(w)).as("__sym"))
+      if (i < batches.size - 1) cur = cur.localCheckpoint(true)
+    }
+    cur.select(col(idCol),
+        size(col("__sym")).cast("long").as("n_words"),
+        flatten(col("__sym")).as("pieces"))
       .withColumn("n_bpe_tokens", size(col("pieces")).cast("long"))
-      .select(col(idCol), col("n_words").cast("long").as("n_words"),
-        col("n_bpe_tokens"), col("pieces"))
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"), col("pieces"))
   }
 
   /** Token-vote quality/language classifier — the fastText-style linear
@@ -475,6 +494,35 @@ object CorpusOps {
         sum(vote).as("score"))
       .select(col(idCol), col("n_pos"), col("n_neg"), col("score"),
         (col("score") > 0).as("pred"), col("__y").as("label"))
+  }
+
+  /** External-weights classifier scoring — the production path the
+    * [[tokenVoteClassifier]] scaladoc promises: the weights table ARRIVES
+    * as data (a trained model exported as (token, weight) rows — the
+    * fastText/logistic deployment shape) instead of being trained
+    * in-query. The scoring plan is IDENTICAL to the self-trained path:
+    * weights attach to the exploded distinct-token stream on the token
+    * key (AQE broadcasts a vocabulary-sized table when it fits,
+    * sort-merge otherwise) and the corpus shuffles exactly once — the
+    * doc-keyed score fold. Tokens absent from the weights table score 0
+    * (left join; `n_hit` counts the matched ones), so a partial
+    * vocabulary never drops documents. Weight dtype is preserved
+    * (integer votes stay engine-exact; float model weights sum as
+    * doubles).
+    */
+  def tokenVoteScore(df: DataFrame, textCol: String, idCol: String,
+                     weights: DataFrame, tokenCol: String = "token",
+                     weightCol: String = "weight"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("__w"))
+    val w = weights.select(col(tokenCol).as("__w"), col(weightCol).as("__wt"))
+    toks.join(w, Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__wt")).as("n_hit"),
+        coalesce(sum(col("__wt")), lit(0L)).as("score"))
+      .select(col(idCol), col("n_hit"), col("score"),
+        (col("score") > 0).as("pred"))
   }
 
   def dsirSample(df: DataFrame, textCol: String, idCol: String,

@@ -120,10 +120,16 @@ object Dedup {
     * shape as [[minhashLshPairs]] (candidates → array verify) but with a
     * deterministic no-miss guarantee instead of a 1−1e-9 probabilistic one.
     *
-    * `maxDocFreq` is the same semantic knob as [[ngramJaccardPairs]]:
-    * unset = exact. Prefix POSITIONS are computed over the full ordered
-    * set (unique shingles occupy prefix slots but generate no candidates),
-    * so frequency pruning does not disturb the lemma.
+    * `maxDocFreq`: unset (the default) = exact, and the output is then
+    * IDENTICAL to [[ngramJaccardPairs]]. Under a cap the two variants
+    * diverge by design: the baseline excludes capped shingles from the
+    * Jaccard NUMERATOR (undercounting co-occurrence), while this variant
+    * only prunes capped shingles from CANDIDATE GENERATION and verifies
+    * true Jaccard on the full sets — so a pair sharing some-but-not-all
+    * hot shingles can pass here and drop there. Prefix POSITIONS are
+    * computed over the full ordered set (unique shingles occupy prefix
+    * slots but generate no candidates), so frequency pruning does not
+    * disturb the lemma.
     */
   def ngramPrefixPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.8,

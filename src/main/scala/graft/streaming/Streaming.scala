@@ -220,6 +220,65 @@ object Streaming {
       .drop("sh", "s_bands")
   }
 
+  /** Static-side index for [[stripKnownChunks]]: the md5 fingerprint of
+    * every `chunkSize`-token tumbling chunk that appears in at least
+    * `minDocs` DISTINCT corpus documents — i.e. exactly the chunk
+    * population batch [[graft.ops.Dedup.stripDupChunks]] removes. Built in
+    * batch (e.g. refreshed nightly), one explode + one hash agg.
+    */
+  def boilerplateChunkIndex(corpus: DataFrame, textCol: String, idCol: String,
+                            chunkSize: Int, minDocs: Int = 2): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        graft.ops.TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.ops.TextOps.chunkTokens(col("toks"), chunkSize, 0)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
+      .groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("chunk_fp")
+
+  /** Streaming chunk-level boilerplate strip — the streaming twin of batch
+    * [[graft.ops.Dedup.stripDupChunks]], closing the last batch/streaming
+    * asymmetry in the dedup family: drop every chunk of an incoming doc
+    * whose fingerprint is in the static boilerplate index, stitch the
+    * survivors back in position order.
+    *
+    * Statelessness is the whole design: the batch shape (posexplode →
+    * anti-join → groupBy reassembly) is illegal on a stream (a post-explode
+    * groupBy is unbounded state, and append mode refuses it without a
+    * watermark), so chunking, membership test, and reassembly all happen
+    * INSIDE the row — `chunkTokens` keeps chunks as an array,
+    * `filter(...array_contains...)` drops indexed ones, `array_join`
+    * reassembles; the index collapses to ONE sorted-array row that
+    * broadcast-cross-joins into the stream. No state store, no watermark,
+    * every doc lives and dies in its micro-batch, and batch replays of the
+    * same frame produce identical rows.
+    *
+    * The index must fit in a broadcast row (same asymmetry as
+    * [[nearDupNovelAgainstCorpus]]'s band index — right-sized for a
+    * boilerplate digest, which is dup-mass-sized, not corpus-sized; a
+    * corpus-scale strip belongs on the batch path). Membership is a linear
+    * array_contains per chunk: fine at digest size; swap in a bloom
+    * prefilter ([[graft.ops.RuntimeFilter]]) before the exact check if the
+    * digest grows.
+    */
+  def stripKnownChunks(docs: DataFrame, chunkIndex: DataFrame,
+                       chunkSize: Int, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val fps = chunkIndex.agg(sort_array(collect_set(col("chunk_fp"))).as("__fps"))
+    docs
+      .crossJoin(broadcast(fps))
+      .withColumn("__chunks", graft.ops.TextOps.chunkTokens(
+        graft.ops.TextOps.tokens(col(textCol)), chunkSize, 0))
+      .withColumn("__kept",
+        filter(col("__chunks"), c => !array_contains(col("__fps"), md5(c))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

@@ -317,6 +317,52 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rt._3 < 3L * 6L, "trained merges failed to compress at all")
   }
 
+  test("bpeEncode: 512+ merges run batched with identical greedy semantics") {
+    // a production artifact ships tens of thousands of merges; the batched
+    // path (mergesPerStage projections + localCheckpoint between) must
+    // equal the single-projection plan symbol-for-symbol. Real merges are
+    // INTERLEAVED among no-op padding so they straddle stage boundaries.
+    val docs = Seq((1L, "low lower lowest aaa")).toDF("doc_id", "text")
+    val real = Map(10 -> ("l" -> "o"), 100 -> ("a" -> "a"),
+      200 -> ("lo" -> "w"), 400 -> ("low" -> "e"))
+    val merges = (0 until 520).map(i => real.getOrElse(i, s"q$i" -> "z"))
+    // pure-Scala reference of the greedy left fold
+    def encWord(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList) { case (sym, (a, b)) =>
+        sym.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    val expected = "low lower lowest aaa".split(' ').toSeq.flatMap(encWord)
+    assert(expected === Seq("low", "lowe", "r", "lowe", "s", "t", "aa", "a"))
+    val batched = CorpusOps.bpeEncode(docs, "text", "doc_id", merges)
+      .as[(Long, Long, Long, Seq[String])].collect()(0)
+    assert(batched === ((1L, 4L, expected.size.toLong, expected)))
+    val other = CorpusOps.bpeEncode(docs, "text", "doc_id", merges,
+        mergesPerStage = 7)
+      .as[(Long, Long, Long, Seq[String])].collect()(0)
+    assert(other === batched, "stage-boundary placement changed the encoding")
+  }
+
+  test("tokenVoteScore: external (token,weight) table, unknown tokens 0, all-miss doc kept") {
+    val docs = Seq(
+      (1L, "good nice meh"),
+      (2L, "bad meh"),
+      (3L, "unseen words only"),
+      (4L, "good good")
+    ).toDF("doc_id", "text")
+    // the shipped-weights fixture: the exported-model (token, weight) shape
+    val weights = Seq(("good", 2L), ("nice", 1L), ("bad", -3L), ("meh", 0L))
+      .toDF("token", "weight")
+    val out = CorpusOps.tokenVoteScore(docs, "text", "doc_id", weights)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 3L, true)))   // zero-weight hit still counts in n_hit
+    assert(out(2L) === ((2L, 2L, -3L, false)))
+    assert(out(3L) === ((3L, 0L, 0L, false)))  // vocabulary miss ≠ dropped row
+    assert(out(4L) === ((4L, 1L, 2L, true)))   // repeats are one presence feature
+  }
+
   test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
     // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
     // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.

@@ -143,4 +143,18 @@ class PlanGuardSpec extends SparkTestBase {
     val offenders = family.filter(n => finalPlan(n).contains("CartesianProduct"))
     assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
   }
+
+  test("every query dump face is atomic — container columns crash the driver harness") {
+    // schema-only (no execution): the driver's pandas checker cannot sort
+    // array/struct/map cells (the r7 ta_bpe_encode crash), so Verify
+    // refuses to dump them; this sweep catches the offender at test time
+    // instead of the round's correctness gate
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      val bad = fn(spark, sf("sf0.001")).schema.fields
+        .filterNot(f => Verify.isAtomic(f.dataType))
+      if (bad.isEmpty) None
+      else Some(s"$n: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

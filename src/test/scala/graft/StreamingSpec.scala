@@ -227,6 +227,37 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === Set(3L))
   }
 
+  test("stripKnownChunks ≡ batch stripDupChunks: stateless streaming boilerplate strip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 4-token chunks: docs 1 and 2 share their first chunk (boilerplate),
+    // doc 3 is all-unique, doc 4 is ENTIRELY boilerplate (clean_text='')
+    val boiler = "this site uses cookies"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, boiler))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val index = Streaming.boilerplateChunkIndex(corpusDf, "text", "doc_id", chunkSize = 4)
+    val ms = MemoryStream[(Long, String)]
+    val q = Streaming.stripKnownChunks(ms.toDF.toDF("doc_id", "text"), index, chunkSize = 4)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("strip_chunks").start()
+    ms.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("strip_chunks")
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().map { case (id, t, n) => id -> ((t, n)) }.toMap
+    val batch = graft.ops.Dedup.stripDupChunks(corpusDf, "text", "doc_id", chunkSize = 4)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().map { case (id, t, n) => id -> ((t, n)) }.toMap
+    assert(streamed === batch, "stream strip must equal the batch operator row-for-row")
+    assert(streamed(1L) === (("alpha beta gamma delta", 1L)))
+    assert(streamed(4L) === (("", 0L)), "all-boilerplate doc survives with empty text")
+  }
+
   test("corpusIngest dedup state is watermark-bounded: dups within drop, after eviction re-emit") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
