@@ -26,6 +26,64 @@ object LlmQueries extends QueryPack {
   private val BpeMerges = Seq(
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er")
 
+  // The 40-round artifact (graft.tools.BpeTrain on sf0.01) — deep enough
+  // that ta_bpe_encode_deep runs bpeEncode's BATCHED path (3 projection
+  // stages at mergesPerStage=16) while staying one shipped constant list.
+  private val BpeMerges40 = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "cu" -> "st", "cust" -> "o",
+    "custo" -> "mer", "f" -> "i", "fi" -> "l", "fil" -> "t",
+    "filt" -> "er", "a" -> "l", "al" -> "l", "m" -> "all",
+    "s" -> "mall", "g" -> "e", "l" -> "ow")
+
+  /** DuckDB twin of [[graft.ops.CorpusOps.bpeEncode]] for a given merge
+    * list — the replace-chain construction shared by ta_bpe_encode and
+    * ta_bpe_encode_deep.
+    *
+    * Encoding: every symbol rides FULLY WRAPPED as `<SEP>x<SEP>` (symbols
+    * concatenate to `<SEP>a<SEP><SEP>b<SEP>…` — a DOUBLE separator between
+    * neighbors, single at the ends), so a merge (a,b) is one left-to-right
+    * non-overlapping replace of `<SEP>a<SEP><SEP>b<SEP>` with
+    * `<SEP>ab<SEP>`. Both pattern ends are anchored at symbol boundaries:
+    * a mere-prefix/suffix overlap (symbol "hat" before "c" vs merge
+    * (at,c); "a" before "bc" vs merge (a,b)) cannot match — the flaw a
+    * single-separator join has, caught when the 40-merge artifact
+    * diverged 89→83 tokens on one doc. And because each symbol owns both
+    * its boundary markers (none shared with neighbors), consuming a match
+    * leaves the neighbors' markers intact, so replace's resume-after-
+    * replacement scan implements exactly the greedy fold: "aaa" under
+    * (a,a) → [aa, a], while [a,b,a,b] still merges twice. Verified
+    * cell-identical to an independent Python fold replica over all 500
+    * sf0.01 docs with the 40-merge artifact.
+    */
+  private def bpeEncodeOracleSql(merges: Seq[(String, String)]): String = {
+    val sep = "chr(31)"
+    val base = s"regexp_replace(wrd, '(.)', $sep || '\\1' || $sep, 'g')"
+    val merged = merges.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, $sep || '$a' || $sep || $sep || '$b' || $sep, " +
+        s"$sep || '${a + b}' || $sep)"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, ' ')) AS wrd,
+       |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+       |  FROM documents),
+       |enc AS (SELECT doc_id, i, wrd, $merged AS m FROM w)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN wrd = '' THEN 0
+       |           ELSE len(string_split(m, $sep || $sep)) END) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  COALESCE(string_agg(CASE WHEN wrd = '' THEN NULL
+       |           ELSE replace(trim(m, $sep), $sep || $sep, ' ') END,
+       |           ' ' ORDER BY i), '') AS pieces_str
+       |FROM enc GROUP BY doc_id""".stripMargin
+  }
+
   // LSH planes are ADAPTIVE: a prefix of this master set sized by
   // Similarity.choosePlaneCount(corpus count) — fixed planes make bucket
   // occupancy (and candidate pairs, quadratically) grow with the corpus;
@@ -580,6 +638,19 @@ object LlmQueries extends QueryPack {
     // separator-joined symbols, so DuckDB replicates all three columns.
     "ta_bpe_encode" -> { (s, dir) =>
       CorpusOps.bpeEncode(Tables.documents(s, dir), "text", "doc_id", BpeMerges)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          array_join(col("pieces"), " ").as("pieces_str"))
+    },
+
+    // Same encode with the 40-merge artifact, FORCED through the batched
+    // multi-projection path (3 stages of ≤16 replaces with localCheckpoint
+    // lineage cuts — the bound that lets a real 50k-merge tokenizer ship),
+    // driver-checked against the same generated DuckDB replace-chain
+    // oracle as ta_bpe_encode. Stage boundaries must be invisible in the
+    // output; this row goes red if they ever aren't.
+    "ta_bpe_encode_deep" -> { (s, dir) =>
+      CorpusOps.bpeEncode(Tables.documents(s, dir), "text", "doc_id",
+          BpeMerges40, mergesPerStage = 16)
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
           array_join(col("pieces"), " ").as("pieces_str"))
     },
@@ -1250,36 +1321,13 @@ object LlmQueries extends QueryPack {
         |       substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
         |       CAST(sum(n) AS BIGINT) AS n_pairs
         |FROM pos GROUP BY 1, 2""".stripMargin,
-    // Mirrors bpeEncode exactly: a word's symbol array rides as a
-    // chr(31)-separated string (the corpus is printable ASCII — pinned by
-    // the Spark face matching this oracle), and ONE greedy left-fold merge
-    // (a,b)→ab over symbols is precisely ONE left-to-right non-overlapping
-    // string replace of a<SEP>b with ab: replace resumes AFTER the merged
-    // text, so the fresh `ab` symbol can't re-match its own left side in
-    // the same pass — the same guarantee as the fold's last-element check.
-    // The replace chain below is GENERATED from BpeMerges in order, so the
-    // two engines share one artifact.
-    "ta_bpe_encode" -> {
-      val sep = "chr(31)"
-      val base = s"rtrim(regexp_replace(wrd, '(.)', '\\1' || $sep, 'g'), $sep)"
-      val merged = BpeMerges.foldLeft(base) { case (e, (a, b)) =>
-        s"replace($e, '$a' || $sep || '$b', '${a + b}')"
-      }
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |         unnest(string_split(text, ' ')) AS wrd,
-         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-         |  FROM documents),
-         |enc AS (SELECT doc_id, i, wrd, $merged AS m FROM w)
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(CASE WHEN wrd = '' THEN 0
-         |           ELSE len(string_split(m, $sep)) END) AS BIGINT) AS n_bpe_tokens,
-         |  COALESCE(string_agg(CASE WHEN wrd = '' THEN NULL
-         |           ELSE replace(m, $sep, ' ') END, ' ' ORDER BY i), '')
-         |    AS pieces_str
-         |FROM enc GROUP BY doc_id""".stripMargin
-    },
+    // Mirrors bpeEncode exactly: the replace chain is GENERATED from the
+    // same merge list the Spark face ships, so the two engines share one
+    // artifact (the corpus is printable ASCII, so chr(31) markers are
+    // collision-free; see bpeEncodeOracleSql for the boundary-anchored
+    // symbol encoding).
+    "ta_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
+    "ta_bpe_encode_deep" -> bpeEncodeOracleSql(BpeMerges40),
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

@@ -94,10 +94,15 @@ EXPLAINED = {
     "w14_scd2_intervals": (2.0, "constant-dominated 2-window gaps-and-"
         "islands + fold: 0.66 s @sf0.01 vs 0.96 s @sf0.1 warm (+45%); "
         "sf1 bench 1.33 s, sub-linear"),
-    "j13_bloom_semi": (2.5, "constant-dominated bloom-build + scalar-"
-        "subquery prefilter + semi join: 0.51 s @sf0.01 vs 0.78 s @sf0.1 "
-        "warm (+53%); the bloom stage exists to SAVE shuffle at scale, "
-        "its build is pure constant at toy SF"),
+    "j13_bloom_semi": (3.0, "constant-dominated bloom-build + scalar-"
+        "subquery prefilter + semi join: 0.81 s @sf0.01 vs 1.03 s @sf0.1 "
+        "warm (+27%; r8 added a build-side COUNT pass that sizes the "
+        "sketch — the r7 advisory fix); the bloom stage exists to SAVE "
+        "shuffle at scale, its build is pure constant at toy SF"),
+    "w12_dist_bucketed": (2.0, "audit gate: Spark computes BOTH the exact "
+        "ntile(4) anchor and the percentile_approx buckets to measure "
+        "agreement; the oracle recomputes the count contract in ~ms. "
+        "0.62 s @sf0.01 vs 0.60 s @sf0.1 warm — pure constant"),
     "p11_variant_path": (2.5, "constant-dominated: 0.43 s @sf0.01 vs 0.69 s @sf0.1 warm"),
     # semantically lopsided audit harnesses (previously rode the 50 ms
     # floor waiver — explicit caps so a real regression re-flags):
