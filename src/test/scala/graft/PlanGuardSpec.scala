@@ -144,6 +144,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
   }
 
+  test("w12_dist_bucketed: sketch boundaries aggregate partially, bounds broadcast") {
+    // the production claim of the w12 twin: quartile boundaries come from
+    // a MERGEABLE partial+final percentile_approx hash aggregate (partition
+    // count grows with data), and the ~5 boundary rows ride a broadcast —
+    // never a second per-type global sort
+    val p = finalPlan("w12_dist_bucketed")
+    assert(p.contains("partial_percentile_approx"),
+      "percentile_approx must be a two-phase (partial) aggregate")
+    assert(p.contains("BroadcastHashJoin"), "boundary rows must broadcast")
+  }
+
   test("every query dump face is atomic — container columns crash the driver harness") {
     // schema-only (no execution): the driver's pandas checker cannot sort
     // array/struct/map cells (the r7 ta_bpe_encode crash), so Verify
