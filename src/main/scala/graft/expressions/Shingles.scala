@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output is the same string set as the built-in chain (first-occurrence
   * order), so DuckDB oracle comparisons are unaffected.
   */
-case class Shingles(child: Expression, n: Int)
+case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -39,7 +39,12 @@ case class Shingles(child: Expression, n: Int)
     val toks = v.asInstanceOf[ArrayData]
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+    // distinct=false keeps every occurrence (positional order) — the
+    // multiset unit of the vector-space model (Dedup.tokenCosinePairs),
+    // where multiplicity is the semantics the set version would flatten
+    val seen: java.util.LinkedHashSet[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2) else null
+    val all: Array[Any] = if (distinct) null else new Array[Any](m - n + 1)
     val parts = new Array[UTF8String](2 * n - 1)
     var i = 0
     while (i <= m - n) {
@@ -49,9 +54,11 @@ case class Shingles(child: Expression, n: Int)
         if (j < n - 1) parts(2 * j + 1) = space
         j += 1
       }
-      seen.add(UTF8String.concat(parts: _*))
+      val sh = UTF8String.concat(parts: _*)
+      if (distinct) seen.add(sh) else all(i) = sh
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var k = 0

@@ -545,6 +545,75 @@ object Dedup {
     * each bit, majority vote of token-hash bits. Pure column expressions —
     * 64 codegen'd subexpressions, no UDF.
     */
+  /** Sparse token-frequency cosine pairs via an inverted-index self-join —
+    * the bag-of-words twin of [[ngramJaccardPairs]] (multiplicity-aware
+    * where Jaccard is set-based; catches "same words, shuffled" near-dups
+    * and is the vector-space model of IR, Salton & McGill 1983).
+    *
+    * cos(a, b) = Σ_t tf_a(t)·tf_b(t) / sqrt((Σ tf_a²)·(Σ tf_b²)) — every
+    * sum is an exact BIGINT of token counts (order-independent, map-side
+    * combinable), and the only float ops are one int→double cast, one IEEE
+    * sqrt and one divide, all correctly rounded — so the score is
+    * bit-identical in any engine, the same discipline as the cents trick
+    * (QueryPack) and the index-ordered dot (Similarity.dot). No
+    * transcendental idf weights for exactly that reason: a production
+    * pipeline that wants idf can pass the weight via `maxDocFreq`-style
+    * pruning here and rescale downstream.
+    *
+    * Scale shape: candidate mass comes from the token-keyed self-join, so
+    * `maxDocFreq` (drop tokens appearing in more than that many docs —
+    * stopwords are exactly the tokens that would otherwise contribute d²/2
+    * pairs) is the same 100 TB knob as in [[ngramJaccardPairs]]. Pruned
+    * tokens leave BOTH the numerator and the norms, so the reported score
+    * is the true cosine over the pruned vocabulary — self-consistent, and
+    * exact when the cap is unset. Norms re-attach by broadcast (doc-count
+    * sized table of two ints).
+    */
+  def tokenCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 1, threshold: Double = 0.8,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(n >= 1, "n-gram width must be >= 1")
+    // unit = n-token gram WITH multiplicity (unlike TextOps.shingles, which
+    // dedups — multiplicity is the point of the vector-space model). n > 1
+    // is the degenerate-vocabulary knob: on a corpus whose unigram vocab is
+    // tiny every doc shares tokens with every doc and the inverted index
+    // goes quadratic; grams re-sparsify it.
+    val toks = TextOps.tokens(col(textCol))
+    val grams =
+      if (n == 1) toks
+      else TextOps.gramsFromTokens(toks, n)
+    // (id, token, tf): one shuffle on (id, token)
+    val tf0 = df.select(col(idCol).as("id"), explode(grams).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val tf =
+      if (maxDocFreq == Long.MaxValue) tf0
+      else {
+        val keep = tf0.groupBy("token").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("token")
+        tf0.join(keep, Seq("token"))
+      }
+    val norms = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("nrm2"))
+    val a = tf.select(col("id").as("id_a"), col("token"), col("tf").as("tf_a"))
+    val b = tf.select(col("id").as("id_b"), col("token"), col("tf").as("tf_b"))
+    val num = a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("num"))
+    num
+      .join(broadcast(norms.select(col("id").as("id_a"), col("nrm2").as("n2_a"))), Seq("id_a"))
+      .join(broadcast(norms.select(col("id").as("id_b"), col("nrm2").as("n2_b"))), Seq("id_b"))
+      // two sqrts, not sqrt(n2_a*n2_b): the BIGINT product would overflow
+      // past ~3e9-token docs; per-factor casts stay exact below 2^53 and
+      // every op (cast, sqrt, *, /) is IEEE-correctly-rounded, so the
+      // value is still engine-exact
+      .withColumn("cosine",
+        col("num").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   def simhash(text: Column): Column = {
     val hashes = transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t))
     val nTok = size(hashes)

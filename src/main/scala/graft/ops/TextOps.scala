@@ -33,6 +33,17 @@ object TextOps {
     GraftSqlBridge.column(graft.expressions.Shingles(GraftSqlBridge.expression(toks), n))
   }
 
+  /** EVERY n-word gram with multiplicity, positional order — the
+    * vector-space-model unit (Dedup.tokenCosinePairs). Same native kernel
+    * as [[shinglesFromTokens]] minus the dedup; the built-in
+    * transform/sequence formulation is interpreted and ~10× slower.
+    */
+  def gramsFromTokens(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.Shingles(
+      GraftSqlBridge.expression(toks), n, distinct = false))
+  }
+
   /** Distinct n-word shingles ("a b c" style), the MinHash/Jaccard unit.
     * Documents shorter than n tokens get an empty set. Prefer
     * [[shinglesFromTokens]] inside pipelines that already split.

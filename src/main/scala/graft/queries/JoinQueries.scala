@@ -153,6 +153,26 @@ object JoinQueries extends QueryPack {
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
       graft.ops.RuntimeFilter.bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+    },
+
+    // Fuzzy (edit-distance) join via deletion-neighborhood signatures
+    // (FastSS): part names vs deterministically corrupted copies (one char
+    // deleted at position p_partkey % len), all pairs within Levenshtein 1.
+    // The signature stage is an equi-join — no nested loop (FuzzyJoinSpec
+    // pins the plan) — and the levenshtein verify makes it exact, so the
+    // naive banded cross join is a valid oracle. The % 10 sample bounds the
+    // ORACLE's quadratic (DuckDB has no signature path); the operator
+    // itself takes the full table (FuzzyJoinSpec).
+    "j14_fuzzy_join" -> { (s, dir) =>
+      val base = Tables.part(s, dir).filter(col("p_partkey") % 10 === 0)
+      val corrupted = base.select(col("p_partkey").as("bk"),
+          expr("concat(substring(p_name, 1, cast(p_partkey % length(p_name) as int)), " +
+            "substring(p_name, cast(p_partkey % length(p_name) as int) + 2, length(p_name)))")
+            .as("b_name"))
+      graft.ops.FuzzyJoin.editDistanceJoin(
+        base.select(col("p_partkey").as("ak"), col("p_name")), "ak", "p_name",
+        corrupted, "bk", "b_name", maxDist = 1)
+        .select(col("a_key"), col("b_key"), col("dist"))
     }
   )
 
@@ -222,6 +242,19 @@ object JoinQueries extends QueryPack {
         |FROM lineitem l
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_orderpriority = '1-URGENT'
-        |                AND o.o_orderkey = l.l_orderkey)""".stripMargin
+        |                AND o.o_orderkey = l.l_orderkey)""".stripMargin,
+    // naive banded nested loop — the length band (|lev|<=1 implies length
+    // diff <=1) keeps the oracle tractable; semantics identical to the
+    // signature join by the FastSS losslessness argument
+    "j14_fuzzy_join" ->
+      """WITH base AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0),
+        |r AS (SELECT p_partkey AS b_key,
+        |             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||
+        |             substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS b_name
+        |      FROM base)
+        |SELECT l.p_partkey AS a_key, r.b_key, levenshtein(l.p_name, r.b_name) AS dist
+        |FROM base l, r
+        |WHERE abs(length(l.p_name) - length(r.b_name)) <= 1
+        |  AND levenshtein(l.p_name, r.b_name) <= 1""".stripMargin
   )
 }

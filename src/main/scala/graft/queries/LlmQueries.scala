@@ -174,6 +174,16 @@ object LlmQueries extends QueryPack {
         n = 3, k = 32, bands = 8, threshold = JaccardThreshold)
     },
 
+    // Sparse bag-of-3-grams cosine pairs: the multiplicity-aware twin of
+    // dd_ngram_jaccard (vector-space model; catches repeated-block
+    // near-dups Jaccard's set semantics flattens). Integer dot/norms +
+    // one IEEE sqrt/divide = engine-exact scores (see Dedup scaladoc).
+    // n=3 because this corpus's unigram vocab is ~31 tokens (degenerate).
+    "dd_tf_cosine" -> { (s, dir) =>
+      Dedup.tokenCosinePairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = JaccardThreshold)
+    },
+
     // Corpus collapse: survivors after greedy near-dup removal (drop the
     // higher id of every qualifying pair). Pair stage is the prefix-
     // filtered exact join — same output as ngramJaccardPairs (lossless),
@@ -878,6 +888,25 @@ object LlmQueries extends QueryPack {
         |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> jaccardPairsSql,
     "dd_ngram_prefix" -> jaccardPairsSql,
+    // multiset 3-grams (no list_distinct — multiplicity is the semantics);
+    // CAST-to-double + two sqrts + one divide mirrors Dedup.tokenCosinePairs
+    // op for op, so the score is bit-identical
+    "dd_tf_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+         |tf AS (
+         |  SELECT doc_id, g AS token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2,0)),
+         |        i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g FROM toks)
+         |  GROUP BY 1,2),
+         |norms AS (SELECT doc_id, SUM(tf*tf) AS nrm2 FROM tf GROUP BY 1),
+         |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf*b.tf) AS num
+         |        FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+         |        GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |       CAST(num AS DOUBLE)/(sqrt(CAST(na.nrm2 AS DOUBLE))*sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+         |FROM num JOIN norms na ON num.id_a = na.doc_id
+         |         JOIN norms nb ON num.id_b = nb.doc_id
+         |WHERE CAST(num AS DOUBLE)/(sqrt(CAST(na.nrm2 AS DOUBLE))*sqrt(CAST(nb.nrm2 AS DOUBLE))) >= $JaccardThreshold""".stripMargin,
     "dd_minhash_lsh" -> jaccardPairsSql,
     "dd_simhash_contains" ->
       """WITH fp AS (SELECT doc_id,

@@ -299,4 +299,51 @@ class DedupSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 4L, 0L, 0.0, false)))
     assert(out(3L) == ((3L, 4L, 1L, 0.25, false)))
   }
+
+  test("tokenCosinePairs: hand-computed unigram cosines, multiplicity-aware") {
+    val docs = Seq(
+      (1L, "a b a"),          // tf {a:2, b:1}, |v|² = 5
+      (2L, "a a b"),          // same multiset, shuffled → cosine 1 with doc 1
+      (3L, "a b"),            // tf {a:1, b:1}, cos(1,3) = 3/sqrt(10)
+      (4L, "c c c c")         // disjoint from all
+    ).toDF("doc_id", "text")
+    val got = Dedup.tokenCosinePairs(docs, "text", "doc_id", n = 1, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // expectations spell out the operator's exact IEEE op sequence
+    // (num/(sqrt(a)*sqrt(b))) — sqrt(5)*sqrt(5) is NOT 5.0 exactly, and the
+    // DuckDB oracle mirrors the same sequence so both engines agree bitwise
+    assert(got((1L, 2L)) === 5.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+    assert(got((1L, 3L)) === 3.0 / (math.sqrt(5.0) * math.sqrt(2.0)))
+    // Jaccard can't see this: docs 1 and 2 are IDENTICAL sets ({a,b}) but
+    // so is doc 3 — multiplicity is what separates (1,2)≈1.0 from (1,3)
+    assert(got((1L, 2L)) > got((1L, 3L)))
+  }
+
+  test("tokenCosinePairs: n=3 grams sparsify; maxDocFreq prunes both numerator and norms") {
+    val docs = Seq(
+      (1L, "x y z w q"),
+      (2L, "x y z w r"),      // shares grams "x y z", "y z w" with doc 1
+      (3L, "p q r s t")       // no shared 3-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.tokenCosinePairs(docs, "text", "doc_id", n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    // 3 grams per doc, tf all 1: 2 shared / (sqrt(3)*sqrt(3)) in the
+    // operator's exact IEEE op order (≠ 2/3 in the last ulp)
+    assert(got.head._3 === 2.0 / (math.sqrt(3.0) * math.sqrt(3.0)))
+    // cap at df<=1 removes every shared gram → no pairs, and the score of a
+    // hypothetical pair would be over PRUNED norms (self-consistent), which
+    // the empty result pins trivially here
+    val capped = Dedup.tokenCosinePairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.0, maxDocFreq = 1L)
+    assert(capped.count() === 0)
+  }
+
+  test("tokenCosinePairs: doc shorter than n grams drops out, no negative-step sequence") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.tokenCosinePairs(docs, "text", "doc_id", n = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    assert(got.isEmpty) // docs 1,2 have no 3-grams; doc 3 shares none with them
+  }
 }
