@@ -357,6 +357,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Build a persistable IVF index ONCE: returns (centroids, corpus), two
+    * plain DataFrames — `centroids` = (cid, c), `corpus` = (vec_id, v, vn,
+    * cid), each row in its coarse inverted list — that round-trip through
+    * parquet losslessly (float arrays are exact in parquet). This is the
+    * amortization half of the production ANN story [[ivfTopK]] folds into
+    * one self-join pass: at 100 TB the index build is a scheduled batch
+    * job writing `corpus` bucketed by `cid` (the hash-partition key), and
+    * every query batch afterwards pays only [[ivfQueryIndex]] — centroid
+    * ranking against a broadcast table + nprobe list probes — never the
+    * Lloyd training or the corpus assignment scan again.
+    *
+    * Assignment tie-breaks equal [[ivfTopK]]'s probe[0] ((-score, cid)
+    * ascending ⇒ max score, then min cid), so querying the index with the
+    * corpus itself reproduces ivfTopK exactly (SimilarityScaleSpec).
+    */
+  def ivfBuildIndex(df: DataFrame, nlist: Int = 16, iters: Int = 1,
+                    n: Long = -1L): (DataFrame, DataFrame) = {
+    val vecs = df.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    val centroids = ivfCentroids(df, nlist, iters, n)
+    val corpus = assignToCentroid(vecs, centroids)
+      .withColumn("vn", l2Norm(col("v")))
+      .select("vec_id", "v", "vn", "cid")
+    (centroids, corpus)
+  }
+
+  /** Probe a prebuilt [[ivfBuildIndex]] index with an arbitrary query set:
+    * each query ranks the broadcast centroid table, probes its `nprobe`
+    * nearest inverted lists, brute-forces only those lists, and keeps
+    * cosine top-k (query_id, neighbor_id, rank, cos). Rows where the query
+    * id equals the neighbor id are excluded (the self-match convention of
+    * [[ivfTopK]]; disjoint id spaces are unaffected).
+    *
+    * Scale shape: queries shuffle by probed `cid` (nprobe rows per query)
+    * and meet the corpus lists co-partitioned on the same key — with
+    * `corpus` persisted bucketed by cid, a query batch is one broadcast
+    * (centroids), one shuffle of the QUERY side only, and per-list local
+    * scans; cost ~ nprobe/nlist of the exhaustive join.
+    */
+  def ivfQueryIndex(centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    k: Int, nprobe: Int = 6): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    val probes = fanOut(q).withColumn("qn", l2Norm(col("v")))
+      .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
+      .withColumn("score", dot(col("v"), col("c")) / (col("qn") * col("cn")))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("qv"), first(col("qn")).as("qn"),
+        slice(array_sort(collect_list(
+          struct((-col("score")).as("ns"), col("cid").as("cid")))),
+          1, nprobe).as("probe"))
+      .select(col("vec_id").as("query_id"), col("qv"), col("qn"),
+        explode(col("probe.cid")).as("cid"))
+    val corp = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("vn").as("cn"), col("cid"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(corp, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Product-quantization codebooks (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): the embedding splits into
     * `m` contiguous subspaces of dim/m dims; each subspace gets its own

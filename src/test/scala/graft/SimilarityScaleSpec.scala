@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.Tag
+import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
 /** Slow, sf0.1-scale recall checks for the approximate ANN paths (the
@@ -47,5 +48,40 @@ class SimilarityScaleSpec extends SparkTestBase {
     val mpRecall = (brute intersect mp).size.toDouble / brute.size
     info(f"multi-probe LSH recall@5 at sf0.1 = $mpRecall%.3f (5 probes)")
     assert(mpRecall > recall, f"multi-probe $mpRecall%.3f not above single-probe $recall%.3f")
+  }
+
+  test("prebuilt IVF index: build+query ≡ ivfTopK; survives a parquet round-trip") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val direct = Similarity.ivfTopK(emb, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    val (centroids, corpus) = Similarity.ivfBuildIndex(emb, nlist = 8)
+    val viaIndex = Similarity.ivfQueryIndex(centroids, corpus, emb, k = 5, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaIndex === direct, "prebuilt-index query diverges from the fused ivfTopK pass")
+
+    // amortization contract: the index persists and the RELOADED index
+    // answers identically (float arrays round-trip parquet losslessly)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    val reloaded = Similarity.ivfQueryIndex(
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/corpus"),
+      emb, k = 5, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(reloaded === direct, "reloaded index diverges from the in-memory build")
+
+    // disjoint query ids: an id-shifted COPY of each vector queries the
+    // index; its assigned probe[0] equals the original's inverted list
+    // (identical vector, identical tie-breaks), the self-filter no longer
+    // bites, so rank 1 must be the original vector itself (cos = 1)
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    val top1 = Similarity.ivfQueryIndex(centroids, corpus, shifted, k = 5, nprobe = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length === emb.count())
+    assert(top1.forall { case (q, nb) => nb === q - 1000000L },
+      "shifted copy's nearest neighbor is not its own original")
   }
 }

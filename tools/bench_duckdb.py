@@ -85,6 +85,10 @@ EXPLAINED = {
         "pipeline: 0.67 s @sf0.01 vs 0.83 s @sf0.1 warm (10x data, +24%)"),
     "dd_intra_repeat": (2.0, "constant-dominated explode+2-window+fold: "
         "0.52 s @sf0.01 vs 0.70 s @sf0.1 warm (+35%)"),
+    "dd_tf_cosine": (3.0, "constant-dominated 5-stage inverted-index "
+        "pipeline (tf agg, norms agg, token self-join, pair agg, 2 "
+        "broadcast re-attaches): 2.06 s @sf0.01 vs 2.05 s @sf0.1 warm "
+        "(10x data, +0%, loaded host)"),
     "ta_dsir_sample": (2.0, "constant-dominated 3-join/2-agg stack: "
         "0.56 s @sf0.01 vs 0.59 s @sf0.1 warm (+5%); sf1 grows 3.1x, "
         "sub-linear (BENCH_NOTES r7)"),
