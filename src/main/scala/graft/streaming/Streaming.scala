@@ -279,6 +279,58 @@ object Streaming {
         size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** Streaming ANN retrieval against a prebuilt static IVF index (the
+    * [[graft.ops.Similarity.ivfBuildIndex]] pair) — the query-side twin of
+    * batch `ivfQueryIndex`, for the retrieval-service shape: embeddings
+    * arrive on a stream, the index is a static (centroids, inverted-lists)
+    * pair built by a scheduled batch job.
+    *
+    * Stage shapes, chosen for streaming legality:
+    *  - probe selection is STATELESS: the centroid table collapses to one
+    *    static array row (nlist is small by design), each query scores it
+    *    in a `transform` lambda and explodes its `nprobe` best cids — no
+    *    per-query aggregation state;
+    *  - candidate scoring is a stream-static equi-join on `cid`
+    *    (stateless; the static side is the inverted-list table);
+    *  - top-k is the ONE stateful stage: an update-mode groupBy(query_id)
+    *    folding candidates into a sorted k-slice. State is k ids per
+    *    in-flight query — bounded by the query key space, the same
+    *    contract as `runningUserState`.
+    *
+    * Output (update mode): (query_id, neighbor_id, rank, cos) rows whose
+    * final state per query equals the batch `ivfQueryIndex` result —
+    * StreamingSpec pins set equality including ranks and scores (sort key
+    * (-cos, neighbor_id) is the batch window's (cos DESC, id ASC)).
+    */
+  def annProbe(centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int = 6): DataFrame = {
+    import graft.ops.Similarity.{dot, l2Norm}
+    val cents = broadcast(
+      centroids.agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<float>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .crossJoin(cents)
+      .withColumn("scored", transform(col("cents"), c =>
+        struct((-dot(col("qv"), c("c")) / (col("qn") * l2Norm(c("c")))).as("ns"),
+          c("cid").as("cid"))))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(slice(array_sort(col("scored")), 1, nprobe)("cid")).as("cid"))
+    val corp = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("vn").as("cn"), col("cid"))
+    probed.join(corp, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cos")).as("ns"), col("neighbor_id").as("neighbor_id")))),
+        1, k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), (-col("col.ns")).as("cos"))
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

@@ -356,4 +356,34 @@ class StreamingSpec extends SparkTestBase {
       assert(state(uid).n_events === counts(uid), s"user $uid count")
     }
   }
+
+  test("annProbe ≡ batch ivfQueryIndex: streaming retrieval against a prebuilt IVF index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val (centroids, corpus) = graft.ops.Similarity.ivfBuildIndex(emb, nlist = 8)
+    val batch = graft.ops.Similarity
+      .ivfQueryIndex(centroids, corpus, emb, k = 5, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = Streaming.annProbe(centroids, corpus,
+      ms.toDF.toDF("vec_id", "embedding"), k = 5, nprobe = 3)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ann_probe").start()
+    // two micro-batches with DISJOINT query halves: each query's top-k
+    // state finalizes in its own batch, so the update-mode sink holds
+    // exactly one version per (query, rank)
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+    ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ann_probe")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(streamed === batch,
+      "streaming IVF probe diverged from the batch prebuilt-index query")
+  }
 }
