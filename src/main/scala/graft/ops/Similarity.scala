@@ -578,6 +578,86 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Build the persistable IVF-PQ index ONCE (the [[ivfBuildIndex]]
+    * amortization pattern applied to the FAISS IndexIVFPQ layout):
+    * returns (centroids, encoded) where `centroids` = (cid, c) is the
+    * coarse quantizer over the NORMALIZED corpus and `encoded` =
+    * (vec_id, cid, rv) holds each corpus vector's inverted-list id and
+    * its PQ reconstruction (the decoded approximation ADC scores
+    * against). Both are plain parquet-persistable DataFrames; at 100 TB
+    * the encoded table (m bytes of code semantics per vector, stored here
+    * as the reconstruction for columnar ADC) is the ONLY thing a query
+    * batch scans besides the k·oversample exact-re-rank fetches.
+    *
+    * Same training/assignment arithmetic as [[ivfPqTopK]] — querying the
+    * index with the corpus itself reproduces the fused result exactly
+    * (SimilarityScaleSpec).
+    */
+  def ivfPqBuildIndex(df: DataFrame, nlist: Int, m: Int = 16, ksub: Int = 16,
+                      iters: Int = 1, n: Long = -1L): (DataFrame, DataFrame) = {
+    val vecs = normalized(df)
+    val cb = pqCodebooks(df, m, ksub, iters = iters, n = n)
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val recon = subvectors(vecs, m).join(broadcast(cb), Seq("j"))
+      .withColumn("d2", l2(col("sv"), col("c")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(struct(col("c"), col("cid")), struct(col("d2"), col("cid"))).as("a"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("a.c").as("c")))),
+        s => s("c"))).as("rv"))
+    val centroids = ivfCentroids(vecs.select(col("vec_id"), col("v").as("embedding")),
+      nlist, iters, n)
+    val assigned = assignToCentroid(vecs, centroids)
+      .select(col("vec_id"), col("cid"))
+      .join(recon, Seq("vec_id"))
+      .select("vec_id", "cid", "rv")
+    (centroids, assigned)
+  }
+
+  /** Probe a prebuilt [[ivfPqBuildIndex]] index: queries rank the
+    * broadcast centroids, probe `nprobe` lists, score candidates by the
+    * asymmetric ⟨q̂, recon⟩ distance, keep k·oversample approximate
+    * survivors, and re-rank them with the exact cosine against
+    * `fullVecs` (the full-precision corpus — at scale, the cold-storage
+    * fetch; here the original embedding table). Tie-breaks equal
+    * [[ivfPqTopK]] throughout.
+    */
+  def ivfPqQueryIndex(centroids: DataFrame, encoded: DataFrame,
+                      fullVecs: DataFrame, queries: DataFrame, k: Int,
+                      nprobe: Int, oversample: Int = 8): DataFrame = {
+    val q = normalized(queries)
+    val probes = fanOut(q).withColumn("qn", l2Norm(col("v")))
+      .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
+      .withColumn("score", dot(col("v"), col("c")) / (col("qn") * col("cn")))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("qv"),
+        slice(array_sort(collect_list(
+          struct((-col("score")).as("ns"), col("cid").as("cid")))),
+          1, nprobe).as("probe"))
+      .select(col("vec_id").as("query_id"), col("qv"),
+        explode(col("probe.cid")).as("cid"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val survivors = probes
+      .join(encoded.select(col("vec_id").as("neighbor_id"), col("cid"), col("rv")),
+        Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", dot(col("qv"), col("rv")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .select("query_id", "qv", "neighbor_id")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    survivors
+      .join(normalized(fullVecs).select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Int8-quantized ANN top-k with exact re-rank — the memory-bandwidth
     * pattern of production embedding search: score bucket-local candidates
     * with a symmetric per-vector int8 quantization (q_i = floor(127 *

@@ -84,4 +84,25 @@ class SimilarityScaleSpec extends SparkTestBase {
     assert(top1.forall { case (q, nb) => nb === q - 1000000L },
       "shifted copy's nearest neighbor is not its own original")
   }
+
+  test("prebuilt IVF-PQ index: build+query ≡ ivfPqTopK; survives a parquet round-trip") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val direct = Similarity.ivfPqTopK(emb, k = 5, nlist = 8, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    val (centroids, encoded) = Similarity.ivfPqBuildIndex(emb, nlist = 8)
+    val viaIndex = Similarity.ivfPqQueryIndex(centroids, encoded, emb, emb,
+        k = 5, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaIndex === direct, "prebuilt IVF-PQ query diverges from the fused pass")
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+    val reloaded = Similarity.ivfPqQueryIndex(
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/encoded"),
+      emb, emb, k = 5, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(reloaded === direct, "reloaded IVF-PQ index diverges from the in-memory build")
+  }
 }
