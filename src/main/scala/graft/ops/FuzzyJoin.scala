@@ -84,9 +84,11 @@ object FuzzyJoin {
         explode(deletionVariants(col("b_str"), maxDist)).as("sig"))
     a.join(b, Seq("sig"))
       // dedup BEFORE the verify so levenshtein runs once per candidate pair,
-      // not once per shared signature
-      .groupBy("a_key", "b_key")
-      .agg(first(col("a_str")).as("a_str"), first(col("b_str")).as("b_str"))
+      // not once per shared signature. distinct over all four columns (the
+      // strings are functionally dependent on the keys) instead of
+      // groupBy+first: plans as a partial+final HashAggregate where a
+      // first() agg on strings would force SortAggregate.
+      .select("a_key", "b_key", "a_str", "b_str").distinct()
       .withColumn("dist", levenshtein(col("a_str"), col("b_str")))
       .filter(col("dist") <= maxDist)
       .select("a_key", "b_key", "a_str", "b_str", "dist")
