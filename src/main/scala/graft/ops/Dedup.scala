@@ -785,4 +785,123 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Cross-document gram starts participating in a duplicated span: for
+    * every token position `p` of every document, the `minSpan`-token
+    * gram starting at `p` is fingerprinted (stride 1 — OVERLAPPING, unlike
+    * [[chunkDupGroups]]'s tumbling windows), and a start is emitted iff
+    * its fingerprint occurs in >= `minDocs` distinct documents. A span of
+    * length L >= minSpan duplicated across documents is exactly a run of
+    * L - minSpan + 1 consecutive emitted starts, which is what lets
+    * [[stripDupSpans]] recover MAXIMAL duplicated spans at arbitrary
+    * offsets — the case block-aligned chunk fingerprints structurally
+    * miss (a shared paragraph inserted at offset 3 in one doc and offset
+    * 7 in another never aligns on a 32-token stride).
+    *
+    * `maxDocFreq` caps pathologically hot grams the same way
+    * [[chunkDupGroups]] caps chunks: a gram in more than `maxDocFreq`
+    * docs is treated as background (dropped from the dup index), bounding
+    * the join-back fan-out on boilerplate that saturates the corpus.
+    *
+    * Scale shape: fingerprints are built IN-ROW (`transform` over a
+    * position `sequence`, md5 over each 16-token slice) and only then
+    * posexploded, so the token array is never duplicated per position;
+    * one hash-agg on the fingerprint for the dup index, one equi-join
+    * back. No pair join anywhere — cost is linear in corpus tokens
+    * (O(n * minSpan) hashed characters; a Rabin-Karp prefix-hash array
+    * would drop that to O(n) and slots into the same `transform` if the
+    * hashing ever dominates).
+    */
+  def dupSpanStarts(df: DataFrame, textCol: String, idCol: String,
+                    minSpan: Int, minDocs: Int = 2,
+                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(minSpan >= 2, s"minSpan=$minSpan: a 1-token span is vocabulary, not a span")
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every gram is its own dup")
+    val toked = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val grams = toked.select(col("doc_id"),
+      posexplode(
+        when(size(col("toks")) >= minSpan,
+          transform(sequence(lit(0), size(col("toks")) - minSpan),
+            i => md5(array_join(slice(col("toks"), i + lit(1), lit(minSpan)), " "))))
+          .otherwise(array().cast("array<string>"))
+      ).as(Seq("p", "fp")))
+    val dups = grams.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs && col("nd") <= maxDocFreq)
+      .select("fp")
+    grams.join(dups, Seq("fp")).select("doc_id", "p")
+  }
+
+  /** Exact duplicated-SPAN removal (the ExactSubstr dedup of Lee et al.,
+    * ACL'22 "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): strip every maximal token span that
+    * appears verbatim in >= `minDocs` distinct documents, wherever it
+    * starts. Lee et al. find such spans with a corpus suffix array — a
+    * global sorted structure Spark has no business building; the
+    * equivalent relational decomposition is [[dupSpanStarts]]'s
+    * observation that a duplicated span of length >= minSpan is a run of
+    * consecutive duplicated gram starts, so coverage = the union of
+    * `[p, p + minSpan)` over emitted starts, and maximal spans fall out
+    * of a gaps-and-islands pass over the covered positions.
+    *
+    * Output: one row per input document — `(doc_id, clean_text, n_kept,
+    * n_removed, n_spans)` with `clean_text` the surviving tokens joined
+    * by single spaces in position order (whitespace-normalized exactly as
+    * [[graft.ops.TextOps.tokens]] sees the text), `n_removed` the covered
+    * token count and `n_spans` the number of maximal removed regions.
+    * Documents consumed entirely by duplicated spans survive as
+    * `clean_text = ''` / `n_kept = 0` — row counts stay stable, the
+    * [[stripDupChunks]] contract.
+    *
+    * Complements, not replaces, the rest of the family: [[exactGroups]]
+    * drops whole-document copies, [[stripDupChunks]] drops block-ALIGNED
+    * cross-doc boilerplate, [[stripIntraDocRepeats]] handles WITHIN-doc
+    * repetition — this is the only member that removes cross-document
+    * duplicated text at unaligned offsets and merges it to maximal
+    * extent.
+    *
+    * Scale shape: [[dupSpanStarts]]'s linear index (no pair join), one
+    * explode of `minSpan` covered positions per EMITTED start (bounded by
+    * minSpan x duplicated mass, not corpus size; `maxDocFreq` caps the
+    * hot-gram contribution), a distinct, one doc-keyed window for the
+    * island count, one anti-join on `(doc_id, pos)`, one doc-keyed
+    * reassembly agg. Everything after the dup index partitions on the
+    * document key.
+    */
+  def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
+                    minSpan: Int = 16, minDocs: Int = 2,
+                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = dupSpanStarts(df, textCol, idCol, minSpan, minDocs, maxDocFreq)
+    val covered = starts
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(minSpan - 1))).as("pos"))
+      .distinct()
+    val islands = covered
+      .withColumn("island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"),
+        countDistinct(col("island")).as("n_spans"))
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
 }

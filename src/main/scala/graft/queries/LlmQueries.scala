@@ -120,6 +120,16 @@ object LlmQueries extends QueryPack {
     a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
   }
 
+  // Exactly 20 tokens (not a multiple of any chunk stride, and planted at
+  // per-doc offsets 1..4): the cross-document duplicated SPAN for
+  // dd_span_dedup — deliberately UNALIGNED so block-fingerprint dedup
+  // (dd_chunk_dedup) structurally cannot see it. DedupSpec pins the
+  // token count.
+  private[graft] val SpanPara =
+    "breaking news alert exclusive report from our correspondent " +
+      "syndicated wire copy distributed to partner outlets worldwide " +
+      "without any modification today"
+
   // Exactly 32 tokens (one dd_chunk_dedup window): the planted cross-
   // document boilerplate paragraph. DedupSpec pins the token count.
   private[graft] val BoilerPara =
@@ -263,6 +273,26 @@ object LlmQueries extends QueryPack {
         when(col("doc_id") % 7 === 0, concat(lit(BoilerPara), lit(" "), col("text")))
           .otherwise(col("text")).as("text"))
       Dedup.stripDupChunks(docs, "text", "doc_id", chunkSize = 32, minDocs = 2)
+    },
+
+    // Exact duplicated-SPAN removal (Lee et al. ExactSubstr, relationally):
+    // strip maximal token spans appearing verbatim in >= 2 docs at ANY
+    // offset. Planted non-vacuously: every doc_id % 9 doc gets the same
+    // 20-token paragraph inserted after its first (doc_id % 4 + 1) tokens
+    // — four different misalignments, so no 32-token stride ever lines up
+    // and only stride-1 gram runs recover it; the natural copy-structure
+    // near-dup docs additionally shed their shared long spans.
+    "dd_span_dedup" -> { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val off = (col("doc_id") % 4 + 1).cast("int")
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(
+            array_join(slice(toks, lit(1), off), " "), lit(" "),
+            lit(SpanPara), lit(" "),
+            array_join(slice(toks, off + lit(1), size(toks)), " ")))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripDupSpans(docs, "text", "doc_id", minSpan = 16, minDocs = 2)
     },
 
     // Intra-document repetition removal: first occurrence of each tumbling
@@ -985,6 +1015,53 @@ object LlmQueries extends QueryPack {
          |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
          |  coalesce(ka.n_kept, 0) AS n_kept
          |FROM d LEFT JOIN ka USING (doc_id)""".stripMargin,
+    // span dedup: identical planted corpus (20-token para at offset
+    // doc_id%4+1), stride-1 16-gram dup index, coverage union, islands
+    // for maximal-span count, anti-join reassembly — step-for-step the
+    // Spark plan so every cell is exact
+    "dd_span_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN
+         |      array_to_string((string_split(text,' '))[1 : CAST(doc_id % 4 + 1 AS INTEGER)], ' ')
+         |      || ' ' || '$SpanPara' || ' ' ||
+         |      array_to_string((string_split(text,' '))[CAST(doc_id % 4 + 2 AS INTEGER) : len(string_split(text,' '))], ' ')
+         |    ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |        CAST(len(string_split(text,' ')) AS INTEGER) AS n FROM d),
+         |g AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS p,
+         |        md5(array_to_string(t.toks[p.i+1 : p.i+16], ' ')) AS fp
+         |      FROM t CROSS JOIN
+         |        (SELECT unnest(range(0, (SELECT max(n) FROM t))) AS i) p
+         |      WHERE p.i <= t.n - 16),
+         |dup AS (SELECT fp FROM g GROUP BY 1
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT m.doc_id, CAST(m.p + q.j AS INTEGER) AS pos
+         |        FROM (SELECT doc_id, p FROM g
+         |              WHERE fp IN (SELECT fp FROM dup)) m
+         |        CROSS JOIN (SELECT unnest(range(0, 16)) AS j) q),
+         |isl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+         |          CAST(count(DISTINCT pos - rn) AS BIGINT) AS n_spans
+         |        FROM (SELECT doc_id, pos,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |              FROM cov) GROUP BY doc_id),
+         |tk AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS pos,
+         |         t.toks[p.i+1] AS tok
+         |       FROM t CROSS JOIN
+         |         (SELECT unnest(range(0, (SELECT max(n) FROM t))) AS i) p
+         |       WHERE p.i < t.n),
+         |ka AS (SELECT tk.doc_id,
+         |         string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text,
+         |         CAST(count(*) AS BIGINT) AS n_kept
+         |       FROM tk LEFT JOIN cov
+         |         ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+         |       WHERE cov.pos IS NULL GROUP BY tk.doc_id)
+         |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(isl.n_removed, 0) AS n_removed,
+         |  coalesce(isl.n_spans, 0) AS n_spans
+         |FROM d LEFT JOIN ka USING (doc_id)
+         |LEFT JOIN isl USING (doc_id)""".stripMargin,
     // chunk near-dup: same planted corpus, chunk grain, exact Jaccard over
     // within-chunk trigram shingles — the banded Spark path's output
     // CONTRACT (r=2×16 bands make the banding miss ~8e-8 at J=0.8)

@@ -346,4 +346,76 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
     assert(got.isEmpty) // docs 1,2 have no 3-grams; doc 3 shares none with them
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (String, Long, Long, Long)] =
+    df.select("doc_id", "clean_text", "n_kept", "n_removed", "n_spans")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+
+  test("stripDupSpans: misaligned shared span removed to MAXIMAL extent") {
+    // 6-token span shared at offset 2 in doc 1 and offset 1 in doc 2 —
+    // no 4-token tumbling chunk ever aligns, but stride-1 4-grams do:
+    // three consecutive duplicated starts merge to exactly the 6 tokens
+    val span = "s1 s2 s3 s4 s5 s6"
+    val corpus = Seq(
+      (1L, s"a1 a2 $span a3 a4"),
+      (2L, s"b1 $span b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+    val m = spanRows(Dedup.stripDupSpans(corpus, "text", "doc_id", minSpan = 4))
+    assert(m(1L) === ("a1 a2 a3 a4", 4L, 6L, 1L))
+    assert(m(2L) === ("b1 b2 b3 b4", 4L, 6L, 1L))
+    assert(m(3L) === ("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", 10L, 0L, 0L))
+    assert(m.size === 3)
+  }
+
+  test("stripDupSpans: two disjoint shared spans count as two maximal spans") {
+    val p = "p1 p2 p3 p4"
+    val q = "q1 q2 q3 q4"
+    val corpus = Seq(
+      (1L, s"d1 $p d2 d3 $q d4"),
+      (2L, s"$p e1 e2 $q"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8")
+    ).toDF("doc_id", "text")
+    val m = spanRows(Dedup.stripDupSpans(corpus, "text", "doc_id", minSpan = 4))
+    assert(m(1L) === ("d1 d2 d3 d4", 4L, 8L, 2L))
+    assert(m(2L) === ("e1 e2", 2L, 8L, 2L))
+    assert(m(3L) === ("f1 f2 f3 f4 f5 f6 f7 f8", 8L, 0L, 0L))
+  }
+
+  test("stripDupSpans: intra-doc repeats don't qualify; whole-dup doc empties; short docs safe") {
+    val span = "r1 r2 r3 r4"
+    val corpus = Seq(
+      (1L, s"$span x1 $span"),          // repeated WITHIN one doc only
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),  // duplicated wholesale as doc 3
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "v1 v2")                     // shorter than minSpan: no grams
+    ).toDF("doc_id", "text")
+    val m = spanRows(Dedup.stripDupSpans(corpus, "text", "doc_id", minSpan = 4))
+    assert(m(1L) === (s"$span x1 $span", 9L, 0L, 0L),
+      "minDocs=2 distinct docs: intra-doc repetition is stripIntraDocRepeats' job")
+    assert(m(2L) === ("", 0L, 8L, 1L), "fully-duplicated doc survives as an empty row")
+    assert(m(3L) === ("", 0L, 8L, 1L))
+    assert(m(4L) === ("v1 v2", 2L, 0L, 0L))
+  }
+
+  test("stripDupSpans: maxDocFreq drops corpus-saturating grams from the dup index") {
+    val hot = "h1 h2 h3 h4"
+    val corpus = Seq(
+      (1L, s"$hot x1 x2 x3 x4"),
+      (2L, s"y1 $hot y2 y3 y4"),
+      (3L, s"z1 z2 $hot z3 z4")
+    ).toDF("doc_id", "text")
+    val uncapped = spanRows(Dedup.stripDupSpans(corpus, "text", "doc_id", minSpan = 4))
+    assert(uncapped(1L)._3 === 4L)
+    val capped = spanRows(Dedup.stripDupSpans(corpus, "text", "doc_id",
+      minSpan = 4, maxDocFreq = 2L))
+    assert(Seq(1L, 2L, 3L).forall(capped(_)._3 === 0L),
+      "the 3-doc gram exceeds maxDocFreq=2 and is treated as background")
+  }
+
+  test("dd_span_dedup's planted paragraph is exactly 20 tokens") {
+    assert(graft.queries.LlmQueries.SpanPara.split(" ").length === 20)
+  }
 }

@@ -133,6 +133,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "reassembly must be a hash aggregation")
   }
 
+  test("dd_span_dedup: linear shape — stride-1 index stays explode + hash-agg + equi-join") {
+    // the ExactSubstr decomposition's whole point is avoiding both the
+    // suffix-array global sort AND any pair join: the dup index is a
+    // fingerprint hash-agg, coverage/reassembly are doc-keyed
+    val p = finalPlan("dd_span_dedup")
+    assert(!p.contains("CartesianProduct"), "cartesian planned in span dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair join planned in span dedup")
+    assert(p.contains("HashAggregate"), "dup index / reassembly must hash-aggregate")
+    assert(p.contains("Generate"), "stride-1 gram index must be an in-row explode")
+  }
+
   test("no dedup/ANN/text query ever plans a non-broadcast CartesianProduct") {
     // the one operator shape that cannot survive 100 TB: every all-pairs
     // comparison in this family must go through an inverted-index /
