@@ -152,11 +152,94 @@ object SketchQueries extends QueryPack {
         coalesce(col("mg_ok_raw"), lit(true)).as("mg_ok"))
   }
 
+  /** KMV bottom-k size for `sk_kmv_intersect`: k=1024 puts the single-set
+    * estimator at rse ~= 1/sqrt(k-2) ~= 3.1%; the intersection estimate
+    * scales that by sqrt(|A u B| / |A n B|), and the even/odd corpus
+    * halves overlap heavily (copy-structure corpus), keeping the factor
+    * small. Measured |est - exact| / exact via [[kmvIntersectRaw]]
+    * (graft.tools.KmvErr): 0.0032 at sf0.001, 0.0197 at sf0.01, 0.0241
+    * at sf0.1 AND sf1 (identical — the 10x jittered twins add no new
+    * shingle vocabulary) — the 0.15 bound is >6x the worst measurement
+    * while still failing on any real sketch break (a wrong trim or a
+    * lost merge lands orders of magnitude off; SketchSpec pins
+    * non-vacuity at 1e-3).
+    */
+  val KmvK = 1024
+  val KmvRelBound = 0.15
+
+  /** Cross-corpus set-intersection cardinality from two independently
+    * built KMV sketches ([[graft.functions.KmvSketchAgg]]) — the set-
+    * EXPRESSION capability HLL lacks: trim both sketches to theta =
+    * min(kth_a, kth_b), intersect the trimmed coordinated samples, scale
+    * by the sampled fraction theta/2^63. Returns the raw estimate next to
+    * the exact set algebra; [[kmvIntersect]] wraps it into the driver
+    * face. Trimming and intersection happen in exact LONG hash space
+    * (never through a double, which would round hashes above 2^53);
+    * only the final scale division is floating-point.
+    *
+    * Scale shape: the exact face is one shingle hash-agg + one fold (the
+    * oracle's own plan); the sketch side is a map-side partial KMV per
+    * partition merged into 2 group sketches (8 KB arrays), met in a 1x1
+    * broadcast cross join — at 100 TB the exact face is the part you'd
+    * drop, and what remains never shuffles more than kilobytes.
+    */
+  def kmvIntersectRaw(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.KmvSketch
+    import graft.ops.TextOps
+    val sh = Tables.documents(s, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)).as("sh"))
+    val exact = sh.groupBy("sh").agg(
+        max(when(col("in_a"), 1).otherwise(0)).as("a"),
+        max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+      .agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n_exact_intersect"),
+        sum(col("a")).cast("long").as("n_exact_a"),
+        sum(col("b")).cast("long").as("n_exact_b"))
+    val sketches = sh
+      .select(col("in_a"), shiftrightunsigned(xxhash64(col("sh")), 1).as("h"))
+      .as[(Boolean, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(KmvSketch.kmv(k).name("sk"))
+      .toDF("in_a", "sk")
+    val est = sketches.filter(col("in_a")).select(col("sk").as("sk_a"))
+      .crossJoin(sketches.filter(!col("in_a")).select(col("sk").as("sk_b")))
+      .withColumn("th_a",
+        when(size(col("sk_a")) === k, element_at(col("sk_a"), k))
+          .otherwise(lit(Long.MaxValue)))
+      .withColumn("th_b",
+        when(size(col("sk_b")) === k, element_at(col("sk_b"), k))
+          .otherwise(lit(Long.MaxValue)))
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+      .withColumn("est_intersect",
+        size(array_intersect(
+          filter(col("sk_a"), x => x < col("theta")),
+          filter(col("sk_b"), x => x < col("theta")))).cast("double")
+          * lit(9.223372036854775807E18) / col("theta").cast("double"))
+      .select("est_intersect")
+    exact.crossJoin(broadcast(est))
+  }
+
+  /** Driver face per [[hllCard]]'s pattern: the exact values (which the
+    * DuckDB oracle recomputes bit-identically) plus the boolean asserting
+    * the sketch estimate landed within bound. xxhash64 is seeded and the
+    * k-min set is a function of the value set alone, so the boolean is
+    * deterministic under any partitioning.
+    */
+  def kmvIntersect(s: SparkSession, dir: String, k: Int, bound: Double): DataFrame =
+    kmvIntersectRaw(s, dir, k)
+      .select(col("n_exact_intersect"), col("n_exact_a"), col("n_exact_b"),
+        (abs(col("est_intersect") - col("n_exact_intersect")) /
+          col("n_exact_intersect") <= bound).as("kmv_within_bound"))
+
   val queries: Map[String, Q] = Map(
     "sk_hll_card" -> (hllCard(_, _, HllRelBound)),
     "sk_hll_union" -> (hllUnion(_, _, HllUnionRelBound)),
     "sk_approx_quantile" -> (approxQuantile(_, _, PctRelBound)),
-    "sk_freq_items" -> (freqItems(_, _, FreqItemsCapacity))
+    "sk_freq_items" -> (freqItems(_, _, FreqItemsCapacity)),
+    "sk_kmv_intersect" -> (kmvIntersect(_, _, KmvK, KmvRelBound))
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,6 +264,23 @@ object SketchQueries extends QueryPack {
         |  quantile_cont(l_extendedprice, 0.5) AS median_exact,
         |  true AS gk_within_bound
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "sk_kmv_intersect" ->
+      """WITH s AS (
+        |  SELECT doc_id % 2 = 0 AS in_a, unnest(list_transform(
+        |    range(greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2] || ' ' ||
+        |         string_split(text,' ')[i+3])) AS sh
+        |  FROM documents),
+        |m AS (SELECT sh, max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+        |        max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+        |      FROM s GROUP BY 1)
+        |SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_intersect,
+        |  CAST(sum(a) AS BIGINT) AS n_exact_a,
+        |  CAST(sum(b) AS BIGINT) AS n_exact_b,
+        |  true AS kmv_within_bound
+        |FROM m""".stripMargin,
     "sk_freq_items" ->
       s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),

@@ -123,4 +123,68 @@ class SketchSpec extends SparkTestBase {
     assert(!SketchQueries.hllUnion(spark, dir, 1e-7)
       .collect()(0).getAs[Boolean]("hll_union_within_bound"))
   }
+
+  test("KmvSketchAgg: k-min set laws — distinct, sorted, merge == sketch of union") {
+    val agg = new graft.functions.KmvSketchAgg(8)
+    val xs = Seq(50L, 10L, 30L, 10L, 90L, 20L, 30L, 70L, 60L, 40L, 80L, 5L)
+    val sk = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(sk === Seq(5L, 10L, 20L, 30L, 40L, 50L, 60L, 70L),
+      "8 smallest DISTINCT values, ascending")
+    // merge of split sketches equals the sketch of the union, any split
+    for (cut <- Seq(1, 4, 7, 11)) {
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === sk, s"split at $cut")
+      assert(agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce)) === sk,
+        s"commuted split at $cut")
+    }
+    // under-filled sketch is the exact distinct sorted set
+    val small = Seq(3L, 1L, 3L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(small === Seq(1L, 2L, 3L))
+  }
+
+  test("sk_kmv_intersect: order-independent, green as shipped, non-vacuous at 1e-3") {
+    val dir = sf("sf0.01")
+    // measured calibration face: print the relative error the bound gates
+    val raw = SketchQueries.kmvIntersectRaw(spark, dir, SketchQueries.KmvK).collect()(0)
+    val exact = raw.getAs[Long]("n_exact_intersect")
+    val est = raw.getAs[Double]("est_intersect")
+    info(f"kmv intersect: exact=$exact est=$est%.1f relerr=${math.abs(est - exact) / exact}%.4f")
+    assert(exact > 0, "even/odd halves must overlap or the gate is vacuous")
+    val shipped = SketchQueries.kmvIntersect(spark, dir,
+      SketchQueries.KmvK, SketchQueries.KmvRelBound).collect()(0)
+    assert(shipped.getAs[Boolean]("kmv_within_bound"))
+    // the k-min set is a function of the value set alone: a different
+    // partitioning must produce the identical row, not just a close one
+    val repart = {
+      val s2 = spark
+      import graft.ops.TextOps
+      import graft.functions.KmvSketch
+      import s2.implicits._
+      Tables.documents(spark, dir).repartition(7)
+        .select(explode(TextOps.shinglesFromTokens(
+          TextOps.tokens(col("text")), 3)).as("sh"))
+        .select(shiftrightunsigned(xxhash64(col("sh")), 1).as("h"))
+        .as[Long].select(KmvSketch.kmv(SketchQueries.KmvK).name("sk"))
+        .collect()(0)
+    }
+    val direct = {
+      val s2 = spark
+      import graft.ops.TextOps
+      import graft.functions.KmvSketch
+      import s2.implicits._
+      Tables.documents(spark, dir).coalesce(1)
+        .select(explode(TextOps.shinglesFromTokens(
+          TextOps.tokens(col("text")), 3)).as("sh"))
+        .select(shiftrightunsigned(xxhash64(col("sh")), 1).as("h"))
+        .as[Long].select(KmvSketch.kmv(SketchQueries.KmvK).name("sk"))
+        .collect()(0)
+    }
+    assert(repart === direct, "KMV must be bit-identical under any partitioning")
+    // non-vacuous: an absurdly tight bound flips the gate (KMV error ~3%)
+    assert(!SketchQueries.kmvIntersect(spark, dir, SketchQueries.KmvK, 1e-3)
+      .collect()(0).getAs[Boolean]("kmv_within_bound"))
+  }
 }

@@ -120,6 +120,10 @@ EXPLAINED = {
     "mm_image_decode": (5.0, "codec harness: Spark encodes AND decodes 500 "
         "PNGs through javax.imageio; the oracle recomputes dims/means "
         "arithmetically from doc_id"),
+    "sk_kmv_intersect": (3.5, "audit gate: Spark builds BOTH the exact "
+        "set algebra and the two KMV sketches (plus the theta-trim "
+        "estimate); the oracle recomputes only the exact face. "
+        "0.91 s @sf0.01 vs 1.14 s @sf0.1 warm (10x data, +25%)"),
     # tiny queries sitting 0.0-0.15 s over the CONSTANT_S bound under host
     # contention (flip to FLAG on a loaded host, pass on a quiet one —
     # waiver-boundary brittleness, not a perf problem; plans verified:
