@@ -41,8 +41,37 @@ object ScanQueries extends QueryPack {
       ev.filter(col("event_type") === "purchase")
         .join(existing, Seq("event_id"), "left_anti")
         .select("event_id", "user_id", "event_type")
+    },
+
+    // S11 — Z-order layout stats (beyond the reference): the pruning
+    // contract of graft.ops.Layout.clusterByZ as exact integers. Events
+    // bucket to a 256x256 (user, time-second) grid; the face groups by
+    // z-prefix (top 6 of 16 interleaved bits = 64 file-sized cells) and
+    // shows every cell's (x, y) bounding box — the min/max footer stats a
+    // z-laid-out file would carry, tight in BOTH dimensions. The oracle
+    // recomputes the interleave bit-for-bit.
+    "s11_zorder_stats" -> { (s, dir) =>
+      import graft.ops.Layout
+      val ev = Tables.events(s, dir)
+        .select((col("user_id") % 256).as("x"),
+          expr("(unix_micros(ts) DIV 1000000) % 256").as("y"))
+      ev.select(shiftright(Layout.zValue(col("x"), col("y"), 8), 10).as("z_bucket"),
+          col("x"), col("y"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
     }
   )
+
+  /** The Morton interleave as portable integer SQL (8 OR-terms), shared
+    * verbatim by the s11 oracle — parenthesized against `|`/`>>`
+    * precedence differences.
+    */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((((${x} >> $i) & 1) << ${2 * i}) | (((${y} >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
 
   val oracles: Map[String, String] = Map(
     "s4_file_metadata" ->
@@ -53,6 +82,13 @@ object ScanQueries extends QueryPack {
     "s7_incremental_anti_join" ->
       """SELECT event_id, user_id, event_type FROM events e
         |WHERE event_type='purchase'
-        |AND NOT EXISTS (SELECT 1 FROM events x WHERE x.event_id < 1000 AND x.event_id = e.event_id)""".stripMargin
+        |AND NOT EXISTS (SELECT 1 FROM events x WHERE x.event_id < 1000 AND x.event_id = e.event_id)""".stripMargin,
+    "s11_zorder_stats" ->
+      s"""WITH e AS (SELECT user_id % 256 AS x,
+         |    (epoch_us(ts) // 1000000) % 256 AS y FROM events),
+         |z AS (SELECT x, y, ${zSql("x", "y", 8)} AS z FROM e)
+         |SELECT (z >> 10) AS z_bucket, CAST(count(*) AS BIGINT) AS n_events,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin
   )
 }

@@ -131,6 +131,9 @@ EXPLAINED = {
     # the measured warm sf0.1 time:
     "a1_sum_groupby": (1.5, "constant-dominated: 0.42 s warm @sf0.1, "
         "partial-agg plan; excess over DuckDB is scheduling constant"),
+    "s11_zorder_stats": (1.5, "constant-dominated: 0.50 s warm @sf0.1 "
+        "(0.51 s @sf0.01), single scan + 8-term bitwise interleave "
+        "projection + partial agg"),
     "p1_json_path": (2.0, "constant-dominated: 0.57 s warm @sf0.1, pruned "
         "single-column JSON scan"),
     "w1_latest_snapshot": (1.5, "constant-dominated: 0.48 s warm @sf0.1, "
