@@ -17,18 +17,39 @@ import org.apache.spark.sql.expressions.Aggregator
   * contract: k entries per in-flight query, not one entry per candidate.
   *
   * Ordering is lexicographic ascending on (key, id) — identical to
-  * `array_sort` over `struct(key, id)` — and DUPLICATE pairs are kept,
-  * exactly as collect_list-then-slice would, so the two formulations are
-  * row-for-row interchangeable (StreamingSpec pins the batch parity).
-  * Callers wanting "largest key first" negate the key, the same convention
-  * as the window-function `ORDER BY -x` idiom.
+  * `array_sort` over `struct(key, id)` (Spark's double ordering: NaN
+  * sorts greatest, and -0.0 == 0.0 so ±0.0 ties break on id) — and
+  * DUPLICATE pairs are kept, exactly as collect_list-then-slice would, so
+  * the two formulations are row-for-row interchangeable (StreamingSpec
+  * "TopKAgg ≡ collect_list" pins the parity, NaN / duplicate / ±0.0 keys
+  * included). Callers wanting "largest key first" negate the key, the
+  * same convention as the window-function `ORDER BY -x` idiom.
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k >= 1, s"k=$k: need at least one slot")
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Spark's sort order for doubles (nanSafeCompareDoubles): NaN compares
+  // greatest (and equal to NaN), and -0.0 == 0.0 — NOT java.lang.Double
+  // .compare, which puts -0.0 strictly first, and NOT raw `<`, under which
+  // every NaN comparison is false and the sorted invariant breaks. -0.0 is
+  // reachable here: the intended caller negates cosine scores, so cos==0.0
+  // arrives as -0.0; NaN arrives from zero-norm vectors.
+  private def cmpKey(x: Double, y: Double): Int = {
+    val xn = x.isNaN
+    val yn = y.isNaN
+    if (xn && yn) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x < y) -1
+    else if (x > y) 1
+    else 0
+  }
+
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = cmpKey(a._1, b._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
 
   def zero: Seq[(Double, Long)] = Vector.empty
 

@@ -293,9 +293,11 @@ object Streaming {
     *  - candidate scoring is a stream-static equi-join on `cid`
     *    (stateless; the static side is the inverted-list table);
     *  - top-k is the ONE stateful stage: an update-mode groupBy(query_id)
-    *    folding candidates into a sorted k-slice. State is k ids per
-    *    in-flight query — bounded by the query key space, the same
-    *    contract as `runningUserState`.
+    *    folding candidates through [[graft.functions.TopKAgg]], whose
+    *    aggregation buffer IS the sorted k-slice (O(1) reject once full).
+    *    State is k entries per in-flight query — bounded by the query key
+    *    space, the same contract as `runningUserState`, and NOT one entry
+    *    per candidate as a collect_list formulation would hold.
     *
     * Output (update mode): (query_id, neighbor_id, rank, cos) rows whose
     * final state per query equals the batch `ivfQueryIndex` result —
@@ -323,12 +325,11 @@ object Streaming {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(
-        struct((-col("cos")).as("ns"), col("neighbor_id").as("neighbor_id")))),
-        1, k).as("topk"))
+      .agg(graft.functions.TopK.topK(k)(-col("cos"), col("neighbor_id"))
+        .as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), (-col("col.ns")).as("cos"))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), (-col("col._1")).as("cos"))
   }
 
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the

@@ -357,6 +357,46 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TopKAgg ≡ collect_list-then-slice, NaN / duplicate / ±0.0 keys included") {
+    // The aggregator's contract: row-for-row interchangeable with
+    // slice(array_sort(collect_list(struct(key, id))), 1, k) — including
+    // the total-order corner cases raw double `<` gets wrong (NaN must
+    // sort greatest like Spark's array_sort; -0.0 before 0.0).
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      val grp = i % 7
+      val key = rnd.nextInt(6) match {
+        case 0 => Double.NaN
+        case 1 => 0.0
+        case 2 => -0.0
+        case 3 => rnd.nextInt(3).toDouble // force duplicate keys
+        case _ => rnd.nextDouble() * 2 - 1
+      }
+      (grp, key, rnd.nextInt(20).toLong)
+    }
+    val df = rows.toDF("grp", "key", "id")
+    for (k <- Seq(1, 3, 17, 1000)) {
+      val agg = df.groupBy("grp")
+        .agg(graft.functions.TopK.topK(k)(col("key"), col("id")).as("topk"))
+        .select(col("grp"), posexplode(col("topk")))
+        .select(col("grp"), col("pos"), col("col._1").as("key"), col("col._2").as("id"))
+      val ref = df.groupBy("grp")
+        .agg(slice(array_sort(collect_list(struct(col("key"), col("id")))), 1, k)
+          .as("topk"))
+        .select(col("grp"), posexplode(col("topk")))
+        .select(col("grp"), col("pos"), col("col.key"), col("col.id"))
+      // Normalize -0.0 → 0.0 before comparing: both orderings equate ±0.0,
+      // so which sign lands at a tied position is unspecified on both sides.
+      def norm(d: Double): Long =
+        java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+      val a = agg.collect().map(r => (r.getInt(0), r.getInt(1),
+        norm(r.getDouble(2)), r.getLong(3))).toSeq.sorted
+      val b = ref.collect().map(r => (r.getInt(0), r.getInt(1),
+        norm(r.getDouble(2)), r.getLong(3))).toSeq.sorted
+      assert(a === b, s"TopKAgg diverged from collect_list baseline at k=$k")
+    }
+  }
+
   test("annProbe ≡ batch ivfQueryIndex: streaming retrieval against a prebuilt IVF index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
