@@ -441,7 +441,12 @@ object CorpusOps {
                 mergesPerStage: Int = 128): DataFrame = {
     require(mergesPerStage >= 1, "mergesPerStage >= 1")
     val S = BpeSep
-    val guarded = when(!col(textCol).contains(S), col(textCol))
+    // Three-branch guard: NULL text propagates as NULL output (contains()
+    // on NULL is NULL, which would otherwise fall through to the
+    // raise_error branch and kill the job on a single null document);
+    // only a text that genuinely CONTAINS the separator raises.
+    val guarded = when(col(textCol).isNull, lit(null).cast("string"))
+      .when(!col(textCol).contains(S), col(textCol))
       .otherwise(raise_error(lit(
         "bpeEncode: text contains the U+001F symbol separator")))
     def wrapChars(w: Column): Column = regexp_replace(w, "(.)", s"$S$$1$S")
@@ -529,6 +534,16 @@ object CorpusOps {
     * vocabulary never drops documents. Weight dtype is preserved
     * (integer votes stay engine-exact; float model weights sum as
     * doubles).
+    *
+    * Weights-table contract: `tokenCol` need not be unique — duplicate
+    * rows for a token collapse by SUMMING their weights before the
+    * attach (linear-model composition: exporting a model twice-split
+    * across files still scores correctly), so a duplicated row can never
+    * fan out the token stream and inflate `n_hit`/`score`. Each matched
+    * token counts once in `n_hit` regardless of how many weight rows
+    * mentioned it. Mirrors [[graft.ops.FuzzyJoin.editDistanceJoin]]'s
+    * explicit keys-unique note, resolved here by normalization instead
+    * of by contract.
     */
   def tokenVoteScore(df: DataFrame, textCol: String, idCol: String,
                      weights: DataFrame, tokenCol: String = "token",
@@ -536,6 +551,7 @@ object CorpusOps {
     val toks = df.select(col(idCol),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("__w"))
     val w = weights.select(col(tokenCol).as("__w"), col(weightCol).as("__wt"))
+      .groupBy(col("__w")).agg(sum(col("__wt")).as("__wt"))
     toks.join(w, Seq("__w"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -47,20 +47,37 @@ object RuntimeFilter {
     * `numBits`, which SemiJoinSpec pins by forcing a tiny, FP-heavy sketch.
     *
     * Sketch sizing: by default (`expectedItems < 0`) the sketch is sized
-    * from a COUNT of the build side — one extra agg pass over a table that
-    * is small by this operator's contract — at ~10 bits/key (≈1% FP),
-    * clamped to [64 Ki, 64 Mi] bits. A fixed default was the r7 advisory's
-    * finding: 64 Ki bits against a 100k-key build side is all-pass-through
-    * — still exact, but the advertised shuffle savings vanish. Pass
-    * explicit values to skip the count (e.g. when the caller already knows
-    * the cardinality).
+    * from the build side's CATALYST PLAN STATISTICS — `rowCount` when the
+    * optimizer knows it, else `sizeInBytes / schema width` — the same
+    * source Spark's own `InjectRuntimeFilter` sizes its blooms from. Plan
+    * construction is therefore ACTION-FREE (no job runs until the result
+    * is executed; PlanGuardSpec pins this) and the build side is computed
+    * by the executed plan exactly twice — bloom-agg subquery + semi join,
+    * the identical shape Catalyst's injected runtime filters have — not
+    * three times as the earlier eager-count sizing did. Stats
+    * over-estimate rows for wide-then-projected scans; that only rounds
+    * the sketch UP, never below ~10 bits/key (≈1% FP), and the clamp to
+    * [64 Ki, 64 Mi] bits bounds both ends. (A fixed default was the r7
+    * advisory's finding: 64 Ki bits against a 100k-key build side is
+    * all-pass-through — still exact, but the shuffle savings vanish.)
+    * Pass explicit values when the caller knows the true cardinality.
     */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
                     build: DataFrame, buildKey: String,
                     expectedItems: Long = -1L,
                     numBits: Long = -1L): DataFrame = {
     val items =
-      if (expectedItems > 0L) expectedItems else math.max(64L, build.count())
+      if (expectedItems > 0L) expectedItems
+      else {
+        val plan = build.queryExecution.optimizedPlan
+        val stats = plan.stats
+        val estimated = stats.rowCount.map(_.toLong).filter(_ > 0L).getOrElse {
+          val rowWidth =
+            math.max(8, plan.schema.map(_.dataType.defaultSize).sum)
+          (stats.sizeInBytes / rowWidth).toLong
+        }
+        math.max(64L, estimated)
+      }
     val bits =
       if (numBits > 0L) numBits
       else math.min(math.max(items * 10L, 64L * 1024), 64L * 1024 * 1024)

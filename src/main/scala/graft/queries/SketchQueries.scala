@@ -231,8 +231,14 @@ object SketchQueries extends QueryPack {
   def kmvIntersect(s: SparkSession, dir: String, k: Int, bound: Double): DataFrame =
     kmvIntersectRaw(s, dir, k)
       .select(col("n_exact_intersect"), col("n_exact_a"), col("n_exact_b"),
-        (abs(col("est_intersect") - col("n_exact_intersect")) /
-          col("n_exact_intersect") <= bound).as("kmv_within_bound"))
+        // Disjoint inputs guard: a relative-error bound is undefined at
+        // n_exact_intersect = 0 (division yields NULL, a latent driver
+        // hash mismatch on any disjoint-halves fixture) — there the
+        // sketch is in-bound iff it also estimates zero.
+        when(col("n_exact_intersect") === 0, col("est_intersect") === 0.0)
+          .otherwise(abs(col("est_intersect") - col("n_exact_intersect")) /
+            col("n_exact_intersect") <= bound)
+          .as("kmv_within_bound"))
 
   val queries: Map[String, Q] = Map(
     "sk_hll_card" -> (hllCard(_, _, HllRelBound)),

@@ -363,6 +363,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(4L) === ((4L, 1L, 2L, true)))   // repeats are one presence feature
   }
 
+  test("tokenVoteScore: duplicate (token,weight) rows collapse by sum — no fan-out") {
+    // The weights contract: duplicates sum (linear-model composition) and
+    // never multiply the token stream, so n_hit counts matched TOKENS,
+    // not matched weight rows, and score is stable.
+    val docs = Seq((1L, "good bad meh")).toDF("doc_id", "text")
+    val dup = Seq(("good", 2L), ("good", 3L), ("bad", -1L))
+      .toDF("token", "weight")
+    val out = CorpusOps.tokenVoteScore(docs, "text", "doc_id", dup)
+      .as[(Long, Long, Long, Boolean)].collect()(0)
+    // good = 2+3 summed once, bad = -1, meh = vocabulary miss
+    assert(out === ((1L, 2L, 4L, true)),
+      "duplicate weight rows fanned out the join or changed the sum")
+    // and identical to the same model pre-summed by the exporter
+    val summed = Seq(("good", 5L), ("bad", -1L)).toDF("token", "weight")
+    val ref = CorpusOps.tokenVoteScore(docs, "text", "doc_id", summed)
+      .as[(Long, Long, Long, Boolean)].collect()(0)
+    assert(out === ref)
+  }
+
   test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
     // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
     // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.

@@ -107,6 +107,25 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(oneClass.length == 5 && oneClass.forall(_.getAs[Long]("score") == 0L))
   }
 
+  test("bpeEncode: null document propagates as null output, not raise_error") {
+    // contains() on NULL is NULL — without the explicit isNull branch the
+    // otherwise(raise_error) fires and one null document kills the job.
+    val out = CorpusOps.bpeEncode(withNull, "text", "doc_id",
+        Seq("a" -> "a"), mergesPerStage = 128)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val nullRow = out(6L)
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3),
+      "null text must encode to null counts/pieces")
+    assert(out(1L).getLong(1) === 7L, "non-null docs must still encode")
+    // the separator guard itself still fires on genuinely hostile text
+    val bad = Seq((9L, "has" + CorpusOps.BpeSep + "separator"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      CorpusOps.bpeEncode(bad, "text", "doc_id", Seq("a" -> "a")).collect()
+    }
+    assert(ex.toString.contains("separator"), s"unexpected failure: $ex")
+  }
+
   test("bloomSemiJoin with an EMPTY build side returns empty, not an error") {
     import graft.ops.RuntimeFilter
     val probe = Seq((1L, "x"), (2L, "y")).toDF("k", "v")

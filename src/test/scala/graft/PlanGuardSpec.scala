@@ -166,6 +166,48 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "boundary rows must broadcast")
   }
 
+  test("bloomSemiJoin construction is ACTION-FREE — stats-sized, no eager count job") {
+    // The r8 advisory: default sizing ran build.count() at plan-build time,
+    // so merely COMPOSING the operator launched a Spark job (and computed
+    // the build side three times). Sizing now reads Catalyst plan stats.
+    // Pin it with a job listener: construct, flush the listener bus with a
+    // marker job, and require the marker be the ONLY job seen.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // wait until the job counter stops moving (listener bus is async)
+    def settle(): Int = {
+      var last = -1
+      var cur = jobs.get()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur; Thread.sleep(250); cur = jobs.get()
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      val probe = spark.range(0, 1000).toDF("k")
+      // parquet-backed build: rowCount is unknown there, exercising the
+      // sizeInBytes/row-width fallback, the common scan shape. Reading the
+      // schema may itself run a footer job — settle BEFORE measuring.
+      val build = graft.sources.Tables.documents(spark, sf("sf0.001"))
+        .select($"doc_id".as("bk"))
+      build.queryExecution.analyzed // force analysis outside the window
+      val before = settle()
+      val composed = graft.ops.RuntimeFilter.bloomSemiJoin(probe, "k", build, "bk")
+      val after = settle()
+      assert(after === before,
+        s"plan construction launched ${after - before} Spark job(s)")
+      assert(composed.count() >= 0) // the composed plan still executes fine
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("every query dump face is atomic — container columns crash the driver harness") {
     // schema-only (no execution): the driver's pandas checker cannot sort
     // array/struct/map cells (the r7 ta_bpe_encode crash), so Verify

@@ -187,4 +187,27 @@ class SketchSpec extends SparkTestBase {
     assert(!SketchQueries.kmvIntersect(spark, dir, SketchQueries.KmvK, 1e-3)
       .collect()(0).getAs[Boolean]("kmv_within_bound"))
   }
+
+  test("sk_kmv_intersect: DISJOINT halves pin a boolean gate, never NULL") {
+    // relerr / n_exact_intersect is NULL at intersect = 0 — the guard must
+    // swap in "sketch also says zero" so a disjoint-halves fixture stays
+    // hashable by the driver. Build one: even docs draw shingles from one
+    // vocabulary, odd docs from another (schema copied from the real table).
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_disjoint").toString
+    val evenText =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val oddText =
+      "unus duo tres quattuor quinque sex septem octo novem decem undecim"
+    Tables.documents(spark, sf("sf0.001"))
+      .withColumn("text",
+        when(col("doc_id") % 2 === 0, lit(evenText)).otherwise(lit(oddText)))
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val row = SketchQueries.kmvIntersect(spark, tmp,
+      SketchQueries.KmvK, SketchQueries.KmvRelBound).collect()(0)
+    assert(row.getAs[Long]("n_exact_intersect") === 0L)
+    assert(!row.isNullAt(row.fieldIndex("kmv_within_bound")),
+      "disjoint inputs produced a NULL gate — latent driver hash mismatch")
+    assert(row.getAs[Boolean]("kmv_within_bound"),
+      "KMV over disjoint sets must estimate an empty intersection")
+  }
 }
