@@ -194,6 +194,16 @@ object LlmQueries extends QueryPack {
         n = 3, threshold = JaccardThreshold)
     },
 
+    // Prefix-filtered (AllPairs) exact cosine pairs: lossless candidate
+    // pruning via the per-doc suffix bound, identical contract to
+    // dd_tf_cosine — same oracle proves the bound drops nothing. This is
+    // the production pair stage at scale; the unfiltered twin stays as
+    // the oracle anchor (the dd_ngram_jaccard/dd_ngram_prefix pattern).
+    "dd_tf_cosine_prefix" -> { (s, dir) =>
+      Dedup.tokenCosinePrefixPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = JaccardThreshold)
+    },
+
     // Corpus collapse: survivors after greedy near-dup removal (drop the
     // higher id of every qualifying pair). Pair stage is the prefix-
     // filtered exact join — same output as ngramJaccardPairs (lossless),
@@ -912,6 +922,23 @@ object LlmQueries extends QueryPack {
   private val Bm25K1 = CorpusOps.DefaultBm25K1
   private val Bm25B = CorpusOps.DefaultBm25B
 
+  private val tfCosineSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       |tf AS (
+       |  SELECT doc_id, g AS token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2,0)),
+       |        i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g FROM toks)
+       |  GROUP BY 1,2),
+       |norms AS (SELECT doc_id, SUM(tf*tf) AS nrm2 FROM tf GROUP BY 1),
+       |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf*b.tf) AS num
+       |        FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+       |        GROUP BY 1,2)
+       |SELECT id_a, id_b,
+       |       CAST(num AS DOUBLE)/(sqrt(CAST(na.nrm2 AS DOUBLE))*sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+       |FROM num JOIN norms na ON num.id_a = na.doc_id
+       |         JOIN norms nb ON num.id_b = nb.doc_id
+       |WHERE CAST(num AS DOUBLE)/(sqrt(CAST(na.nrm2 AS DOUBLE))*sqrt(CAST(nb.nrm2 AS DOUBLE))) >= $JaccardThreshold""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd_exact_hash" ->
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_id,
@@ -920,23 +947,11 @@ object LlmQueries extends QueryPack {
     "dd_ngram_prefix" -> jaccardPairsSql,
     // multiset 3-grams (no list_distinct — multiplicity is the semantics);
     // CAST-to-double + two sqrts + one divide mirrors Dedup.tokenCosinePairs
-    // op for op, so the score is bit-identical
-    "dd_tf_cosine" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-         |tf AS (
-         |  SELECT doc_id, g AS token, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2,0)),
-         |        i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g FROM toks)
-         |  GROUP BY 1,2),
-         |norms AS (SELECT doc_id, SUM(tf*tf) AS nrm2 FROM tf GROUP BY 1),
-         |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf*b.tf) AS num
-         |        FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
-         |        GROUP BY 1,2)
-         |SELECT id_a, id_b,
-         |       CAST(num AS DOUBLE)/(sqrt(CAST(na.nrm2 AS DOUBLE))*sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cosine
-         |FROM num JOIN norms na ON num.id_a = na.doc_id
-         |         JOIN norms nb ON num.id_b = nb.doc_id
-         |WHERE CAST(num AS DOUBLE)/(sqrt(CAST(na.nrm2 AS DOUBLE))*sqrt(CAST(nb.nrm2 AS DOUBLE))) >= $JaccardThreshold""".stripMargin,
+    // op for op, so the score is bit-identical. The prefix-filtered twin
+    // shares the SAME oracle: its output contract is cell-identical, which
+    // is exactly what proves the AllPairs bound lossless.
+    "dd_tf_cosine" -> tfCosineSql,
+    "dd_tf_cosine_prefix" -> tfCosineSql,
     "dd_minhash_lsh" -> jaccardPairsSql,
     "dd_simhash_contains" ->
       """WITH fp AS (SELECT doc_id,

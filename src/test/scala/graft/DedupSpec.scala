@@ -340,6 +340,45 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() === 0)
   }
 
+  test("tokenCosinePrefixPairs equals the unfiltered exact join (lossless suffix bound)") {
+    // same-fixture parity at two gram widths and a mid threshold, scores
+    // included — the AllPairs bound must drop nothing and the verify stage
+    // must reproduce the baseline's exact IEEE score
+    for ((n, t) <- Seq((1, 0.5), (3, 0.1))) {
+      val exact = Dedup.tokenCosinePairs(docs, "text", "doc_id", n = n, threshold = t)
+        .collect().map(_.toSeq).toSet
+      val prefix = Dedup.tokenCosinePrefixPairs(docs, "text", "doc_id", n = n, threshold = t)
+        .collect().map(_.toSeq).toSet
+      assert(prefix === exact, s"diverged at n=$n t=$t")
+    }
+  }
+
+  test("tokenCosinePrefixPairs: hot-token corpus — parity where the index cut matters") {
+    // 20 docs share a stopword-heavy core (the d²/2 candidate mass) plus
+    // one genuine near-dup pair riding rare tokens; the head must absorb
+    // the hot grams and the rare-token pair must survive
+    val hot = (1 to 20).map(i => (i.toLong, s"the of and to in u$i v$i w$i"))
+    val pairDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"))
+    val corpus = (hot ++ pairDocs).toDF("doc_id", "text")
+    val exact = Dedup.tokenCosinePairs(corpus, "text", "doc_id", n = 1, threshold = 0.6)
+      .collect().map(_.toSeq).toSet
+    val prefix = Dedup.tokenCosinePrefixPairs(corpus, "text", "doc_id", n = 1, threshold = 0.6)
+      .collect().map(_.toSeq).toSet
+    assert(prefix === exact)
+    assert(exact.exists(r => r.head == 100L), "the rare-token near-dup pair must qualify")
+  }
+
+  test("tokenCosinePrefixPairs matches exact pairs on real documents at sf0.001") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.tokenCosinePairs(d, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    val prefix = Dedup.tokenCosinePrefixPairs(d, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(prefix === exact)
+    assert(exact.nonEmpty) // non-vacuous: the corpus plants near-dups
+  }
+
   test("tokenCosinePairs: doc shorter than n grams drops out, no negative-step sequence") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d")).toDF("doc_id", "text")
     val got = Dedup.tokenCosinePairs(docs, "text", "doc_id", n = 3, threshold = 0.0)

@@ -89,6 +89,12 @@ EXPLAINED = {
         "pipeline (tf agg, norms agg, token self-join, pair agg, 2 "
         "broadcast re-attaches): 2.06 s @sf0.01 vs 2.05 s @sf0.1 warm "
         "(10x data, +0%, loaded host)"),
+    "dd_tf_cosine_prefix": (8.0, "constant-dominated 7-stage AllPairs/L2AP "
+        "filter stack (tf agg, window bounds, candidate join, SortedDot "
+        "verify): 1.72 s @sf0.01 vs 5.32 s @sf0.1 warm; the SCALE win is "
+        "the point — sf1 warm 14.4 s vs the brute twin's 21.0 s, growth "
+        "2.7x vs 9.8x for 10x data (BENCH_NOTES r10); oracle is the brute "
+        "SQL by design (shared with dd_tf_cosine, proves losslessness)"),
     "ta_dsir_sample": (2.0, "constant-dominated 3-join/2-agg stack: "
         "0.56 s @sf0.01 vs 0.59 s @sf0.1 warm (+5%); sf1 grows 3.1x, "
         "sub-linear (BENCH_NOTES r7)"),
