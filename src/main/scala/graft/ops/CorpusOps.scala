@@ -163,6 +163,40 @@ object CorpusOps {
     conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
+  /** Weighted reservoir sample of k rows per group WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES, IPL 2006): rank rows by u^(1/w) with
+    * u = [[hashUniform]] and take the k largest per group — each row's
+    * inclusion probability is proportional to its weight, the weighted
+    * sampling a training-data mixture needs where [[stratifiedSample]]
+    * is uniform-within-stratum.
+    *
+    * Deterministic end to end: u is the md5 32-bit prefix (no RNG — same
+    * sample on every run and engine, the [[hashSplit]] reproducibility
+    * story), and ties (md5-prefix collisions with equal weights) break on
+    * the id. `pow` is the one op here that is 1-ulp (not correctly
+    * rounded) across engines; it feeds only the ORDER BY, so cross-engine
+    * divergence needs two keys within one ulp of each other — ~2⁻⁵² per
+    * comparison, unlike hashing a pow VALUE, which the dump face
+    * deliberately excludes. Rows with non-positive weight are dropped
+    * (A-ES is undefined there, and weight-0 rows should never be
+    * sampled).
+    *
+    * Scale shape: ranking rides [[Skew.saltedTopK]] — the hot group
+    * spreads over `salt` tasks each keeping a local top-k, so no group
+    * ever serializes onto one task (the O6 discipline), and the phase-2
+    * input is ≤ salt·k rows per group regardless of skew.
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                             weightCol: String, k: Int,
+                             salt: Int = 8): DataFrame = {
+    val key = pow(hashUniform(col(idCol)),
+      lit(1.0) / col(weightCol).cast("double"))
+    graft.ops.Skew.saltedTopK(
+      df.filter(col(weightCol) > 0).withColumn("__aes", key),
+      Seq(groupCol), Seq(col("__aes").desc, col(idCol)), idCol, k, salt)
+      .drop("__aes")
+  }
+
   /** Mixture sampling: downsample each source so the output matches a
     * target mixture — the data-mixing step that turns "whatever the crawl
     * yielded" into the weighted blend a training run specifies.

@@ -751,6 +751,19 @@ object LlmQueries extends QueryPack {
         .select("doc_id", "lang")
     },
 
+    // Weighted reservoir sample (A-ES): 50 docs per lang, inclusion
+    // probability ∝ n_chars — longer documents weighted up, the weighted
+    // twin of ta_sample_strat. The md5-uniform and the tie-break are
+    // engine-exact; pow feeds only the ORDER BY (see
+    // CorpusOps.weightedSamplePerGroup), so the sampled ROW SET and ranks
+    // are oracle-compared cell-exact.
+    "ta_sample_weighted" -> { (s, dir) =>
+      CorpusOps.weightedSamplePerGroup(Tables.documents(s, dir),
+        "doc_id", "lang", "n_chars", k = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("w"),
+          col("rank"))
+    },
+
     // Mixture sampling: downsample sources to a 3:2:1 target blend
     // (src0:src1:everything else), saturating the scarcest source. The
     // keep-rates are IEEE double arithmetic over exact integer counts and
@@ -1340,6 +1353,18 @@ object LlmQueries extends QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) <
         |  (CASE lang WHEN 'en' THEN '4' WHEN 'es' THEN '8' ELSE 'c' END)""".stripMargin,
+    // A-ES weighted reservoir: the same md5 32-bit uniform as ta_mixture,
+    // key = pow(u, 1/w) used ONLY in the ORDER BY (its value is never
+    // dumped — pow is 1-ulp across engines, the order is tie-broken by id)
+    "ta_sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+        |      pow(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |            / 4294967296.0,
+        |          1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id) AS INTEGER) AS rank
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, w, rank FROM s WHERE rank <= 50""".stripMargin,
     // mirrors mixtureSample step by step: exact integer counts/weights,
     // share = wt/sumw, T = min(n/share), keep = share*T/n (same left-assoc
     // order as the Spark column expressions), uniform = md5 32-bit prefix

@@ -382,6 +382,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out === ref)
   }
 
+  test("weightedSamplePerGroup: matches a plain-Scala A-ES reference, drops w<=0") {
+    val rows = (1L to 300L).map { i =>
+      (i, if (i % 2 == 0) "even" else "odd", (i % 9).toLong - 1) // weights -1..7
+    }
+    val docs = rows.toDF("doc_id", "grp", "w")
+    // independent reference: same md5 32-bit uniform, same key, same ties
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val k = 10
+    val expected = rows.filter(_._3 > 0).groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) => (id, math.pow(u(id), 1.0 / w.toDouble)) }
+        .sortBy { case (id, key) => (-key, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, _), i) => (g, id, i + 1) }
+    }.toSet
+    val got = CorpusOps.weightedSamplePerGroup(docs, "doc_id", "grp", "w", k)
+      .select(col("grp"), col("doc_id"), col("rank"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got === expected)
+    // no sampled row may carry a non-positive weight
+    assert(!got.exists { case (_, id, _) => rows(id.toInt - 1)._3 <= 0 })
+    // deterministic under repartitioning (the saltedTopK contract)
+    val again = CorpusOps.weightedSamplePerGroup(docs.repartition(13),
+      "doc_id", "grp", "w", k)
+      .select(col("grp"), col("doc_id"), col("rank"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(again === got)
+  }
+
   test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
     // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
     // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.
