@@ -793,14 +793,22 @@ object Dedup {
       // plan still accumulates every prior round and re-optimization grows
       // superlinearly with rounds (measured 20 s cold / 3.6 s warm at
       // sf0.1, dominated by planning, before this)
+      // the convergence test rides the checkpoint job as an observed
+      // metric (verified: eager localCheckpoint runs through withAction,
+      // so SQL-execution metrics fire) — one job per round, not a
+      // checkpoint job plus a separate count job; count(when(...)) not
+      // sum(when(...)) so an empty round observes 0, never null
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, Seq("id"), "left")
         .join(hop, col("comp") === col("hop_id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp")),
             coalesce(col("hop_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
+        .observe(obs,
+          count(when(col("comp") =!= col("prev"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      val changed = next.filter(col("comp") =!= col("prev")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       // note: no unpersist — Dataset.unpersist is a no-op on localCheckpoint
       // blocks; the ContextCleaner reclaims superseded rounds on GC
       labels = next.select("id", "comp")
