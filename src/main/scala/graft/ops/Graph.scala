@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over document corpora — reference-graph quality
+  * signals for training-data curation (a page shared/duplicated across
+  * many sources is a different quality animal than an orphan).
+  *
+  * Reference scope: the reference pipeline has no graph operators; this
+  * module is part of the beyond-reference LLM-pipeline surface, next to
+  * [[Dedup.nearDupComponents]] (connected components), which it shares
+  * its iteration discipline with.
+  */
+object Graph {
+
+  /** Undirected doc–doc edges between documents sharing at least one
+    * `chunkSize`-token tumbling chunk — the shared-content graph over
+    * which [[pageRankFixed]] scores centrality. Both directions are
+    * emitted (src, dst) so degree = neighbor count and the edge set is
+    * symmetric.
+    *
+    * `maxGroup` caps the per-fingerprint group size, the same hot-key
+    * knob as `maxDocFreq` in [[Dedup.ngramJaccardPairs]]: a boilerplate
+    * chunk shared by d documents would otherwise mint a d² clique —
+    * stopword-scale d at 100 TB. Capped groups drop entirely (boilerplate
+    * is noise, not signal, for centrality).
+    *
+    * Scale shape: explode → distinct (doc, fp) → vocabulary-keyed
+    * self-join, candidate mass bounded by maxGroup² per fingerprint —
+    * the inverted-index discipline of every dedup operator here.
+    */
+  def sharedChunkEdges(df: DataFrame, textCol: String, idCol: String,
+                       chunkSize: Int, maxGroup: Long = 50L): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.chunkTokens(TextOps.tokens(col(textCol)), chunkSize, 0))
+          .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      .distinct()
+    val eligible = chunks.groupBy("fp")
+      .agg(count(lit(1)).as("nd")) // (doc, fp) is distinct — count = docs
+      .filter(col("nd") >= 2 && col("nd") <= maxGroup)
+      .select("fp")
+    val member = chunks.join(eligible, Seq("fp"))
+    val pairs = member.select(col("fp"), col("doc_id").as("src"))
+      .join(member.select(col("fp"), col("doc_id").as("dst")), Seq("fp"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Fixed-point integer PageRank, `iters` unrolled iterations over a
+    * directed edge list — the deterministic formulation a distributed
+    * engine needs for reproducible ranks: float PageRank sums doubles in
+    * partition order, so two runs (or two engines) disagree in the last
+    * ulp and every downstream threshold flickers. Here rank is a BIGINT
+    * in units of 1/`scale`: rank₀ = scale (1.0), and each round is
+    *
+    *   rank(v) = 0.15·scale + Σ_{u→v} (85·rank(u)) DIV (100·deg(u))
+    *
+    * — integer multiply, integer floor-division, integer sum: exact,
+    * associative, order-independent, hence oracle-comparable cell-exact
+    * (the discipline behind the cents trick, applied to damping). The
+    * DIV truncation loses < 1/scale per edge per round — three orders
+    * below any ranking decision at the default scale of 10⁶.
+    *
+    * Only vertices appearing in `edges` participate (callers union in
+    * isolated vertices at base rank if they need totality — the
+    * [[Dedup.nearDupComponents]] singleton convention). Output:
+    * (id, deg, rank) with rank after `iters` rounds.
+    *
+    * Scale shape: per round one shuffle (contribution groupBy dst) plus
+    * one vertex-keyed left join; `iters` is a compile-time unroll, no
+    * driver-side convergence loop — PageRank-to-convergence callers
+    * compose this with the CC module's observe-metric round pattern.
+    */
+  def pageRankFixed(edges: DataFrame, iters: Int = 3,
+                    scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    require(scale >= 100L && scale % 100L == 0L,
+      s"scale=$scale must be a positive multiple of 100 so 0.15*scale is exact")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val verts = deg.select(col("src").as("id"))
+    val base = 15L * scale / 100L
+    var ranks = verts.select(col("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        // SQL `div` = exact integer floor-division on BIGINT (the Column
+        // `/` operator would detour through DOUBLE and round above 2^53)
+        .agg(sum(expr("(85 * rank) div (100 * deg)")).as("insum"))
+      ranks = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("insum"), lit(0L))).as("rank"))
+    }
+    ranks.join(deg.select(col("src").as("id"), col("deg")), Seq("id"))
+      .select("id", "deg", "rank")
+  }
+}

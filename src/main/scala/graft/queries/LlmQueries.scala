@@ -785,6 +785,19 @@ object LlmQueries extends QueryPack {
         .select("doc_id", "term", "tf", "df_t", "idf_arg", "tf_weight")
     },
 
+    // Fixed-point integer PageRank (3 unrolled rounds, scale 10⁶) over
+    // the shared-16-token-chunk graph — reference-graph centrality as a
+    // quality signal. Integer multiply/div/sum throughout, so the ranks
+    // are exact, order-independent, and oracle-compared cell-for-cell
+    // (float PageRank would diverge in the last ulp per partition order).
+    "ta_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.Graph.pageRankFixed(
+        graft.ops.Graph.sharedChunkEdges(docs, "text", "doc_id",
+          chunkSize = 16, maxGroup = 50L), iters = 3)
+        .select(col("id").as("doc_id"), col("deg"), col("rank"))
+    },
+
     // Sequence packing (concat-then-chunk): shard by lang, order by doc_id,
     // cut every 512 tokens; window-function running offsets only.
     "ta_pack" -> { (s, dir) =>
@@ -1474,6 +1487,39 @@ object LlmQueries extends QueryPack {
     // symbol encoding).
     "ta_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
     "ta_bpe_encode_deep" -> bpeEncodeOracleSql(BpeMerges40),
+    // integer fixed-point PageRank: BOTH engines compute ranks in exact
+    // BIGINT arithmetic (85·rank // (100·deg), sums, +0.15·scale), so the
+    // compare is cell-exact with no float anywhere; DuckDB SUM returns
+    // HUGEINT, cast back to BIGINT at every level
+    "ta_pagerank" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |        CAST(greatest(ceil(len(string_split(text,' '))/16.0), 1) AS INTEGER) AS nc
+        |      FROM documents),
+        |c AS (SELECT DISTINCT t.doc_id,
+        |        md5(array_to_string(t.toks[p.i*16+1 : p.i*16+16], ' ')) AS fp
+        |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+        |      WHERE p.i < t.nc),
+        |g AS (SELECT fp FROM c GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+        |m AS (SELECT c.fp, c.doc_id FROM c JOIN g USING (fp)),
+        |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |       FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |e AS (SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM d),
+        |r1 AS (SELECT v.id, CAST(150000 + COALESCE(s.insum, 0) AS BIGINT) AS rank
+        |       FROM r0 v LEFT JOIN (
+        |         SELECT e.dst AS id, CAST(SUM((85 * r.rank) // (100 * d.deg)) AS BIGINT) AS insum
+        |         FROM e JOIN r0 r ON e.src = r.id JOIN d ON e.src = d.src GROUP BY 1) s USING (id)),
+        |r2 AS (SELECT v.id, CAST(150000 + COALESCE(s.insum, 0) AS BIGINT) AS rank
+        |       FROM r1 v LEFT JOIN (
+        |         SELECT e.dst AS id, CAST(SUM((85 * r.rank) // (100 * d.deg)) AS BIGINT) AS insum
+        |         FROM e JOIN r1 r ON e.src = r.id JOIN d ON e.src = d.src GROUP BY 1) s USING (id)),
+        |r3 AS (SELECT v.id, CAST(150000 + COALESCE(s.insum, 0) AS BIGINT) AS rank
+        |       FROM r2 v LEFT JOIN (
+        |         SELECT e.dst AS id, CAST(SUM((85 * r.rank) // (100 * d.deg)) AS BIGINT) AS insum
+        |         FROM e JOIN r2 r ON e.src = r.id JOIN d ON e.src = d.src GROUP BY 1) s USING (id))
+        |SELECT r3.id AS doc_id, d.deg, r3.rank
+        |FROM r3 JOIN d ON r3.id = d.src""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

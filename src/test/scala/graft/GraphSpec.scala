@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRankFixed: hand-computed integer ranks on a path graph") {
+    // path a(1) — b(2) — c(3), symmetric edges; scale 1e6, 3 rounds.
+    // r1: a=575000 b=1850000 c=575000
+    // r2: a=936250 b=1127500 c=936250
+    // r3: a=150000+floor(85·1127500/200)=629187
+    //     b=150000+2·floor(85·936250/100)=1741624  (floor eats the .5s)
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRankFixed(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      1L -> (1L, 629187L), 2L -> (2L, 1741624L), 3L -> (1L, 629187L)))
+  }
+
+  test("pageRankFixed: rank mass concentrates on the hub of a star") {
+    val spokes = (2L to 6L)
+    val pairs = spokes.map(s => (1L, s))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRankFixed(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(spokes.forall(s => got(1L) > got(s)), "hub must outrank spokes")
+    assert(spokes.map(got).toSet.size === 1, "spokes are symmetric")
+    // determinism under repartitioning — the point of the integer form
+    val again = Graph.pageRankFixed(edges.repartition(7), iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === got)
+  }
+
+  test("sharedChunkEdges: chunk-sharing docs link, hot groups capped, symmetric") {
+    val shared16 = (1 to 16).map(i => s"s$i").mkString(" ")
+    val boiler16 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = (Seq(
+      (1L, shared16 + " unique one"),
+      (2L, shared16 + " unique two"),
+      (3L, "totally different words here")) ++
+      // 4 docs sharing a boilerplate chunk — capped out at maxGroup=3
+      (10L to 13L).map(i => (i, boiler16 + s" filler$i"))
+    ).toDF("doc_id", "text")
+    val edges = Graph.sharedChunkEdges(docs, "text", "doc_id",
+      chunkSize = 16, maxGroup = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((1L, 2L), (2L, 1L)),
+      "only the within-cap shared chunk links; boilerplate group is capped")
+  }
+}
