@@ -595,6 +595,39 @@ object CorpusOps {
         (col("score") > 0).as("pred"))
   }
 
+  /** Reliability-diagram calibration buckets for a vote-count classifier
+    * ([[tokenVoteClassifier]]/[[tokenVoteScore]] output): bucket each
+    * document by its vote confidence n_pos/(n_pos+n_neg) into `buckets`
+    * fixed-width bins and report the observed positive-label rate per
+    * bin — a calibrated classifier's true_rate tracks the bin index.
+    *
+    * Everything except the final two-BIGINT division is exact integer
+    * arithmetic: the bin is `(buckets·n_pos) div (n_pos+n_neg)` clamped
+    * to buckets−1 (all-vote-less docs land in bin −1), so bucketing is
+    * order-independent and engine-exact — no ntile, whose global sort
+    * both serializes at scale and breaks ties nondeterministically.
+    * Fixed-width bins are one hash aggregation: map-side partial, no
+    * window, no global sort — the w12_dist_bucketed discipline without
+    * even needing boundary estimation.
+    */
+  def calibrationBuckets(scored: DataFrame, posCol: String, negCol: String,
+                         labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 calibration buckets")
+    val tot = col(posCol) + col(negCol)
+    val bucket = when(tot > 0,
+      least(expr(s"($buckets * $posCol) div ($posCol + $negCol)"),
+        lit((buckets - 1).toLong))).otherwise(lit(-1L))
+    scored.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_true"),
+        sum(col(posCol)).as("sum_pos"),
+        sum(tot).as("sum_tot"))
+      .withColumn("true_rate",
+        col("n_true").cast("double") / col("n_docs").cast("double"))
+  }
+
   def dsirSample(df: DataFrame, textCol: String, idCol: String,
                  sourceCol: String, targetSource: String,
                  floorShare: Double = 0.3, slope: Double = 2.5): DataFrame = {

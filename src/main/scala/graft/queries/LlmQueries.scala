@@ -576,6 +576,17 @@ object LlmQueries extends QueryPack {
         col("lang") === "en")
     },
 
+    // Reliability-diagram calibration of the self-trained classifier:
+    // fixed-width integer confidence bins ((10·n_pos) div (n_pos+n_neg))
+    // + observed label rate per bin — one hash agg, no ntile/global sort,
+    // exact integers until the final two-BIGINT division.
+    "ta_calibration" -> { (s, dir) =>
+      CorpusOps.calibrationBuckets(
+        CorpusOps.tokenVoteClassifier(Tables.documents(s, dir), "text",
+          "doc_id", col("lang") === "en"),
+        "n_pos", "n_neg", "label")
+    },
+
     // Classifier scoring against an EXTERNAL (token, weight) table — the
     // exported-model deployment shape (the weights here are a
     // deterministic function of the corpus vocabulary so DuckDB can
@@ -947,6 +958,34 @@ object LlmQueries extends QueryPack {
   // bit-identical literals and can't silently diverge
   private val Bm25K1 = CorpusOps.DefaultBm25K1
   private val Bm25B = CorpusOps.DefaultBm25B
+
+  private val qualityClassifierSql: String =
+    """WITH tok0 AS (
+      |  SELECT doc_id, (lang = 'en') AS y, unnest(string_split(text,' ')) AS w
+      |  FROM documents),
+      |toks AS (SELECT DISTINCT doc_id, y, w FROM tok0),
+      |stats AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS d0
+      |  FROM toks GROUP BY w),
+      |tot AS (
+      |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n0
+      |  FROM documents),
+      |v AS (
+      |  SELECT t.doc_id, t.y,
+      |    CASE WHEN s.d1 * tot.n0 > s.d0 * tot.n1 THEN 1
+      |         WHEN s.d1 * tot.n0 < s.d0 * tot.n1 THEN -1
+      |         ELSE 0 END AS vote
+      |  FROM toks t JOIN stats s ON t.w = s.w, tot)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(SUM(CASE WHEN vote < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |  CAST(SUM(vote) AS BIGINT) AS score,
+      |  SUM(vote) > 0 AS pred,
+      |  y AS label
+      |FROM v GROUP BY doc_id, y""".stripMargin
 
   private val tfCosineSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
@@ -1442,33 +1481,24 @@ object LlmQueries extends QueryPack {
         |GROUP BY t.doc_id""".stripMargin,
     // mirrors tokenVoteClassifier: distinct-token presence features,
     // integer cross-multiplied per-token class votes, per-doc vote sum.
-    "ta_quality_classifier" ->
-      """WITH tok0 AS (
-        |  SELECT doc_id, (lang = 'en') AS y, unnest(string_split(text,' ')) AS w
-        |  FROM documents),
-        |toks AS (SELECT DISTINCT doc_id, y, w FROM tok0),
-        |stats AS (
-        |  SELECT w,
-        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-        |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS d0
-        |  FROM toks GROUP BY w),
-        |tot AS (
-        |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n0
-        |  FROM documents),
-        |v AS (
-        |  SELECT t.doc_id, t.y,
-        |    CASE WHEN s.d1 * tot.n0 > s.d0 * tot.n1 THEN 1
-        |         WHEN s.d1 * tot.n0 < s.d0 * tot.n1 THEN -1
-        |         ELSE 0 END AS vote
-        |  FROM toks t JOIN stats s ON t.w = s.w, tot)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |  CAST(SUM(CASE WHEN vote < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-        |  CAST(SUM(vote) AS BIGINT) AS score,
-        |  SUM(vote) > 0 AS pred,
-        |  y AS label
-        |FROM v GROUP BY doc_id, y""".stripMargin,
+    "ta_quality_classifier" -> qualityClassifierSql,
+    // calibration = exact-integer bucketing + counting on top of the
+    // classifier CTE — the only float is the final two-BIGINT division
+    "ta_calibration" ->
+      s"""WITH clf AS ($qualityClassifierSql)
+         |SELECT bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(SUM(n_pos) AS BIGINT) AS sum_pos,
+         |  CAST(SUM(n_pos + n_neg) AS BIGINT) AS sum_tot,
+         |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS true_rate
+         |FROM (SELECT *,
+         |        CASE WHEN n_pos + n_neg > 0
+         |             THEN LEAST((10 * n_pos) // (n_pos + n_neg), 9)
+         |             ELSE -1 END AS bucket
+         |      FROM clf)
+         |GROUP BY bucket""".stripMargin,
     // mirrors bpePairCounts over bpeWordTable: vocabulary collapse, then
     // adjacent character pairs weighted by word count.
     "ta_bpe_pairs" ->

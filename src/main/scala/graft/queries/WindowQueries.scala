@@ -296,6 +296,28 @@ object WindowQueries extends QueryPack {
           col("m.pur_us").as("purchase_us"),
           (col("m.pur_us") - col("m.sig_us")).as("delta_us"),
           col("m.event_id").as("purchase_event_id"))
+    },
+
+    // SCD1 overwrite-upsert (MERGE INTO, last-writer-wins) — the
+    // row-level sibling of w14's SCD2 intervals: a two-revision delta
+    // (rev 2 and rev 3 re-crawls of every doc_id % 5 doc, plus rev-2
+    // inserts under fresh ids) merges onto the base snapshot; rev 3 must
+    // win conflicts, inserts land, untouched base rows survive. Only the
+    // delta pays a window; the base pays one anti-join (Merge scaladoc).
+    "w16_scd1_upsert" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), lit(1L).as("rev"))
+      val recrawl = base.filter(col("doc_id") % 5 === 0)
+      val delta = recrawl
+        .withColumn("n_chars", col("n_chars") + 1000L).withColumn("rev", lit(2L))
+        .unionByName(recrawl
+          .withColumn("n_chars", col("n_chars") + 3000L).withColumn("rev", lit(3L)))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("rev", lit(2L)))
+      graft.ops.Merge.scd1Upsert(base, delta,
+        keyCols = Seq("doc_id"), orderCols = Seq(col("rev")))
     }
   )
 
@@ -452,6 +474,30 @@ object WindowQueries extends QueryPack {
          |  pur_us - sig_us AS delta_us, event_id AS purchase_event_id
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
          |        ORDER BY pur_us, event_id) AS rn FROM c)
-         |WHERE rn = 1""".stripMargin
+         |WHERE rn = 1""".stripMargin,
+    "w16_scd1_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars, CAST(1 AS BIGINT) AS rev
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+        |         CAST(2 AS BIGINT) AS rev
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars + 3000, CAST(3 AS BIGINT)
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, source, n_chars, CAST(2 AS BIGINT)
+        |  FROM base WHERE doc_id % 11 = 0),
+        |latest AS (
+        |  SELECT doc_id, lang, source, n_chars, rev
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY rev DESC) AS rn FROM delta)
+        |  WHERE rn = 1)
+        |SELECT b.doc_id, b.lang, b.source, b.n_chars, b.rev
+        |FROM base b WHERE NOT EXISTS
+        |  (SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars, rev FROM latest""".stripMargin
   )
 }

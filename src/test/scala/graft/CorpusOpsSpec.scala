@@ -415,6 +415,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("calibrationBuckets: integer bins, clamp at top, vote-less docs in -1") {
+    val scored = Seq(
+      // (id, n_pos, n_neg, label): conf = pos/(pos+neg), bin = (10*pos) div tot
+      (1L, 10L, 0L, true),   // conf 1.0  -> bin 100 div 10 = 10 -> clamp 9
+      (2L, 9L, 1L, true),    // 90 div 10 = 9
+      (3L, 1L, 1L, false),   // 10 div 2 = 5
+      (4L, 1L, 2L, true),    // 10 div 3 = 3
+      (5L, 0L, 4L, false),   // 0
+      (6L, 0L, 0L, true)     // no votes -> -1
+    ).toDF("doc_id", "n_pos", "n_neg", "label")
+    val got = CorpusOps.calibrationBuckets(scored, "n_pos", "n_neg", "label")
+      .select(col("bucket"), col("n_docs"), col("n_true"), col("sum_pos"),
+        col("sum_tot"), col("true_rate"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(9L) === ((9L, 2L, 2L, 19L, 20L, 1.0)))
+    assert(got(5L) === ((5L, 1L, 0L, 1L, 2L, 0.0)))
+    assert(got(3L) === ((3L, 1L, 1L, 1L, 3L, 1.0)))
+    assert(got(0L) === ((0L, 1L, 0L, 0L, 4L, 0.0)))
+    assert(got(-1L) === ((-1L, 1L, 1L, 0L, 0L, 1.0)))
+    assert(got.size === 5)
+  }
+
   test("tokenVoteClassifier: hand-computed votes, ties are 0, repeats count once") {
     // N1=2, N0=2. "good"/"nice" only in class 1 -> +1; "bad" only in class
     // 0 -> -1; "meh" in one doc of each (1*2 == 1*2) -> tie, vote 0.
