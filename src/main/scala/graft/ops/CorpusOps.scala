@@ -133,6 +133,23 @@ object CorpusOps {
       when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: a split that never separates
+    * near-duplicate documents. Plain [[hashSplit]] hashes the document id,
+    * so two near-identical documents can land on opposite sides of the
+    * train/eval boundary — the classic benchmark-leakage failure mode of
+    * training-data pipelines. Here the hash key is the near-dup COMPONENT
+    * representative ([[Dedup.nearDupComponents]] min-label over `pairs`),
+    * so an entire duplicate cluster moves to one side as a unit; singleton
+    * docs hash their own id, identical to [[hashSplit]].
+    *
+    * 100 TB shape: the pair graph and label propagation carry the cost
+    * (prefix-filtered pair stage, log-diameter pointer-jumping rounds —
+    * see [[Dedup.nearDupComponents]]); the split itself is a narrow map
+    * over (id, component_id) with no extra shuffle.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    hashSplit(Dedup.nearDupComponents(docs, idCol, pairs), "component_id")
+
   /** Deterministic stratified sampling: keep a row when its md5 first hex
     * digit falls below the stratum's threshold (each hex digit ≈ 1/16 of
     * the mass). `rates` maps stratum value → number of sixteenths to keep

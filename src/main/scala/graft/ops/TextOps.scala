@@ -179,6 +179,28 @@ object TextOps {
     "low_stopword"  -> (stopwordRatio(text) < 0.02),
     "repetitive"    -> (dupShingleRatio(text, n = 3) > 0.01))
 
+  /** Character-distribution quality faces, all integer-exact: char count,
+    * Σ cnt(c)² over distinct characters, and the top character's count.
+    * Collision (Rényi-2) entropy is −log₂(Σcnt²/n²) and the Gopher-style
+    * top-character fraction is top/n — both monotone in these exact
+    * integers, so entropy/repetition thresholds apply engine-exactly with
+    * no transcendentals in the compared face. One pass of codegen'd
+    * higher-order functions over the char array (corpus alphabet ~30
+    * symbols → O(|Σ|·n) per row), no shuffle, no UDF. Chars come from
+    * `regexp_extract_all('[\s\S]')`, not `split("")`, which keeps a
+    * trailing-empty artifact of Java's split(limit=-1) out of the counts.
+    */
+  def charCollisionFaces(text: Column): Column = {
+    val chs = regexp_extract_all(text, lit("[\\s\\S]"), lit(0))
+    val cnts = transform(array_distinct(chs),
+      c => size(filter(chs, x => x === c)).cast("long"))
+    struct(
+      size(chs).cast("long").as("n_chars_m"),
+      coalesce(aggregate(cnts, lit(0L), (a, c) => a + c * c), lit(0L))
+        .as("char_sq_sum"),
+      coalesce(array_max(cnts), lit(0L)).as("top_char_cnt"))
+  }
+
   /** Name of the first cascade rule that fires, null when the doc passes —
     * "first" in the declared rule order, which makes reject accounting
     * deterministic regardless of evaluation order.

@@ -226,6 +226,25 @@ object LlmQueries extends QueryPack {
           n = 3, threshold = JaccardThreshold))
     },
 
+    // Cross-source duplication matrix: near-dup pairs (prefix-filtered
+    // Jaccard, same stage as dd_cluster_cc) rolled up by unordered source
+    // pair — "which sources copy from which" is the first question corpus
+    // curation asks of a multi-source crawl, and the answer sizes the
+    // per-source dedup budget. Scale shape: the pair stage carries the
+    // cost; source attachment is two id-equi-joins and the rollup groups
+    // over a handful of (source, source) keys.
+    "dd_overlap_matrix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.ngramPrefixPairs(docs, "text", "doc_id",
+          n = 3, threshold = JaccardThreshold)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // Benchmark decontamination: corpus docs containing ≥50% of a probe
     // (benchmark) doc's shingles; probe set = doc_id % 10 == 0 (10% of the
     // corpus plays the benchmark — 6 hits at sf0.01, 47 at sf0.1).
@@ -677,6 +696,25 @@ object LlmQueries extends QueryPack {
         TextOps.dupShingleRatio(col("text"), n = 3).as("dup_3gram_ratio"))
     },
 
+    // Character-distribution entropy/repetition faces: exact integers
+    // (n, Σcnt², top-char count) plus the two derived ratios, each a
+    // single IEEE divide of exact integers — collision (Rényi-2) entropy
+    // and the Gopher top-char fraction are monotone in these, so the
+    // classic char-level quality filters threshold engine-exactly.
+    "ta_entropy" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.charCollisionFaces(col("text")).as("f"))
+        .select(col("doc_id"),
+          col("f.n_chars_m").as("n_chars_m"),
+          col("f.char_sq_sum").as("char_sq_sum"),
+          col("f.top_char_cnt").as("top_char_cnt"),
+          (col("f.top_char_cnt").cast("double") / col("f.n_chars_m").cast("double"))
+            .as("top_char_ratio"),
+          (col("f.char_sq_sum").cast("double")
+            / (col("f.n_chars_m") * col("f.n_chars_m")).cast("double"))
+            .as("collision_prob"))
+    },
+
     // Corpus bigram language-model counts (all occurrences; positions
     // self-join keeps construction codegen'd).
     "ta_bigram_lm" -> { (s, dir) =>
@@ -729,6 +767,18 @@ object LlmQueries extends QueryPack {
     "ta_split" -> { (s, dir) =>
       CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "lang", "split")
+    },
+
+    // Leakage-safe split: near-dup clusters (prefix-filtered Jaccard pairs
+    // → min-label CC) move to one side as a unit — md5 of the component
+    // REPRESENTATIVE, not the doc id, picks the side, so no pair of
+    // near-duplicates ever straddles the train/eval boundary.
+    "ta_split_safe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusOps.leakageSafeSplit(docs, "doc_id",
+        Dedup.ngramPrefixPairs(docs, "text", "doc_id",
+          n = 3, threshold = JaccardThreshold))
+        .select("doc_id", "component_id", "split")
     },
 
     // The whole training-data path as ONE composition — quality gate →
@@ -1214,6 +1264,14 @@ object LlmQueries extends QueryPack {
          |    / count(*) >= 5E-1 AS contaminated
          |FROM ex LEFT JOIN probe p ON ex.shingle = p.shingle
          |GROUP BY ex.doc_id""".stripMargin,
+    "dd_overlap_matrix" ->
+      s"""WITH p AS ($jaccardPairsSql)
+         |SELECT least(a.source, b.source) AS source_lo,
+         |       greatest(a.source, b.source) AS source_hi,
+         |       COUNT(*) AS n_pairs
+         |FROM p JOIN documents a ON p.id_a = a.doc_id
+         |       JOIN documents b ON p.id_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "dd_cluster_cc" ->
       s"""WITH RECURSIVE p AS ($jaccardPairsSql),
          |e AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -1354,6 +1412,21 @@ object LlmQueries extends QueryPack {
         |        FROM tf ORDER BY tf DESC, token ASC LIMIT 100)
         |SELECT rank, token, tf, df, cum_tf / total_tf AS cum_share
         |FROM top, total""".stripMargin,
+    // integer-exact collision faces; ratios are one IEEE divide of exact
+    // BIGINTs (divide-by-zero → NULL on both engines)
+    "ta_entropy" ->
+      """WITH c AS (SELECT doc_id, regexp_extract_all(text, '[\s\S]') AS chs FROM documents),
+        |k AS (SELECT doc_id, chs,
+        |        list_transform(list_distinct(chs),
+        |          c -> CAST(len(list_filter(chs, x -> x = c)) AS BIGINT)) AS cnts
+        |      FROM c)
+        |SELECT doc_id, CAST(len(chs) AS BIGINT) AS n_chars_m,
+        |  CAST(coalesce(list_sum(list_transform(cnts, c -> c*c)), 0) AS BIGINT) AS char_sq_sum,
+        |  CAST(coalesce(list_max(cnts), 0) AS BIGINT) AS top_char_cnt,
+        |  CAST(coalesce(list_max(cnts), 0) AS DOUBLE) / CAST(len(chs) AS DOUBLE) AS top_char_ratio,
+        |  CAST(coalesce(list_sum(list_transform(cnts, c -> c*c)), 0) AS DOUBLE)
+        |    / CAST(CAST(len(chs) AS BIGINT) * CAST(len(chs) AS BIGINT) AS DOUBLE) AS collision_prob
+        |FROM k""".stripMargin,
     "ta_repetition" ->
       """SELECT doc_id,
         |  1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
@@ -1377,6 +1450,22 @@ object LlmQueries extends QueryPack {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'd' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // same recursive-CTE component labeling as dd_cluster_cc, then the
+    // ta_split CASE keyed on the component representative instead of doc_id
+    "ta_split_safe" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.m),
+         |comp AS (SELECT id AS doc_id, min(m) AS component_id FROM walk GROUP BY 1)
+         |SELECT doc_id, component_id,
+         |  CASE WHEN substr(md5(CAST(component_id AS VARCHAR)),1,1) <= 'b' THEN 'train'
+         |       WHEN substr(md5(CAST(component_id AS VARCHAR)),1,1) <= 'd' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM comp""".stripMargin,
     "ta_e2e_pipeline" ->
       """WITH q AS (
         |  SELECT doc_id, text,

@@ -240,7 +240,47 @@ object SketchQueries extends QueryPack {
             col("n_exact_intersect") <= bound)
           .as("kmv_within_bound"))
 
+  /** Count-Min geometry for `sk_cms`: depth 4 × width 256. The 3-gram
+    * vocabulary (~16k at sf0.01) far exceeds the width, so buckets
+    * genuinely collide and the overcount face is non-vacuous — unlike
+    * the ~31-token unigram vocabulary, which a 256-wide sketch would
+    * count exactly.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  val CmsTopK = 20
+
+  /** CMS heavy-hitter estimates next to exact truth — the only sketch in
+    * the family whose ENTIRE face is cell-exact cross-engine (md5-bucket
+    * hashes, [[graft.functions.CmsSketch]]), so the oracle rebuilds the
+    * sketch itself rather than gating on an error bound: per top-k 3-gram
+    * (exact count, CMS estimate, overcount), overcount ≥ 0 by
+    * construction. Scale shape: the counter build shuffles ≤ depth×width
+    * rows (map-side combine over a fixed key space); the probe side joins
+    * a broadcast 1 KB counter table.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String,
+                      depth: Int, width: Int, k: Int): DataFrame = {
+    import graft.functions.CmsSketch
+    import graft.ops.TextOps
+    val grams = Tables.documents(s, dir)
+      .select(explode(TextOps.gramsFromTokens(TextOps.tokens(col("text")), 3)).as("g"))
+    val counters = CmsSketch.build(grams, "g", depth, width)
+    val top = grams.groupBy("g").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("g").asc).limit(k)
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    top.join(CmsSketch.estimate(counters, top.select("g"), "g", depth, width), Seq("g"))
+      .crossJoin(broadcast(total))
+      .select(col("g").as("gram"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"),
+        // CMS guarantee, integer-exact: overcount ≤ e·n/width per row with
+        // prob 1−e^−depth; 3 > e makes the comparison pure LONG arithmetic
+        ((col("n_cms") - col("n_exact")) * width <= lit(3L) * col("n_total"))
+          .as("bound_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sk_cms" -> (cmsHeavyHitters(_, _, CmsDepth, CmsWidth, CmsTopK)),
     "sk_hll_card" -> (hllCard(_, _, HllRelBound)),
     "sk_hll_union" -> (hllUnion(_, _, HllUnionRelBound)),
     "sk_approx_quantile" -> (approxQuantile(_, _, PctRelBound)),
@@ -249,6 +289,29 @@ object SketchQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // full sketch rebuild, cell-exact: same md5-prefix bucket hashes,
+    // same depth×width geometry, same min-over-rows estimate
+    "sk_cms" ->
+      s"""WITH t AS (SELECT string_split(text,' ') AS tk FROM documents),
+         |g AS (SELECT unnest(list_transform(range(greatest(len(tk)-2,0)),
+         |        i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g FROM t),
+         |rb AS (SELECT g.g, r.range AS r,
+         |         CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || g.g),1,8) AS BIGINT)
+         |           % $CmsWidth AS b
+         |       FROM g CROSS JOIN range($CmsDepth) r),
+         |counters AS (SELECT r, b, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+         |cnt AS (SELECT g, COUNT(*) AS n_exact FROM g GROUP BY 1),
+         |top AS (SELECT * FROM cnt ORDER BY n_exact DESC, g LIMIT $CmsTopK),
+         |probe AS (SELECT top.g, r.range AS r,
+         |            CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || top.g),1,8) AS BIGINT)
+         |              % $CmsWidth AS b
+         |          FROM top CROSS JOIN range($CmsDepth) r),
+         |est AS (SELECT probe.g, min(c) AS n_cms
+         |        FROM probe JOIN counters USING (r, b) GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_total FROM g)
+         |SELECT top.g AS gram, n_exact, n_cms, n_cms - n_exact AS overcount,
+         |  (n_cms - n_exact) * $CmsWidth <= 3 * n_total AS bound_ok
+         |FROM top JOIN est ON top.g = est.g CROSS JOIN tot""".stripMargin,
     "sk_hll_card" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |  true AS hll_within_bound

@@ -117,6 +117,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
   }
 
+  test("charCollisionFaces: hand-computed integer faces, empty text, and split-artifact immunity") {
+    import graft.ops.TextOps
+    // "aab cc": a=2 b=1 ' '=1 c=2 → n=6, Σcnt²=4+1+1+4=10, top=2
+    val out = Seq("aab cc", "", "zzzz").toDF("text")
+      .select(TextOps.charCollisionFaces(col("text")).as("f"))
+      .select("f.n_chars_m", "f.char_sq_sum", "f.top_char_cnt")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) == ((6L, 10L, 2L)))
+    assert(out(1) == ((0L, 0L, 0L)))   // not (1,1,1) — no split("") empty artifact
+    assert(out(2) == ((4L, 16L, 4L)))  // single-char doc: collision prob 1
+  }
+
+  test("leakageSafeSplit: no near-dup pair straddles a split boundary; singletons match hashSplit") {
+    // 3 clusters of near-dups (chained pairs) + 4 singletons
+    val docs = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = CorpusOps.leakageSafeSplit(docs, "doc_id", pairs)
+    assert(out.count() == 10L)
+    // every pair lands on the same side
+    val straddle = pairs
+      .join(out.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(out.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0L)
+    // whole cluster {0,1,2} shares one split even though 0-2 are not paired directly
+    assert(out.filter(col("doc_id") <= 2).select("split").distinct().count() == 1L)
+    // singletons (7,8,9) split exactly like plain hashSplit on their own id
+    val solo = CorpusOps.hashSplit((7L to 9L).toDF("doc_id"), "doc_id")
+    assert(out.filter(col("doc_id") >= 7).select("doc_id", "split")
+      .exceptAll(solo.select("doc_id", "split")).count() == 0L)
+  }
+
   test("stratifiedSample: per-stratum rates hold and sampling is deterministic") {
     val docs = (0L until 3000L).toDF("doc_id")
       .withColumn("lang", expr("CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'es' ELSE 'de' END"))

@@ -22,6 +22,38 @@ class SketchSpec extends SparkTestBase {
     assert(approx === again, "HLL sketch must be deterministic")
   }
 
+  test("CmsSketch matches an independent reimplementation cell-for-cell") {
+    import graft.functions.CmsSketch
+    val depth = 4; val width = 16
+    // deliberate tiny width so collisions actually occur among 5 items
+    val data = Seq("a", "b", "a", "c", "a", "b", "dd", "ee", "dd", "a")
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def bucketOf(r: Int, it: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r:$it".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % width
+    }
+    val expCounters = data.flatMap(it => (0 until depth).map(r => (r.toLong, bucketOf(r, it))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expEst = truth.keys.map { it =>
+      it -> (0 until depth).map(r => expCounters((r.toLong, bucketOf(r, it)))).min
+    }.toMap
+
+    val items = data.toDF("it")
+    val gotCounters = CmsSketch.build(items, "it", depth, width)
+      .as[(Long, Long, Long)].collect().map { case (r, b, c) => ((r, b), c) }.toMap
+    assert(gotCounters == expCounters)
+    val gotEst = CmsSketch.estimate(
+        CmsSketch.build(items, "it", depth, width),
+        items.distinct(), "it", depth, width)
+      .as[(String, Long)].collect().toMap
+    assert(gotEst == expEst)
+    // one-sided error: every estimate is >= the true count
+    truth.foreach { case (k, v) => assert(gotEst(k) >= v) }
+  }
+
   test("sk_hll_card gate: green at its shipped bound, non-vacuous at 1e-4") {
     import graft.queries.SketchQueries
     val shipped = SketchQueries.hllCard(spark, sf("sf0.01"), SketchQueries.HllRelBound)
