@@ -836,6 +836,27 @@ object Dedup {
         coalesce(col("comp"), col("id")).as("component_id"))
   }
 
+  /** Collapse each near-dup component to its BEST member by `score`
+    * (ties → lowest id) — the curation-aware collapse: min-id keeps an
+    * arbitrary copy, this keeps the one worth training on. Returns one row
+    * per component: (component_id, keep_id, keep_quality, n_members).
+    * Scale shape: [[nearDupComponents]] carries the cost; scoring is a
+    * narrow map over `docs` and the argmax is one window per component.
+    */
+  def collapseBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = nearDupComponents(docs, idCol, pairs)
+      .join(docs.select(col(idCol), score.as("q")), Seq(idCol))
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("q").desc, col(idCol).asc)
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy("component_id")
+      .agg(max(when(col("rn") === 1, col(idCol))).as("keep_id"),
+        max(when(col("rn") === 1, col("q"))).as("keep_quality"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** SimHash per document via explode + 64 codegen'd conditional aggregates
     * — the column-expression variant in [[simhash]] is correct but its
     * higher-order `filter` lambdas are interpreted (measured ~4× slower);

@@ -245,6 +245,40 @@ object LlmQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // Best-of-cluster collapse: when a near-dup cluster collapses to one
+    // representative, keep the HIGHEST-QUALITY member (ties → lowest id)
+    // instead of the arbitrary min-id — the curation-aware sibling of
+    // dd_dedup_corpus, where dedup decisions feed on the quality signal.
+    // Scale shape: pair stage + CC carry the cost (see dd_cluster_cc);
+    // scoring is a narrow map and the argmax is one window per component.
+    "dd_best_of_cluster" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.collapseBest(docs, "doc_id",
+        Dedup.ngramPrefixPairs(docs, "text", "doc_id",
+          n = 3, threshold = JaccardThreshold),
+        TextOps.qualityScore(col("text")))
+    },
+
+    // Per-doc corpus-novelty faces over distinct 3-gram shingles: how much
+    // of a document is RARE relative to the corpus (df ≤ 2) and how heavy
+    // its shingles' total document frequency runs — the rare-content /
+    // boilerplate-content axis used to balance training mixtures. All
+    // exact integers plus one IEEE divide. Scale shape: the df table is
+    // the inverted index's linear aggregate (one shuffle on shingle), and
+    // the doc rollup joins on the same key — no quadratic pair stage.
+    "ta_novelty" -> { (s, dir) =>
+      val ex = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)).as("sh"))
+      val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      ex.join(dfreq, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"),
+          sum(col("df")).as("df_sum"))
+        .withColumn("rarity_ratio",
+          col("n_rare").cast("double") / col("n_shingles").cast("double"))
+    },
+
     // Benchmark decontamination: corpus docs containing ≥50% of a probe
     // (benchmark) doc's shingles; probe set = doc_id % 10 == 0 (10% of the
     // corpus plays the benchmark — 6 hits at sf0.01, 47 at sf0.1).
@@ -948,6 +982,16 @@ object LlmQueries extends QueryPack {
     }
   )
 
+  // cross-engine-exact composite quality score over text column `t` — the
+  // SQL twin of TextOps.qualityScore (same op order as the ta_quality
+  // oracle); single-line so outer stripMargins can't eat a '||'
+  private def qualityScoreSql(t: String): String =
+    s"greatest(0.0, least(CAST(len(string_split($t,' ')) AS DOUBLE)/100.0, 1.0)*0.5 " +
+      s"+ least(CAST(len(list_filter(string_split($t,' '), " +
+      s"w -> w IN ('the','and','of','is','in','to','a'))) AS DOUBLE)" +
+      s"/len(string_split($t,' ')) * 5.0, 1.0)*0.5 " +
+      s"- CAST(len(regexp_extract_all($t,'[^a-z0-9 ]')) AS DOUBLE)/length($t))"
+
   // single-line so embedding in an outer .stripMargin can't eat a '||'
   private val shingleSql =
     "SELECT doc_id, list_distinct(list_transform(range(greatest(len(string_split(text,' '))-2,0)), " +
@@ -1264,6 +1308,37 @@ object LlmQueries extends QueryPack {
          |    / count(*) >= 5E-1 AS contaminated
          |FROM ex LEFT JOIN probe p ON ex.shingle = p.shingle
          |GROUP BY ex.doc_id""".stripMargin,
+    "dd_best_of_cluster" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.m),
+         |comp AS (SELECT id AS doc_id, min(m) AS component_id FROM walk GROUP BY 1),
+         |scored AS (
+         |  SELECT comp.doc_id, component_id, ${qualityScoreSql("d.text")} AS q
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY component_id ORDER BY q DESC, doc_id) AS rn
+         |      FROM scored)
+         |SELECT component_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |  max(CASE WHEN rn = 1 THEN q END) AS keep_quality,
+         |  COUNT(*) AS n_members
+         |FROM r GROUP BY 1""".stripMargin,
+    "ta_novelty" ->
+      s"""WITH toks AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS sh FROM toks),
+         |dfreq AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(sum(df) AS BIGINT) AS df_sum,
+         |  CAST(CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS rarity_ratio
+         |FROM ex JOIN dfreq USING (sh)
+         |GROUP BY 1""".stripMargin,
     "dd_overlap_matrix" ->
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT least(a.source, b.source) AS source_lo,

@@ -14,6 +14,22 @@ class DedupSpec extends SparkTestBase {
     (5L, "unrelated short words nothing shared with any other document in corpus")
   ).toDF("doc_id", "text")
 
+  test("collapseBest keeps the highest-score member, ties to lowest id, counts members") {
+    val d = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.9), // one chained component, best = 2 (tie 2 vs 3 → lower id)
+      (4L, 0.5),                       // singleton
+      (5L, 0.2), (6L, 0.8)             // pair, best = 6
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.collapseBest(d, "doc_id", pairs, col("score"))
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (c, k, q, n) => c -> ((k, q, n)) }.toMap
+    assert(out === Map(
+      1L -> ((2L, 0.9, 3L)),
+      4L -> ((4L, 0.5, 1L)),
+      5L -> ((6L, 0.8, 2L))))
+  }
+
   test("exactGroups collapses identical texts to one canonical id") {
     val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
     assert(g.length === 4) // 1&4 share a hash
