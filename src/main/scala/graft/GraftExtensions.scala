@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotF, Shingles}
+import graft.expressions.{DotF, L2F, Shingles}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT dot_f(a, b)")` works next to the
@@ -32,6 +32,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_f(arrayF, arrayF) takes 2 arguments")
         DotF(children.head, children(1))
+      }),
+    (new FunctionIdentifier("l2_f"),
+      new ExpressionInfo(classOf[L2F].getName, "l2_f"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "l2_f(arrayF, arrayF) takes 2 arguments")
+        L2F(children.head, children(1))
       }),
     (new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),

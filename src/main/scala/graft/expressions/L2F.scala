@@ -1,0 +1,69 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd squared-L2 distance between two float vectors — the PQ/Lloyd
+  * assignment kernel, sibling of [[DotF]].
+  *
+  * Numeric contract (bit-for-bit): identical to the interpreted
+  * `aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), 0.0, _ + _)`
+  * fold this replaces — per element the difference and the square are
+  * FLOAT ops (float arrays make the lambda's arithmetic float-typed, so
+  * the square is rounded to float before accumulating), the accumulator
+  * is DOUBLE, strict index order. Keeping the rounding identical is what
+  * lets the swap into pqCodebooks/ivfPqTopK change nothing downstream:
+  * every Lloyd assignment, min_by tie, and recall gate sees the same
+  * distances to the last bit.
+  */
+case class L2F(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"L2F requires two array<float> inputs, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i) - b.getFloat(i)
+      s += (d * d).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $d = $a.getFloat($i) - $b.getFloat($i);
+         |  $s += (double) ($d * $d);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2F = copy(newLeft, newRight)
+}

@@ -32,6 +32,17 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Index-ordered squared-L2 distance of two float vectors (codegen'd
+    * [[graft.expressions.L2F]]); bit-identical to the interpreted
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, _+_)` fold it
+    * replaced in the PQ/Lloyd kernels — see L2F's numeric contract.
+    */
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.L2F(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Vectors with their norm precomputed once. */
@@ -448,8 +459,7 @@ object Similarity {
           .cast("long") < thresh)
       }
     val sub = subvectors(train, m).localCheckpoint(false)
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val l2 = (a: Column, b: Column) => l2sq(a, b)
     var cb = subvectors(vecs.orderBy("vec_id").limit(ksub), m)
       .select(col("j"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
       .localCheckpoint(true)
@@ -531,8 +541,7 @@ object Similarity {
     // reconstruct (the decoded approximation the ADC scores against).
     // flatten(sorted-by-j sub-centroids) ≡ the LUT sum: ⟨q, recon⟩ =
     // Σ_j ⟨q_j, c_{j,code_j}⟩ — identical values, columnar-friendly form.
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val l2 = (a: Column, b: Column) => l2sq(a, b)
     val recon = subvectors(vecs, m).join(broadcast(cb), Seq("j"))
       .withColumn("d2", l2(col("sv"), col("c")))
       .groupBy("vec_id", "j")
@@ -597,8 +606,7 @@ object Similarity {
                       iters: Int = 1, n: Long = -1L): (DataFrame, DataFrame) = {
     val vecs = normalized(df)
     val cb = pqCodebooks(df, m, ksub, iters = iters, n = n)
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val l2 = (a: Column, b: Column) => l2sq(a, b)
     val recon = subvectors(vecs, m).join(broadcast(cb), Seq("j"))
       .withColumn("d2", l2(col("sv"), col("c")))
       .groupBy("vec_id", "j")

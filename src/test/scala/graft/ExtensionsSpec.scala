@@ -21,6 +21,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got === Seq("a b c", "b c d"))
   }
 
+  test("l2_f matches the interpreted zip_with fold bit-for-bit on random floats") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val rng = new scala.util.Random(7)
+    // adversarial floats: tiny/huge magnitudes exercise float-rounding of
+    // the per-element square, which L2F must reproduce exactly
+    val rows = Seq.fill(200)((
+      Array.fill(64)((rng.nextFloat() - 0.5f) * math.pow(10, rng.nextInt(9) - 4).toFloat),
+      Array.fill(64)((rng.nextFloat() - 0.5f) * math.pow(10, rng.nextInt(9) - 4).toFloat)))
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val cmp = df.select(
+      graft.ops.Similarity.l2sq(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("slow"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("dot_f from SQL type-checks its inputs") {
     GraftExtensions.install(spark)
     val e = intercept[Exception](spark.sql("SELECT dot_f(array(1, 2), array(3, 4))").collect())
