@@ -332,6 +332,21 @@ object Streaming {
         (col("pos") + 1).cast("int").as("rank"), (-col("col._1")).as("cos"))
   }
 
+  /** Streaming Count-Min counters: the depth×width counter table of
+    * [[graft.functions.CmsSketch]] maintained incrementally over an
+    * unbounded item stream. The aggregation state IS the sketch — bounded
+    * at depth×width rows BY CONSTRUCTION, so unlike most streaming
+    * aggregates it needs no watermark to stay finite on an unbounded
+    * stream; that fixed-state property is exactly why sketches are the
+    * streaming-native form of corpus statistics. Same md5 bucket hashes as
+    * the batch build, so a batch replay of the same items produces
+    * identical counters row-for-row (StreamingSpec pins the parity and
+    * the incremental-update behavior across batches).
+    */
+  def cmsCounters(items: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame =
+    graft.functions.CmsSketch.build(items, itemCol, depth, width)
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

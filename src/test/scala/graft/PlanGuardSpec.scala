@@ -166,6 +166,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "boundary rows must broadcast")
   }
 
+  test("sk_cms: counter build aggregates partially over the fixed key space; probes broadcast-join") {
+    // the CMS scale contract: map-side combine bounds every task's partial
+    // (and the shuffle) at depth×width rows, and the ≤ depth×width counter
+    // table rides a broadcast into the probe join — never a shuffle of the
+    // probe side against the corpus
+    val p = finalPlan("sk_cms")
+    assert(p.contains("partial_count"),
+      "counter build must partially aggregate map-side (fixed depth×width key space)")
+    assert(p.contains("BroadcastHashJoin"), "counter table must broadcast into the probe join")
+  }
+
   test("bloomSemiJoin construction is ACTION-FREE — stats-sized, no eager count job") {
     // The r8 advisory: default sizing ran build.count() at plan-build time,
     // so merely COMPOSING the operator launched a Spark job (and computed

@@ -258,6 +258,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed(4L) === (("", 0L)), "all-boilerplate doc survives with empty text")
   }
 
+  test("cmsCounters: streaming sketch equals the batch build, updates across batches, state stays depth×width-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val depth = 4; val width = 8 // tiny width: real collisions among few items
+    val b1 = Seq("a", "b", "a", "c")
+    val b2 = Seq("a", "dd", "b", "a")
+    val ms = MemoryStream[String]
+    val q = Streaming.cmsCounters(ms.toDF.toDF("it"), "it", depth, width)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cms_out").start()
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    val mid = spark.table("cms_out").as[(Long, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("cms_out").as[(Long, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    // state bound: never more than depth×width counter rows
+    assert(fin.size <= depth * width)
+    // batch parity: the stream's final counters == one batch build over all items
+    val batch = graft.functions.CmsSketch.build((b1 ++ b2).toDF("it"), "it", depth, width)
+      .as[(Long, Long, Long)].collect().map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(fin === batch)
+    // genuinely incremental: batch 2 advanced some counter beyond its mid value
+    assert(fin.exists { case (k, c) => c > mid.getOrElse(k, 0L) })
+  }
+
   test("corpusIngest dedup state is watermark-bounded: dups within drop, after eviction re-emit") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
