@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numeric contract: identical results to the interpreted
   * `aggregate(zip_with(a,b,(x,y)=>double(x)*double(y)), 0.0, +)` fold and to
   * DuckDB's sequential `list_sum(list_transform(...))` — same IEEE ops in
-  * the same order — so oracle comparisons stay bit-exact.
+  * the same order — so oracle comparisons stay bit-exact. Ragged inputs
+  * return NULL, matching the fold (zip_with null-pads, a null product
+  * poisons the sum): `dot_f` is a registered SQL function, so the parity
+  * holds for arbitrary user vectors, not just the equal-length embedding
+  * columns the similarity paths feed it.
   */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -35,10 +39,14 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // null on ragged inputs (zip_with parity), not only on null children
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -54,12 +62,16 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * fold this replaces — per element the difference and the square are
   * FLOAT ops (float arrays make the lambda's arithmetic float-typed, so
   * the square is rounded to float before accumulating), the accumulator
-  * is DOUBLE, strict index order. Keeping the rounding identical is what
-  * lets the swap into pqCodebooks/ivfPqTopK change nothing downstream:
-  * every Lloyd assignment, min_by tie, and recall gate sees the same
-  * distances to the last bit.
+  * is DOUBLE, strict index order. Ragged inputs return NULL, again
+  * matching the fold (zip_with null-pads the shorter side; a null square
+  * poisons the aggregate) — `l2_f` is a registered SQL function, so the
+  * parity must hold for arbitrary user inputs, not just the equal-length
+  * subvectors the PQ path feeds it. Keeping the rounding identical is
+  * what lets the swap into pqCodebooks/ivfPqTopK change nothing
+  * downstream: every Lloyd assignment, min_by tie, and recall gate sees
+  * the same distances to the last bit.
   */
 case class L2F(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -33,10 +37,14 @@ case class L2F(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // null on ragged inputs (zip_with parity), not only on null children
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -54,13 +62,17 @@ case class L2F(left: Expression, right: Expression) extends BinaryExpression {
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  float $d = $a.getFloat($i) - $b.getFloat($i);
-         |  $s += (double) ($d * $d);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    float $d = $a.getFloat($i) - $b.getFloat($i);
+         |    $s += (double) ($d * $d);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -42,15 +42,19 @@ object CmsSketch {
       .agg(count(lit(1)).as("c"))
 
   /** CMS point estimates for `probes(itemCol)`: min over hash rows of the
-    * probe's counter. `counters` (≤ depth×width rows) broadcasts; probes
-    * drawn from the sketched corpus always hit a counter (their own
-    * occurrences are in it), so the inner join is total over such probes.
+    * probe's counter. `counters` (≤ depth×width rows) broadcasts. The join
+    * is LEFT with absent buckets coalesced to 0 — the build never
+    * materializes zero-count buckets, so an out-of-corpus probe whose
+    * buckets partially (or fully) miss the counter table must take its min
+    * over those implicit zeros, yielding the correct 0 estimate instead of
+    * an overcount from the surviving rows (or no row at all). In-corpus
+    * probes hit every bucket, so their estimates are unchanged.
     */
   def estimate(counters: DataFrame, probes: DataFrame, itemCol: String,
                depth: Int, width: Int): DataFrame =
     probes
       .select(col(itemCol), explode(rowBuckets(col(itemCol), depth, width)).as("rb"))
       .select(col(itemCol), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(broadcast(counters), Seq("r", "b"))
-      .groupBy(itemCol).agg(min(col("c")).as("n_cms"))
+      .join(broadcast(counters), Seq("r", "b"), "left")
+      .groupBy(itemCol).agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
 }

@@ -1129,7 +1129,7 @@ object LlmQueries extends QueryPack {
          |      FROM d),
          |c AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS chunk_pos,
          |        md5(array_to_string(t.toks[p.i*32+1 : p.i*32+32], ' ')) AS fp
-         |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+         |      FROM t CROSS JOIN (SELECT unnest(range(0, (SELECT max(nc) FROM t))) AS i) p
          |      WHERE p.i < t.nc),
          |g AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |        min(doc_id) AS dup_group
@@ -1176,7 +1176,7 @@ object LlmQueries extends QueryPack {
          |      FROM d),
          |c AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS chunk_pos,
          |        array_to_string(t.toks[p.i*32+1 : p.i*32+32], ' ') AS chunk
-         |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+         |      FROM t CROSS JOIN (SELECT unnest(range(0, (SELECT max(nc) FROM t))) AS i) p
          |      WHERE p.i < t.nc),
          |g AS (SELECT md5(chunk) AS fp FROM c
          |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
@@ -1253,7 +1253,7 @@ object LlmQueries extends QueryPack {
          |      FROM d),
          |c AS (SELECT t.doc_id, CAST(p.i AS INTEGER) AS pos,
          |        t.toks[p.i*32+1 : p.i*32+32] AS ctoks
-         |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+         |      FROM t CROSS JOIN (SELECT unnest(range(0, (SELECT max(nc) FROM t))) AS i) p
          |      WHERE p.i < t.nc),
          |s AS (SELECT doc_id, pos,
          |        list_distinct(list_transform(range(greatest(len(ctoks)-2,0)),
@@ -1691,7 +1691,7 @@ object LlmQueries extends QueryPack {
         |      FROM documents),
         |c AS (SELECT DISTINCT t.doc_id,
         |        md5(array_to_string(t.toks[p.i*16+1 : p.i*16+16], ' ')) AS fp
-        |      FROM t CROSS JOIN (SELECT unnest(range(0, 256)) AS i) p
+        |      FROM t CROSS JOIN (SELECT unnest(range(0, (SELECT max(nc) FROM t))) AS i) p
         |      WHERE p.i < t.nc),
         |g AS (SELECT fp FROM c GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
         |m AS (SELECT c.fp, c.doc_id FROM c JOIN g USING (fp)),

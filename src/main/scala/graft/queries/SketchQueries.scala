@@ -240,10 +240,10 @@ object SketchQueries extends QueryPack {
             col("n_exact_intersect") <= bound)
           .as("kmv_within_bound"))
 
-  /** Count-Min geometry for `sk_cms`: depth 4 × width 256. The 3-gram
+  /** Count-Min geometry for `sk_cms`: depth 4 × width 1024. The 3-gram
     * vocabulary (~16k at sf0.01) far exceeds the width, so buckets
     * genuinely collide and the overcount face is non-vacuous — unlike
-    * the ~31-token unigram vocabulary, which a 256-wide sketch would
+    * the ~31-token unigram vocabulary, which a 1024-wide sketch would
     * count exactly.
     */
   val CmsDepth = 4

@@ -44,6 +44,37 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("dot_f / l2_f return NULL on ragged inputs — zip_with parity, both eval paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    // the interpreted folds these kernels claim bit-for-bit parity with
+    // yield NULL on length mismatch (zip_with null-pads, null poisons the
+    // aggregate) — the r10 advisory: truncating instead silently returns a
+    // partial distance to SQL users comparing ragged vectors
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
+    val got = df.select( // codegen path (column inputs)
+      graft.ops.Similarity.l2sq(col("a"), col("b")).as("l2"),
+      expr("dot_f(a, b)").as("dot"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("l2_slow"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), _ + _).as("dot_slow"))
+      .collect()(0)
+    (0 until 4).foreach(i => assert(got.isNullAt(i), s"col $i not null"))
+    // interpreted path: literal inputs are constant-folded through eval
+    val lit2 = spark.sql(
+      "SELECT dot_f(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS d, " +
+        "l2_f(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS l")
+      .collect()(0)
+    assert(lit2.isNullAt(0) && lit2.isNullAt(1))
+    // equal-length values are unchanged by the ragged guard
+    val same = spark.sql(
+      "SELECT dot_f(array(CAST(3 AS FLOAT)), array(CAST(4 AS FLOAT))) AS d").collect()(0)
+    assert(same.getDouble(0) === 12.0)
+  }
+
   test("dot_f from SQL type-checks its inputs") {
     GraftExtensions.install(spark)
     val e = intercept[Exception](spark.sql("SELECT dot_f(array(1, 2), array(3, 4))").collect())

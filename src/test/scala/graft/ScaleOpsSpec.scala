@@ -261,4 +261,35 @@ class ScaleOpsSpec extends SparkTestBase {
       .select("k").as[Long].collect().toSet
     assert(exact.map(_._1).subsetOf(kept))
   }
+
+  test("bloom sizing saturates (not collapses) on unknown / overflowing plan stats") {
+    import graft.ops.RuntimeFilter
+    // the r10 medium advisory: unknown stats default sizeInBytes to
+    // Long.MaxValue (and joined plans multiply past it) — the old raw
+    // .toLong wrapped negative at `items * 10L`, silently collapsing the
+    // sketch to the 64 Ki minimum for exactly the large build sides the
+    // stats sizing targets. The estimate must instead saturate at the
+    // bits-cap-equivalent item count.
+    val itemsCap = 64L * 1024 * 1024 / 10
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bk",
+        org.apache.spark.sql.types.LongType)))
+    // LogicalRDD: no computable stats → sizeInBytes = defaultSizeInBytes
+    // (Long.MaxValue)
+    val unknown = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))), schema)
+    val estUnknown = RuntimeFilter.estimatedBuildItems(unknown)
+    assert(estUnknown === itemsCap, s"unknown stats must saturate, got $estUnknown")
+    // join of two unknown-stats plans: sizeInBytes is a BigInt PRODUCT far
+    // beyond Long.MaxValue — the pre-fix wrap point
+    val joined = unknown.join(
+      unknown.withColumnRenamed("bk", "bk2"), col("bk") === col("bk2"))
+    val estJoined = RuntimeFilter.estimatedBuildItems(joined)
+    assert(estJoined === itemsCap, s"overflowing stats must saturate, got $estJoined")
+    // and a known tiny build side still sizes small (floor 64)
+    val known = (1L to 5L).map(i => (i, "b")).toDF("bk", "tag")
+    val estKnown = RuntimeFilter.estimatedBuildItems(known)
+    assert(estKnown >= 64L && estKnown < 100000L,
+      s"known-small build should stay near the floor, got $estKnown")
+  }
 }

@@ -54,6 +54,23 @@ class SketchSpec extends SparkTestBase {
     truth.foreach { case (k, v) => assert(gotEst(k) >= v) }
   }
 
+  test("CmsSketch out-of-corpus probes take absent buckets as zero") {
+    import graft.functions.CmsSketch
+    // the r10 advisory: an inner join dropped (or overcounted) probes whose
+    // buckets miss the counter table — the classic external-probe CMS use
+    // case. With a roomy width, a foreign probe's buckets are all absent
+    // and the estimate must be exactly 0 (and the probe must not vanish).
+    val depth = 4; val width = 4096
+    val counters = CmsSketch.build(Seq("a", "b", "a").toDF("it"), "it", depth, width)
+    val probes = Seq("a", "zz_not_in_corpus").toDF("it")
+    val got = CmsSketch.estimate(counters, probes, "it", depth, width)
+      .as[(String, Long)].collect().toMap
+    assert(got.size === 2, s"a probe vanished: $got")
+    assert(got("a") >= 2L)
+    assert(got("zz_not_in_corpus") === 0L,
+      s"foreign probe must estimate 0, got ${got("zz_not_in_corpus")}")
+  }
+
   test("sk_hll_card gate: green at its shipped bound, non-vacuous at 1e-4") {
     import graft.queries.SketchQueries
     val shipped = SketchQueries.hllCard(spark, sf("sf0.01"), SketchQueries.HllRelBound)
