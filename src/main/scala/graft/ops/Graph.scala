@@ -50,6 +50,47 @@ object Graph {
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Deterministic label propagation (Raghavan et al. 2007) — community
+    * detection over the shared-content graph, the coarser sibling of
+    * [[Dedup.nearDupComponents]]: CC merges anything connected, LPA keeps
+    * densely-linked cores together while letting thin bridges separate,
+    * which is the right granularity for topic-level corpus sharding.
+    *
+    * Classic LPA is notoriously nondeterministic (random vertex order,
+    * random tie-breaks). This formulation is EXACT and reproducible:
+    * synchronous rounds, label₀(v) = v, and each round every vertex takes
+    * the most frequent label among its neighbors with ties broken by
+    * smallest label — a total order, so two runs (or two engines) agree
+    * cell-for-cell and the face is oracle-comparable. `iters` is a
+    * compile-time unroll like [[pageRankFixed]]'s.
+    *
+    * Scale shape per round: one edge⋈label join (shuffle on src), one
+    * (dst, label) hash agg, one row_number window partitioned by vertex —
+    * bounded by neighbor count, never global. Output: (id, community,
+    * community size after the last round).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val cnt = e
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("n").desc, col("label").asc)
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("id", "label")
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id"), col("label").as("community"), col("community_size"))
+  }
+
   /** Fixed-point integer PageRank, `iters` unrolled iterations over a
     * directed edge list — the deterministic formulation a distributed
     * engine needs for reproducible ranks: float PageRank sums doubles in

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record-linkage blocking — the Sorted Neighborhood Method (Hernández &
+  * Stolfo, SIGMOD'95) as a Spark operator: sort records within a blocking
+  * key, slide a fixed window down the sort order, and emit only
+  * window-adjacent candidate pairs for exact verification. The candidate
+  * count is `O(n·w)` instead of the `O(n²)` of a naive similarity join —
+  * the linkage-world sibling of the prefix-filter dedup stages in
+  * [[Dedup]].
+  *
+  * Contract (and its honest limitation): SNM is a RECALL-BOUNDED blocking
+  * scheme, not a lossless filter — a true match whose sort keys land more
+  * than `w` apart (or in different blocks) is missed. Production linkage
+  * runs multiple passes with independent sort keys and unions the pairs;
+  * this operator is one such pass. That is a different contract from
+  * `ngramPrefixPairs` (lossless by the prefix lemma) and is priced in:
+  * the oracle replays the SAME pass, so the gate checks the
+  * implementation, not a completeness claim the method doesn't make.
+  *
+  * Scale shape: the window ranks partition by BLOCK, never globally — a
+  * single global sort order (textbook SNM) would serialize on one
+  * partition at 100 TB. Blocks must therefore be chosen fine enough to
+  * bound the per-block row count (the caller owns that knob), and the
+  * self-join joins on the block key + a rank band, so candidate
+  * generation shuffles on block and stays `O(n·w)`.
+  */
+object Linkage {
+
+  /** One SNM pass: rank by `sortKey` (tie-broken by `idCol` — total
+    * order, so ranks are deterministic) within each `blockCols` group,
+    * pair rows whose ranks differ by at most `window`, then verify each
+    * candidate with exact `n`-gram shingle-set Jaccard at
+    * `thresholdPct`/100. The Jaccard test is the all-integer
+    * cross-multiplication `100·|A∩B| ≥ pct·|A∪B|` — no float, no epsilon,
+    * engine-exact.
+    *
+    * The FULL candidate table is emitted with the verdict column rather
+    * than only the survivors: blocking quality (candidate count, match
+    * density down the sort order) is the thing an SNM user tunes, so it
+    * belongs on the face. Output: (id_a, id_b, inter, uni, is_match),
+    * id_a before id_b in rank order within the block.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[Column], sortKey: Column,
+                          window: Int = 2, n: Int = 3,
+                          thresholdPct: Long = 50L): DataFrame = {
+    require(window >= 1, "window >= 1")
+    require(thresholdPct >= 1 && thresholdPct <= 100, "thresholdPct in [1,100]")
+    val blocks = blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }
+    val blockNames = blockCols.indices.map(i => s"blk$i")
+    val w = Window.partitionBy(blockNames.map(col): _*)
+      .orderBy(sortKey.asc, col("id").asc) // idCol is aliased to "id" below
+    val ranked = df
+      .select(Seq(col(idCol).as("id"), col(textCol)) ++ blocks: _*)
+      .withColumn("tset",
+        array_distinct(TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)))
+      .withColumn("rn", row_number().over(w))
+      .drop(textCol)
+    val a = ranked.select(
+      blockNames.map(col) ++ Seq(col("id").as("id_a"),
+        col("tset").as("tset_a"), col("rn").as("rn_a")): _*)
+    val b = ranked.select(
+      blockNames.map(col) ++ Seq(col("id").as("id_b"),
+        col("tset").as("tset_b"), col("rn").as("rn_b")): _*)
+    a.join(b, blockNames)
+      .filter(col("rn_b") > col("rn_a") &&
+        col("rn_b") <= col("rn_a") + window)
+      .withColumn("inter", size(array_intersect(col("tset_a"), col("tset_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("tset_a")) + size(col("tset_b"))).cast("long") - col("inter"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter") * 100L >= lit(thresholdPct) * col("uni")).as("is_match"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level lexical statistics for training-data curation — TF-IDF
+  * term salience, PMI collocations, per-source distribution drift, and
+  * temperature-scaled mixture weights. All four are exact fixed-point
+  * constructions (integer counts, integer floor-division at a documented
+  * scale, at most one correctly-rounded IEEE sqrt), so every face is
+  * DuckDB-oracle-comparable cell-for-cell — the same discipline as
+  * [[Graph.pageRankFixed]]: a float score would diverge in the last ulp
+  * with partition order and flicker every downstream threshold.
+  *
+  * Reference scope: the reference pipeline has no lexical-statistics
+  * operators; this module extends the beyond-reference LLM-pipeline
+  * surface (SURVEY.md §2 text-analysis family).
+  */
+object TextStats {
+
+  /** Top-`k` TF-IDF terms per document. The IDF is the fixed-point
+    * rational `(N · scale) div df` — order-isomorphic to the real
+    * `log(N/df)` ranking per document (log is monotone; ties under the
+    * floor break by term ascending, deterministically), with no
+    * transcendental anywhere, so the whole face hash-compares.
+    *
+    * Scale shape: one explode + (doc, term) hash agg (map-side combined),
+    * one term-keyed df agg, N as a 1-row broadcast cross join; the top-k
+    * window partitions by doc — bounded by per-doc vocabulary, never a
+    * global sort.
+    */
+  def tfIdfTopK(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 3, scale: Long = 1000000L): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_fp",
+        col("tf") * expr(s"(n_docs * ${scale}L) div df_t"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_fp").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "term", "tf", "df_t", "score_fp")
+  }
+
+  /** PMI-ranked adjacent-token collocations (phrase mining). The emitted
+    * score is the PRE-LOG fixed-point ratio
+    * `(n_xy · N · scale) div (n_x · n_y)` — PMI = log of that ratio / scale,
+    * and log is monotone, so ranking (and any threshold) on the ratio is
+    * ranking on PMI with zero float. `scale` defaults to 100 (not 10⁶)
+    * to keep `n_xy · N · scale` inside BIGINT headroom out to ~10⁸-token
+    * corpora; callers with small corpora can raise it.
+    *
+    * `minCount` drops rare bigrams (PMI's classic degeneracy: a 1-count
+    * pair of two 1-count tokens maxes the ratio), which also bounds the
+    * output at |pairs with support ≥ minCount| — vocabulary-shaped, not
+    * corpus-shaped. Scale shape: two hash aggs (bigram, unigram) + one
+    * 1-row broadcast; the unigram join keys are the vocabulary.
+    */
+  def pmiPairs(df: DataFrame, textCol: String, idCol: String,
+               minCount: Long = 5L, scale: Long = 100L): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val nTok = uni.agg(sum(col("n")).as("n_total"))
+    val bi = toks
+      .select(explode(TextOps.gramsFromTokens(col("toks"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    bi.join(uni.select(col("t").as("a"), col("n").as("n_x")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("n").as("n_y")), Seq("b"))
+      .crossJoin(broadcast(nTok))
+      .select(col("a"), col("b"), col("n_xy"), col("n_x"), col("n_y"),
+        expr(s"(n_xy * n_total * ${scale}L) div (n_x * n_y)")
+          .as("pmi_ratio_fp"))
+  }
+
+  /** Per-source unigram distribution drift against the whole corpus:
+    * 2·TVD in ppm floors — `Σ_t |⌊p_s(t)·10⁶⌋ − ⌊p(t)·10⁶⌋|` over the
+    * FULL vocabulary (terms absent from a source contribute the corpus
+    * mass they're missing). Domain-shift / mixture-skew signal: a source
+    * whose token distribution diverges from the blend is the one to
+    * re-weight. All-integer, hence exact.
+    *
+    * Scale shape: the (source × vocabulary) spine is a broadcast cross
+    * join of two aggregates — sources are few and the vocabulary is the
+    * corpus's distinct-token set, both orders of magnitude below the
+    * token stream being summarized; the heavy work is the two hash aggs.
+    */
+  def domainShift(df: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, scale: Long = 1000000L): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val bySrc = toks.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val srcTot = bySrc.groupBy("source").agg(sum(col("c_st")).as("tot_s"))
+    val global = toks.groupBy("t").agg(count(lit(1)).as("c_t"))
+    val tot = global.agg(sum(col("c_t")).as("tot"))
+    val spine = srcTot.crossJoin(global.crossJoin(broadcast(tot)))
+    spine
+      .join(bySrc, Seq("source", "t"), "left")
+      .select(col("source"), col("tot_s"),
+        expr(s"abs((coalesce(c_st, 0L) * ${scale}L) div tot_s " +
+          s"- (c_t * ${scale}L) div tot)").as("d"))
+      .groupBy("source")
+      .agg(first(col("tot_s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("d")).as("tvd2_ppm"))
+  }
+
+  /** Temperature-scaled mixture weights per group (the multilingual
+    * sampling rule p ↦ p^α, Conneau & Lample's α-smoothing), at α = ½ —
+    * the one exponent expressible as a SINGLE correctly-rounded IEEE op
+    * (sqrt), which is what keeps the face engine-exact: `share_ppm` is an
+    * integer floor and `temp_share_ppm = ⌊sqrt(n/total)·10⁶⌋` is floor of
+    * a correctly-rounded chain over exact inputs, bit-identical in any
+    * IEEE-754 engine. (General α needs pow — NOT correctly rounded, and
+    * libm vs StrictMath diverge; callers wanting other temperatures
+    * compose sqrt: α = ¼ is sqrt∘sqrt.) Weights are emitted unnormalized;
+    * the consumer divides by their sum — a k-row reduction it can order
+    * deterministically.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+                         scale: Long = 1000000L): DataFrame = {
+    val n = df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_docs"))
+    val tot = n.agg(sum(col("n_docs")).as("total"))
+    n.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_docs"),
+        expr(s"(n_docs * ${scale}L) div total").as("share_ppm"),
+        floor(sqrt(col("n_docs").cast("double") / col("total")) * scale)
+          .cast("long").as("temp_share_ppm"))
+  }
+}

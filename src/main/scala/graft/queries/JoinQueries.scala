@@ -173,6 +173,19 @@ object JoinQueries extends QueryPack {
         base.select(col("p_partkey").as("ak"), col("p_name")), "ak", "p_name",
         corrupted, "bk", "b_name", maxDist = 1)
         .select(col("a_key"), col("b_key"), col("dist"))
+    },
+
+    // Sorted-neighborhood blocking join (Hernández–Stolfo SNM): one pass
+    // blocked by (lang, first char), sorted by text, window 2, each
+    // candidate verified with exact integer 3-gram Jaccard. The FULL
+    // candidate table ships with the verdict — O(n·w) candidates instead
+    // of O(n²), the record-linkage sibling of the prefix-filter dedup
+    // stages (Linkage scaladoc on the recall-bounded contract).
+    "j15_sorted_neighborhood" -> { (s, dir) =>
+      graft.ops.Linkage.sortedNeighborPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq(col("lang"), substring(col("text"), 1, 1)),
+        sortKey = col("text"), window = 2, n = 3, thresholdPct = 50L)
     }
   )
 
@@ -255,6 +268,30 @@ object JoinQueries extends QueryPack {
         |SELECT l.p_partkey AS a_key, r.b_key, levenshtein(l.p_name, r.b_name) AS dist
         |FROM base l, r
         |WHERE abs(length(l.p_name) - length(r.b_name)) <= 1
-        |  AND levenshtein(l.p_name, r.b_name) <= 1""".stripMargin
+        |  AND levenshtein(l.p_name, r.b_name) <= 1""".stripMargin,
+    // mirrors Linkage.sortedNeighborPairs: same blocks, same total sort
+    // order (text, doc_id), same window band, same integer Jaccard test
+    "j15_sorted_neighborhood" ->
+      """WITH r0 AS (SELECT doc_id, lang, substr(text, 1, 1) AS c1, text,
+        |        list_distinct(list_transform(
+        |          range(greatest(len(string_split(text,' '))-2, 0)),
+        |          i -> string_split(text,' ')[i+1] || ' ' ||
+        |               string_split(text,' ')[i+2] || ' ' ||
+        |               string_split(text,' ')[i+3])) AS tset
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang, c1, tset,
+        |        row_number() OVER (PARTITION BY lang, c1
+        |                           ORDER BY text, doc_id) AS rn
+        |      FROM r0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
+        |       CAST(len(a.tset) + len(b.tset)
+        |            - len(list_intersect(a.tset, b.tset)) AS BIGINT) AS uni,
+        |       (100 * len(list_intersect(a.tset, b.tset)) >=
+        |        50 * (len(a.tset) + len(b.tset)
+        |              - len(list_intersect(a.tset, b.tset)))) AS is_match
+        |FROM r a JOIN r b
+        |  ON a.lang = b.lang AND a.c1 = b.c1
+        | AND b.rn > a.rn AND b.rn <= a.rn + 2""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity, TextOps, TextStats}
 
 /** LLM-training-data pipeline operators (the beyond-the-reference surface):
   * deduplication (dd_*), similarity search (ann_*), text analysis (ta_*),
@@ -893,6 +893,51 @@ object LlmQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("deg"), col("rank"))
     },
 
+    // Deterministic label propagation (3 synchronous rounds, min-label
+    // tie-break) over the same shared-chunk graph as ta_pagerank —
+    // topic-granularity communities for corpus sharding, where CC
+    // (dd_cluster_cc) would glue everything reachable into one blob.
+    "ta_label_prop" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.Graph.labelPropagation(
+        graft.ops.Graph.sharedChunkEdges(docs, "text", "doc_id",
+          chunkSize = 16, maxGroup = 50L), iters = 3)
+        .select(col("id").as("doc_id"), col("community"), col("community_size"))
+    },
+
+    // Top-3 TF-IDF terms per document in exact fixed point: the idf is
+    // the integer rational (N·10⁶) div df — order-isomorphic to log(N/df)
+    // per doc, no transcendental, hash-comparable (TextStats scaladoc).
+    "ta_tfidf_topk" -> { (s, dir) =>
+      TextStats.tfIdfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3)
+    },
+
+    // PMI collocations (phrase mining): adjacent-token pairs with support
+    // ≥ 5, scored by the pre-log fixed-point ratio (n_xy·N·100) div
+    // (n_x·n_y) — monotone in PMI, all-integer, engine-exact.
+    "ta_pmi_pairs" -> { (s, dir) =>
+      TextStats.pmiPairs(Tables.documents(s, dir), "text", "doc_id",
+        minCount = 5L)
+    },
+
+    // Per-source unigram drift vs the corpus blend: 2·TVD in exact ppm
+    // floors over the full vocabulary — the mixture-skew signal that
+    // tells a curator which source to re-weight.
+    "ta_domain_shift" -> { (s, dir) =>
+      TextStats.domainShift(Tables.documents(s, dir), "text", "doc_id",
+        "source")
+    },
+
+    // Temperature-scaled (α = ½) multilingual sampling weights per lang —
+    // integer share floors plus one correctly-rounded IEEE sqrt, so the
+    // whole face is bit-exact cross-engine (TextStats scaladoc on why
+    // only sqrt-composable temperatures keep that property).
+    "ta_temp_mixture" -> { (s, dir) =>
+      TextStats.temperatureWeights(Tables.documents(s, dir), "lang")
+        .select(col("grp").as("lang"), col("n_docs"),
+          col("share_ppm"), col("temp_share_ppm"))
+    },
+
     // Sequence packing (concat-then-chunk): shard by lang, order by doc_id,
     // cut every 512 tokens; window-function running offsets only.
     "ta_pack" -> { (s, dir) =>
@@ -1714,6 +1759,102 @@ object LlmQueries extends QueryPack {
         |         FROM e JOIN r2 r ON e.src = r.id JOIN d ON e.src = d.src GROUP BY 1) s USING (id))
         |SELECT r3.id AS doc_id, d.deg, r3.rank
         |FROM r3 JOIN d ON r3.id = d.src""".stripMargin,
+    // mirrors Graph.labelPropagation over the ta_pagerank edge set: three
+    // synchronous rounds, per-vertex argmax of neighbor-label counts with
+    // ties to the SMALLEST label (row_number over (n DESC, label ASC)) —
+    // a total order, so the communities are engine-exact
+    "ta_label_prop" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |        CAST(greatest(ceil(len(string_split(text,' '))/16.0), 1) AS INTEGER) AS nc
+        |      FROM documents),
+        |c AS (SELECT DISTINCT t.doc_id,
+        |        md5(array_to_string(t.toks[p.i*16+1 : p.i*16+16], ' ')) AS fp
+        |      FROM t CROSS JOIN (SELECT unnest(range(0, (SELECT max(nc) FROM t))) AS i) p
+        |      WHERE p.i < t.nc),
+        |g AS (SELECT fp FROM c GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+        |m AS (SELECT c.fp, c.doc_id FROM c JOIN g USING (fp)),
+        |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |       FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |e AS (SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        |c1 AS (SELECT e.dst AS id, l.label, count(*) AS n
+        |       FROM e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, label FROM (SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+        |       FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS id, l.label, count(*) AS n
+        |       FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, label FROM (SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+        |       FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.dst AS id, l.label, count(*) AS n
+        |       FROM e JOIN l2 l ON e.src = l.id GROUP BY 1, 2),
+        |l3 AS (SELECT id, label FROM (SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+        |       FROM c3) WHERE rn = 1),
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        |       FROM l3 GROUP BY 1)
+        |SELECT l3.id AS doc_id, l3.label AS community, sz.community_size
+        |FROM l3 JOIN sz USING (label)""".stripMargin,
+    // mirrors TextStats.tfIdfTopK: integer fixed-point idf, top-3 per doc
+    // by (score DESC, term ASC)
+    "ta_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df_t, score_fp FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+        |         tf.tf * ((n.n_docs * 1000000) // dft.df_t) AS score_fp,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * ((n.n_docs * 1000000) // dft.df_t) DESC,
+        |                    tf.term ASC) AS rn
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |WHERE rn <= 3""".stripMargin,
+    // mirrors TextStats.pmiPairs: adjacent bigrams with support >= 5,
+    // pre-log fixed-point PMI ratio at scale 100
+    "ta_pmi_pairs" ->
+      """WITH toks AS (SELECT string_split(text,' ') AS t FROM documents),
+        |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM u),
+        |bi0 AS (SELECT t[i] AS a, t[i+1] AS b
+        |        FROM toks, unnest(range(1, len(t))) AS sp(i)),
+        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_xy
+        |       FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bi.a, bi.b, bi.n_xy, ua.n AS n_x, ub.n AS n_y,
+        |       (bi.n_xy * nt.n_total * 100) // (ua.n * ub.n) AS pmi_ratio_fp
+        |FROM bi JOIN u ua ON bi.a = ua.tok
+        |        JOIN u ub ON bi.b = ub.tok
+        |        CROSS JOIN ntot nt""".stripMargin,
+    // mirrors TextStats.domainShift: per-source 2·TVD in exact ppm floors
+    // over the full (source × vocabulary) spine
+    "ta_domain_shift" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS t FROM documents),
+        |bysrc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+        |          FROM toks GROUP BY 1, 2),
+        |srctot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS tot_s
+        |           FROM bysrc GROUP BY 1),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS tot FROM g)
+        |SELECT st.source, st.tot_s AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(abs((coalesce(b.c_st, 0) * 1000000) // st.tot_s
+        |                    - (g.c_t * 1000000) // t.tot)) AS BIGINT) AS tvd2_ppm
+        |FROM srctot st CROSS JOIN g CROSS JOIN tot t
+        |LEFT JOIN bysrc b ON b.source = st.source AND b.t = g.t
+        |GROUP BY 1, 2""".stripMargin,
+    // mirrors TextStats.temperatureWeights: integer share floors + one
+    // correctly-rounded sqrt per row (engine-exact; no cross-row float)
+    "ta_temp_mixture" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM n)
+        |SELECT lang, n_docs,
+        |       (n_docs * 1000000) // total AS share_ppm,
+        |       CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total) * 1000000) AS BIGINT)
+        |         AS temp_share_ppm
+        |FROM n CROSS JOIN tot""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),

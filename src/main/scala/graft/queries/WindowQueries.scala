@@ -318,6 +318,32 @@ object WindowQueries extends QueryPack {
           .withColumn("rev", lit(2L)))
       graft.ops.Merge.scd1Upsert(base, delta,
         keyCols = Seq("doc_id"), orderCols = Seq(col("rev")))
+    },
+
+    // Gaps-and-islands via change detection (beyond the reference):
+    // maximal runs of the SAME event_type per user, the run boundary
+    // detected with lag() and the island id as a running sum of breaks —
+    // the w11 sessionize discipline applied to VALUE change instead of
+    // time gaps. ONE shuffle: both windows and the groupBy share the
+    // user_id partitioning (no second exchange, same argument as w11;
+    // the rn_all − rn_type formulation would partition by (user, type)
+    // and pay one more).
+    "w17_streaks" -> { (s, dir) =>
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val prev = lag(col("event_type"), 1).over(wu)
+      Tables.events(s, dir)
+        .withColumn("brk",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("blk", sum(col("brk")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "blk")
+        .agg(min(col("event_type")).as("event_type"), // constant within a run
+          count(lit(1)).as("n_run"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .filter(col("n_run") >= 3)
+        .select("user_id", "event_type", "n_run", "first_id", "last_id")
     }
   )
 
@@ -498,6 +524,20 @@ object WindowQueries extends QueryPack {
         |FROM base b WHERE NOT EXISTS
         |  (SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
         |UNION ALL
-        |SELECT doc_id, lang, source, n_chars, rev FROM latest""".stripMargin
+        |SELECT doc_id, lang, source, n_chars, rev FROM latest""".stripMargin,
+    "w17_streaks" ->
+      s"""WITH x AS (
+         |  SELECT *, CASE WHEN lag(event_type) OVER
+         |      (PARTITION BY user_id ORDER BY $tsUs, event_id)
+         |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |y AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY $tsUs, event_id ROWS UNBOUNDED PRECEDING) AS blk
+         |  FROM x)
+         |SELECT user_id, min(event_type) AS event_type,
+         |       CAST(count(*) AS BIGINT) AS n_run,
+         |       min(event_id) AS first_id, max(event_id) AS last_id
+         |FROM y GROUP BY user_id, blk HAVING count(*) >= 3""".stripMargin
   )
 }

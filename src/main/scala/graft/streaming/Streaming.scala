@@ -347,6 +347,44 @@ object Streaming {
                   depth: Int = 4, width: Int = 1024): DataFrame =
     graft.functions.CmsSketch.build(items, itemCol, depth, width)
 
+  /** Native session-window aggregation (`session_window` built-in) — the
+    * declarative twin of [[sessionize]]: Catalyst manages merge-able
+    * session state instead of a hand-rolled `flatMapGroupsWithState`,
+    * which at scale buys watermark-driven eviction, state-store
+    * compaction, and AQE-planned shuffles for free (the SURVEY
+    * preference: built-in operator > custom state when semantics allow).
+    * Sessions close after `gap` of per-user silence; counts and exact
+    * cents sums per session. Identical expression runs in batch —
+    * StreamingSpec pins batch ≡ stream.
+    */
+  def sessionWindowActivity(events: DataFrame, tsCol: String,
+                            gap: String = "24 hours",
+                            watermark: String = "48 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Ingest dedup via `dropDuplicatesWithinWatermark` — the state-bounded
+    * sibling of [[dedupIngest]]: plain `dropDuplicates` keys state by
+    * `idCol` FOREVER unless the event-time column is part of the key,
+    * while the within-watermark form evicts a key's state once the
+    * watermark passes its first-seen event time — the only shape whose
+    * state is bounded when ids never repeat legitimately but may
+    * duplicate in transit (at-least-once sources), which is exactly the
+    * ingest-retry case. Duplicates arriving inside the horizon are
+    * dropped; one beyond it would re-emit (at-least-once contract,
+    * deduplicated downstream by idempotent sinks).
+    */
+  def dedupIngestWithinWatermark(events: DataFrame, idCol: String,
+                                 tsCol: String,
+                                 watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
   /** Wire a streaming DataFrame to an in-memory sink and drain it — the
     * local harness for the transforms above (format("memory") +
     * processAllAvailable), mirroring how a cluster job would use a real

@@ -34,6 +34,27 @@ class GraphSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("labelPropagation: dense cores separate where CC would merge, ties go min") {
+    // two triangles {1,2,3} and {4,5,6} joined by ONE bridge edge 3—4:
+    // connected components would glue all six; LPA keeps two communities
+    // (each bridge endpoint hears 2 in-triangle votes vs 1 across).
+    val tri1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val tri2 = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val pairs = tri1 ++ tri2 ++ Seq((3L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // min-label tie-break drives both triangles to their smallest member
+    assert(got(1L)._1 === got(2L)._1 && got(2L)._1 === got(3L)._1)
+    assert(got(4L)._1 === got(5L)._1 && got(5L)._1 === got(6L)._1)
+    assert(got(1L)._1 !== got(4L)._1, "bridge must not merge the triangles")
+    assert(got(1L)._2 === 3L && got(4L)._2 === 3L, "community sizes")
+    // determinism under repartitioning — the tie-break is a total order
+    val again = Graph.labelPropagation(edges.repartition(5), iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again === got)
+  }
+
   test("sharedChunkEdges: chunk-sharing docs link, hot groups capped, symmetric") {
     val shared16 = (1 to 16).map(i => s"s$i").mkString(" ")
     val boiler16 = (1 to 16).map(i => s"b$i").mkString(" ")

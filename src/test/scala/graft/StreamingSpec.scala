@@ -61,6 +61,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("session_window aggregation over a stream matches the same expression in batch") {
+    // Complete mode for the same reason as the windowed-activity pin:
+    // Append would withhold sessions still inside the watermark horizon
+    // at end-of-input — we want the full batch-parity comparison.
+    Streaming.drainToMemory(
+      Streaming.sessionWindowActivity(eventsStream, "ts"),
+      "sess_win_out", OutputMode.Complete())
+    val streamed = spark.table("sess_win_out")
+      .select("session_start", "session_end", "user_id", "n_events", "sum_value")
+      .collect().toSet
+    val batch = Streaming.sessionWindowActivity(eventsBatch, "ts")
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the sessions are real sessions, not one-window-per-event: some user
+    // must have a session with more than one event
+    assert(spark.table("sess_win_out").filter(col("n_events") > 1).count() > 0)
+  }
+
+  test("dropDuplicatesWithinWatermark ingest dedups retried events with bounded state") {
+    val d = Files.createTempDirectory("graft_stream_dup_wm")
+    Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"), d.resolve("a.parquet"))
+    Files.copy(Paths.get(sf("sf0.001") + "/events.parquet"), d.resolve("b.parquet"))
+    val dupStream = eventsStreamFrom(d.toString)
+    Streaming.drainToMemory(
+      Streaming.dedupIngestWithinWatermark(dupStream, "event_id", "ts"),
+      "dedup_wm_out", OutputMode.Append())
+    // transit duplicates carry the SAME event time, so they always land
+    // inside the horizon and the output equals the batch-distinct count
+    assert(spark.table("dedup_wm_out").count() === eventsBatch.count())
+  }
+
   test("streaming ingest dedup drops duplicate event_ids") {
     // duplicate the source file → every event arrives twice
     val d = Files.createTempDirectory("graft_stream_dup")
