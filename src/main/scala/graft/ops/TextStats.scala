@@ -115,6 +115,37 @@ object TextStats {
         sum(col("d")).as("tvd2_ppm"))
   }
 
+  /** Zipf rank–frequency table with cumulative vocabulary coverage:
+    * tokens ranked by (count DESC, token ASC) — a total order — with the
+    * running corpus share in exact ppm floors. The coverage curve is the
+    * tokenizer-design signal ("how many types cover 95% of the stream")
+    * and the rank table is the Zipf-fit input; both all-integer, so the
+    * face hash-compares.
+    *
+    * Scale shape: the heavy pass is the token hash agg; the ranking
+    * window then runs over the VOCABULARY (distinct types), which is
+    * orders of magnitude below the token stream — a deliberate global
+    * window over vocabulary-shaped data, same contract as the
+    * (source × vocabulary) spine in [[domainShift]]. A corpus whose raw
+    * vocabulary outgrows one partition caps it first (frequency floor /
+    * top-k), which any Zipf consumer does anyway.
+    */
+  def zipfRanks(df: DataFrame, textCol: String,
+                scale: Long = 1000000L): DataFrame = {
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val w = Window.orderBy(col("n").desc, col("t").asc)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("rank").cast("long").as("rank"), // BIGINT like SQL row_number
+        col("t").as("token"), col("n"),
+        expr(s"(cum * ${scale}L) div total").as("cum_ppm"))
+  }
+
   /** Temperature-scaled mixture weights per group (the multilingual
     * sampling rule p ↦ p^α, Conneau & Lample's α-smoothing), at α = ½ —
     * the one exponent expressible as a SINGLE correctly-rounded IEEE op

@@ -120,6 +120,26 @@ object AggQueries extends QueryPack {
       df.agg(
         count(lit(1)).as("n_rows"),
         df.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls")): _*)
+    },
+
+    // Distributed OLS via exact sufficient statistics (beyond the
+    // reference): per event_type, the five integer sums (n, Σx, Σy, Σxy,
+    // Σx²) from which slope/intercept/R² are a driver-side 2×2 solve —
+    // the 100 TB formulation of regression: the data pays ONE map-side-
+    // combined hash agg and only k rows leave the cluster, and because x
+    // is hours (exact BIGINT) and y is cents (exact BIGINT), the sums are
+    // associative integers — no float summation order to diverge on.
+    "a14_ols_suffstats" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("x"),
+          round(col("value") * 100, 0).cast("long").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"))
     }
   )
 
@@ -173,6 +193,19 @@ object AggQueries extends QueryPack {
         |CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
         |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
         |CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // mirrors a14: x = event-time hours (BIGINT floor), y = exact cents;
+    // epoch_us // is DuckDB's integer floor-div twin of Spark's `div`
+    "a14_ols_suffstats" ->
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+        |        CAST(round(value * 100, 0) AS BIGINT) AS y
+        |      FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(x) AS BIGINT) AS sum_x,
+        |       CAST(sum(y) AS BIGINT) AS sum_y,
+        |       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |       CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

@@ -928,6 +928,13 @@ object LlmQueries extends QueryPack {
         "source")
     },
 
+    // Zipf rank–frequency table + cumulative coverage curve in exact ppm
+    // floors — the "how many types cover X% of the stream" tokenizer
+    // signal. Ranking window runs over the vocabulary, not the corpus.
+    "ta_zipf_ranks" -> { (s, dir) =>
+      TextStats.zipfRanks(Tables.documents(s, dir), "text")
+    },
+
     // Temperature-scaled (α = ½) multilingual sampling weights per lang —
     // integer share floors plus one correctly-rounded IEEE sqrt, so the
     // whole face is bit-exact cross-engine (TextStats scaladoc on why
@@ -1024,6 +1031,23 @@ object LlmQueries extends QueryPack {
         Multimodal.syntheticPngTable(s, Tables.documents(s, dir).select("doc_id")),
         maxDim = 4)
         .toDF()
+    },
+
+    // Frame sampling (the video access pattern over an opaque payload):
+    // k byte windows at even strides through the binary column. The face
+    // explodes to one row per frame and decodes the window back to text —
+    // exact, because the payload IS the document's UTF-8 bytes and the
+    // corpus is ASCII (byte offsets ≡ char offsets), so the oracle can
+    // recompute every frame with substr arithmetic. The binary plumbing
+    // (payload column, stride math, per-frame rows) is what a real video
+    // table exercises; MultimodalSpec covers the byte-level cut.
+    "mm_frame_sample" -> { (s, dir) =>
+      val frames = Multimodal.frameSample(
+        Multimodal.asMediaTable(Tables.documents(s, dir)), frames = 4, width = 8)
+      frames.select(col("doc_id"), col("n_bytes"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("n_bytes"), col("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame_txt"))
     }
   )
 
@@ -1844,6 +1868,19 @@ object LlmQueries extends QueryPack {
         |FROM srctot st CROSS JOIN g CROSS JOIN tot t
         |LEFT JOIN bysrc b ON b.source = st.source AND b.t = g.t
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors TextStats.zipfRanks: total-order ranking (n DESC, token ASC)
+    // and running-sum coverage in exact ppm floors
+    "ta_zipf_ranks" ->
+      """WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |      FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+        |      GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT row_number() OVER (ORDER BY n DESC, t ASC) AS rank,
+        |       t AS token, n,
+        |       (CAST(sum(n) OVER (ORDER BY n DESC, t ASC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000) // total
+        |         AS cum_ppm
+        |FROM c CROSS JOIN tot""".stripMargin,
     // mirrors TextStats.temperatureWeights: integer share floors + one
     // correctly-rounded sqrt per row (engine-exact; no cross-row float)
     "ta_temp_mixture" ->
@@ -2044,6 +2081,18 @@ object LlmQueries extends QueryPack {
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+    // mirrors Multimodal.frameSample through the mm_frame_sample face:
+    // the payload is the doc's UTF-8 bytes and the corpus is ASCII, so
+    // byte-window strides are substr arithmetic (stride = n_bytes // 4,
+    // the same floor Spark's (n_bytes/4).cast(int) takes on positives)
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text,
+        |        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |      FROM documents)
+        |SELECT doc_id, n_bytes, CAST(sp.i AS INTEGER) AS frame_idx,
+        |       substr(text, 1 + CAST(sp.i AS INTEGER) * (n_bytes // 4), 8)
+        |         AS frame_txt
+        |FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS i) sp""".stripMargin
   )
 }

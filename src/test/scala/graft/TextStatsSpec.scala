@@ -61,6 +61,19 @@ class TextStatsSpec extends SparkTestBase {
     assert(got("skew") > got("bal"), "all-x source must out-drift the balanced one")
   }
 
+  test("zipfRanks: total-order ranks and exact cumulative coverage floors") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextStats.zipfRanks(docs, "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // counts a:3 b:2 c:1, total 6 → cum ppm floors 500000, 833333, 1000000
+    assert(got.toSeq === Seq(
+      (1L, "a", 3L, 500000L), (2L, "b", 2L, 833333L), (3L, "c", 1L, 1000000L)))
+    // ties rank by token ascending (total order)
+    val tied = TextStats.zipfRanks(Seq((1L, "y x")).toDF("doc_id", "text"), "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(tied === Seq("x", "y"))
+  }
+
   test("temperatureWeights: integer shares and the sqrt fixed point, hand-checked") {
     val df = (1 to 4).map(i => (i.toLong, if (i == 1) "de" else "en"))
       .toDF("doc_id", "lang")
