@@ -166,6 +166,44 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "boundary rows must broadcast")
   }
 
+  test("w17_streaks: change-detection windows and the run rollup share ONE user_id exchange") {
+    // the scale claim in the query's comment: lag + running-sum + the
+    // (user_id, blk) groupBy all reuse one hash partitioning — the
+    // rn_all − rn_type formulation would pay a second (user, type) one
+    val plan = finalQe("w17_streaks").executedPlan
+    val exchanges = countShuffleStages(plan)
+    assert(exchanges === 1,
+      s"expected one user_id exchange, found $exchanges:\n$plan")
+  }
+
+  test("a14_ols_suffstats: map-side partial sums, one exchange, k rows out") {
+    // the sufficient-statistics formulation's whole point: the data pays
+    // one combined hash agg; only the per-group sums move
+    val qe = finalQe("a14_ols_suffstats")
+    val p = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum"), "OLS sums must aggregate map-side")
+    val exchanges = countShuffleStages(qe.executedPlan)
+    assert(exchanges === 1, s"expected one group exchange, found $exchanges")
+  }
+
+  test("j15_sorted_neighborhood: block-local ranks, equi-join band — no global sort, no pair join") {
+    // SNM's scale contract: the rank window hash-partitions by block
+    // (a global range sort would serialize the corpus) and the candidate
+    // band is an equi-join on the block key with a rank-distance filter
+    val p = finalPlan("j15_sorted_neighborhood")
+    assert(!p.contains("rangepartitioning"), s"global sort planned in SNM:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian planned in SNM")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi pair join planned in SNM")
+  }
+
+  test("ta_tfidf_topk: tf aggregates map-side; the 1-row N rides a broadcast") {
+    val p = finalPlan("ta_tfidf_topk")
+    assert(p.contains("partial_count"), "tf/df aggs must partially aggregate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the corpus-count row must broadcast, never shuffle the tf table")
+  }
+
   test("sk_cms: counter build aggregates partially over the fixed key space; probes broadcast-join") {
     // the CMS scale contract: map-side combine bounds every task's partial
     // (and the shuffle) at depth×width rows, and the ≤ depth×width counter
