@@ -81,6 +81,15 @@ EXPLAINED = {
     "tpch_q3": (5.0, "constant-dominated: 1.34 s @sf0.01 vs 1.52 s @sf0.1 warm"),
     "tpch_q5": (5.0, "constant-dominated: 1.25 s @sf0.01 vs 1.69 s @sf0.1 warm"),
     "ta_bigram_lm": (3.0, "constant-dominated: 0.63 s @sf0.01 vs 1.02 s @sf0.1 warm"),
+    "ta_pmi_pairs": (2.5, "constant-dominated two-hash-agg + broadcast: "
+        "0.72 s @sf0.01 vs 0.80 s @sf0.1 warm (10x data, +11%); output is "
+        "vocabulary-shaped (900 vs 927 rows)"),
+    "ta_tfidf_topk": (3.5, "constant-dominated tf/df aggs + per-doc top-k "
+        "window: 0.87 s @sf0.01 vs 1.22 s @sf0.1 warm (10x data, +40%)"),
+    "ta_label_prop": (6.0, "iteration constants dominate: 3 unrolled "
+        "join+agg+window LPA rounds over the shared-chunk graph; 2.58 s "
+        "@sf0.01 vs 2.22 s @sf0.1 warm (flat on 10x data) — same family "
+        "as ta_pagerank's round constants"),
     "ta_quality_classifier": (2.5, "constant-dominated 4-stage train+score "
         "pipeline: 0.67 s @sf0.01 vs 0.83 s @sf0.1 warm (10x data, +24%)"),
     "dd_intra_repeat": (2.0, "constant-dominated explode+2-window+fold: "
