@@ -105,6 +105,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup yield curve: how many near-dup pairs each Jaccard threshold
+    * would collapse — the one-pass threshold-sweep a curator runs BEFORE
+    * committing to a cutoff (the 0.8 in `ngramJaccardPairs` is a choice;
+    * this face shows what 0.5/0.6/…/1.0 would each buy). Same inverted
+    * shingle index and co-occurrence join as [[ngramJaccardPairs]], but
+    * instead of filtering at one threshold, every pair lands in its
+    * integer Jaccard decile `(10·|A∩B|) div |A∪B|` — all-integer, so the
+    * histogram is engine-exact (a float bucket would flicker at decile
+    * boundaries). Deciles below `minDecile` are dropped (sub-0.5 pairs
+    * are background noise and the count would be candidate-mass-shaped,
+    * not signal-shaped). Decile 10 = exact set dups.
+    *
+    * Scale shape: identical to the pair stage it instruments — one
+    * index self-join bounded by `maxDocFreq`, then a decile hash agg of
+    * at most 11 rows. `minDecile` only trims OUTPUT rows (the join cost
+    * is identical), so the default keeps the whole curve including the
+    * decile-0 background mass — itself a useful number (co-occurring
+    * pair volume = the verify stage's workload).
+    */
+  def jaccardYieldCurve(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minDecile: Long = 0L,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val ix0 = shingleIndex(df, textCol, idCol, n).localCheckpoint(false)
+    val freq = ix0.groupBy("shingle").count()
+      .filter(col("count") > 1 && col("count") <= maxDocFreq)
+      .select("shingle")
+    val ix = ix0.join(freq, Seq("shingle")).select("id", "shingle")
+    val a = ix.select(col("id").as("id_a"), col("shingle"))
+    val b = ix.select(col("id").as("id_b"), col("shingle"))
+    val co = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("co"))
+    val sizes = ix0.select("id", "set_size").distinct()
+    co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
+      .withColumn("jaccard_decile", expr("(10 * co) div (n_a + n_b - co)"))
+      .filter(col("jaccard_decile") >= minDecile)
+      .groupBy("jaccard_decile")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin-style, Bayardo
     * et al. WWW'07; Xiao et al. WWW'08): identical output contract to
     * [[ngramJaccardPairs]] — every pair with true Jaccard ≥ `threshold` —

@@ -140,6 +140,28 @@ object AggQueries extends QueryPack {
           sum(col("y")).as("sum_y"),
           sum(col("x") * col("y")).as("sum_xy"),
           sum(col("x") * col("x")).as("sum_x2"))
+    },
+
+    // Join-key skew audit (beyond the reference): per candidate shuffle
+    // key of the fact table, the distribution facts that decide salting /
+    // AQE skew handling BEFORE a 100 TB join is planned — row count,
+    // distinct keys, the hottest key's mass, and its corpus share in
+    // exact ppm. Two-level aggregation per key (per-key counts, then a
+    // 4-long-column rollup), all integers; the per-column results union
+    // into one audit table.
+    "a15_skew_audit" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def audit(keyCol: String) =
+        li.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("kn"))
+          .agg(sum(col("kn")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("kn")).as("max_key_n"))
+          .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_key_n"),
+            expr("(max_key_n * 1000000L) div n_rows").as("top_share_ppm"))
+      audit("l_orderkey")
+        .unionByName(audit("l_partkey"))
+        .unionByName(audit("l_suppkey"))
     }
   )
 
@@ -206,6 +228,23 @@ object AggQueries extends QueryPack {
         |       CAST(sum(y) AS BIGINT) AS sum_y,
         |       CAST(sum(x * y) AS BIGINT) AS sum_xy,
         |       CAST(sum(x * x) AS BIGINT) AS sum_x2
-        |FROM e GROUP BY 1""".stripMargin
+        |FROM e GROUP BY 1""".stripMargin,
+    "a15_skew_audit" ->
+      """WITH k1 AS (SELECT l_orderkey AS k, count(*) AS kn FROM lineitem GROUP BY 1),
+        |k2 AS (SELECT l_partkey AS k, count(*) AS kn FROM lineitem GROUP BY 1),
+        |k3 AS (SELECT l_suppkey AS k, count(*) AS kn FROM lineitem GROUP BY 1),
+        |a AS (
+        |  SELECT 'l_orderkey' AS key_col, CAST(sum(kn) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(kn) AS BIGINT) AS max_key_n FROM k1
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(sum(kn) AS BIGINT), CAST(count(*) AS BIGINT),
+        |         CAST(max(kn) AS BIGINT) FROM k2
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(sum(kn) AS BIGINT), CAST(count(*) AS BIGINT),
+        |         CAST(max(kn) AS BIGINT) FROM k3)
+        |SELECT key_col, n_rows, n_keys, max_key_n,
+        |       (max_key_n * 1000000) // n_rows AS top_share_ppm
+        |FROM a""".stripMargin
   )
 }

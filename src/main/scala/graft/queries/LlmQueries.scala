@@ -177,6 +177,15 @@ object LlmQueries extends QueryPack {
         n = 3, threshold = JaccardThreshold)
     },
 
+    // Dedup yield curve: pair count per integer Jaccard decile — the
+    // one-pass threshold sweep run BEFORE committing to a cutoff, with
+    // decile 0 carrying the background co-occurrence mass (the verify
+    // workload). All-integer deciles ((10·co) div union), engine-exact.
+    "dd_threshold_curve" -> { (s, dir) =>
+      Dedup.jaccardYieldCurve(Tables.documents(s, dir), "text", "doc_id",
+        n = 3)
+    },
+
     // MinHash+LSH near-dup pairs (banded candidates + exact verification);
     // output contract equals dd_ngram_jaccard — same oracle.
     "dd_minhash_lsh" -> { (s, dir) =>
@@ -933,6 +942,22 @@ object LlmQueries extends QueryPack {
     // signal. Ranking window runs over the vocabulary, not the corpus.
     "ta_zipf_ranks" -> { (s, dir) =>
       TextStats.zipfRanks(Tables.documents(s, dir), "text")
+    },
+
+    // Tokenizer fertility per lang: whitespace tokens vs the calibrated
+    // BPE estimate, ratio in exact ppm — the per-language budget skew a
+    // multilingual packing plan corrects for (CJK-like text tokenizes
+    // denser per whitespace token). One hash agg; all-integer face.
+    "ta_fertility" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+          CorpusOps.estBpeTokens(col("text")).as("bpe"))
+        .groupBy("lang")
+        .agg(sum(col("ws")).as("n_ws_tokens"),
+          sum(col("bpe")).as("n_bpe_est"))
+        .withColumn("fertility_ppm",
+          expr("(n_bpe_est * 1000000L) div n_ws_tokens"))
     },
 
     // Temperature-scaled (α = ½) multilingual sampling weights per lang —
@@ -1868,6 +1893,30 @@ object LlmQueries extends QueryPack {
         |FROM srctot st CROSS JOIN g CROSS JOIN tot t
         |LEFT JOIN bysrc b ON b.source = st.source AND b.t = g.t
         |GROUP BY 1, 2""".stripMargin,
+    // same pairs CTE as the jaccard oracles, bucketed into integer deciles
+    "dd_threshold_curve" ->
+      s"""WITH toks AS ($shingleSql),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co,
+         |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT (10 * co) // (n_a + n_b - co) AS jaccard_decile,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs GROUP BY 1""".stripMargin,
+    // mirrors ta_fertility: whitespace count vs the calibrated BPE
+    // estimate (same greatest/ceil chain as the ta_pack_bpe_est oracle)
+    "ta_fertility" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS ws,
+         |    CAST(greatest(ceil(length(text)/${sqlDouble(CorpusOps.DefaultCharsPerToken)}), 1) AS BIGINT) AS bpe
+         |  FROM documents)
+         |SELECT lang, CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+         |       CAST(sum(bpe) AS BIGINT) AS n_bpe_est,
+         |       (CAST(sum(bpe) AS BIGINT) * 1000000)
+         |         // CAST(sum(ws) AS BIGINT) AS fertility_ppm
+         |FROM d GROUP BY 1""".stripMargin,
     // mirrors TextStats.zipfRanks: total-order ranking (n DESC, token ASC)
     // and running-sum coverage in exact ppm floors
     "ta_zipf_ranks" ->

@@ -100,6 +100,23 @@ object SortSetQueries extends QueryPack {
       val ev = Tables.events(s, dir)
       ev.filter(col("event_type") === "purchase").select(col("user_id"))
         .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
+    },
+
+    // EXCEPT ALL — bag difference with multiplicity (each F-status
+    // occurrence cancels ONE occurrence of the key, not all): a customer
+    // with 3 orders of which 1 is F keeps 2 rows. The multiset semantics
+    // u3's set EXCEPT flattens.
+    "u5_except_all" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    },
+
+    // INTERSECT ALL — bag intersection (min of multiplicities per key).
+    "u6_intersect_all" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersectAll(ev.filter(col("event_type") === "error").select(col("user_id")))
     }
   )
 
@@ -139,6 +156,14 @@ object SortSetQueries extends QueryPack {
     "u4_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "u5_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "u6_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT ALL
         |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
   )
 }

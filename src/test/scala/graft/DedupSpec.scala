@@ -43,6 +43,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("jaccardYieldCurve histogram is consistent with the pair join it instruments") {
+    val curve = Dedup.jaccardYieldCurve(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // the histogram covers EVERY co-occurring pair: its mass equals the
+    // threshold-0 pair count of the same join
+    val allPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 1e-12).count()
+    assert(curve.values.sum === allPairs)
+    // the three ≥0.5 pairs of the fixture land at deciles ≥ 5, and the
+    // cumulative tail of the curve reproduces each threshold's yield
+    val ge5 = curve.filter(_._1 >= 5L).values.sum
+    assert(ge5 === 3L, s"curve tail ≥0.5 must match the threshold-0.5 yield: $curve")
+    // exact dups land in decile 10
+    assert(curve.getOrElse(10L, 0L) >= 1L, s"exact-dup pair missing from decile 10: $curve")
+  }
+
   test("ngramJaccardPairs maxDocFreq drops hot-bucket pairs, keeps cold ones, never adds") {
     // 2 cold identical docs (shingle freq 2) + 20 hot identical docs whose
     // every shingle has freq 20 — a pure quadratic bucket
