@@ -62,28 +62,43 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // materialize the inverted index once — it feeds the frequency filter
-    // and BOTH sides of the self-join (the dbt table-materialization
-    // analog). localCheckpoint, not persist: checkpoint blocks are
-    // reclaimed by the ContextCleaner once the DataFrame is unreferenced,
-    // so repeated calls in a long-lived session don't accumulate cached
-    // blocks the way an un-unpersisted cache entry would.
-    // Fault-tolerance trade-off (NOT equivalent to MEMORY_AND_DISK):
-    // localCheckpoint truncates lineage and stores UNREPLICATED
-    // executor-local blocks — on a multi-executor cluster an executor loss
-    // makes the job fail unrecoverably instead of recomputing, and lazy
-    // (eager=false) checkpoints have sharp edges under AQE recomputation.
-    // Acceptable here because the index is cheap to recompute by re-running
-    // the job; a deployment where partial progress is expensive should swap
-    // this for persist(MEMORY_AND_DISK) + explicit unpersist, or reliable
-    // checkpoint() to a checkpoint dir.
+                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+    coOccurrencePairs(df, textCol, idCol, n, maxDocFreq)
+      .withColumn("jaccard",
+        col("co").cast("double") / (col("n_a") + col("n_b") - col("co")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** The shared candidate stage of [[ngramJaccardPairs]] and
+    * [[jaccardYieldCurve]]: every co-occurring doc pair with its shared
+    * shingle count and both set sizes — (id_a, id_b, co, n_a, n_b),
+    * id_a < id_b.
+    *
+    * The inverted index materializes once — it feeds the frequency filter
+    * and BOTH sides of the self-join (the dbt table-materialization
+    * analog). localCheckpoint, not persist: checkpoint blocks are
+    * reclaimed by the ContextCleaner once the DataFrame is unreferenced,
+    * so repeated calls in a long-lived session don't accumulate cached
+    * blocks the way an un-unpersisted cache entry would.
+    * Fault-tolerance trade-off (NOT equivalent to MEMORY_AND_DISK):
+    * localCheckpoint truncates lineage and stores UNREPLICATED
+    * executor-local blocks — on a multi-executor cluster an executor loss
+    * makes the job fail unrecoverably instead of recomputing, and lazy
+    * (eager=false) checkpoints have sharp edges under AQE recomputation.
+    * Acceptable here because the index is cheap to recompute by re-running
+    * the job; a deployment where partial progress is expensive should swap
+    * this for persist(MEMORY_AND_DISK) + explicit unpersist, or reliable
+    * checkpoint() to a checkpoint dir.
+    *
+    * Frequency pruning: a shingle appearing in exactly one document cannot
+    * produce a pair — drop it before the self-join. On a real corpus most
+    * shingles are unique, so this shrinks the join input by ~an order of
+    * magnitude; the maxDocFreq cap handles the other tail (ultra-hot
+    * boilerplate shingles).
+    */
+  private def coOccurrencePairs(df: DataFrame, textCol: String, idCol: String,
+                                n: Int, maxDocFreq: Long): DataFrame = {
     val ix0 = shingleIndex(df, textCol, idCol, n).localCheckpoint(false)
-    // frequency pruning: a shingle appearing in exactly one document cannot
-    // produce a pair — drop it before the self-join. On a real corpus most
-    // shingles are unique, so this shrinks the join input by ~an order of
-    // magnitude; the maxDocFreq cap handles the other tail (ultra-hot
-    // boilerplate shingles).
     val freq = ix0.groupBy("shingle").count()
       .filter(col("count") > 1 && col("count") <= maxDocFreq)
       .select("shingle")
@@ -99,10 +114,6 @@ object Dedup {
     val sizes = ix0.select("id", "set_size").distinct()
     co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
       .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
-      .withColumn("jaccard",
-        col("co").cast("double") / (col("n_a") + col("n_b") - col("co")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Dedup yield curve: how many near-dup pairs each Jaccard threshold
@@ -126,26 +137,12 @@ object Dedup {
     */
   def jaccardYieldCurve(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minDecile: Long = 0L,
-                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val ix0 = shingleIndex(df, textCol, idCol, n).localCheckpoint(false)
-    val freq = ix0.groupBy("shingle").count()
-      .filter(col("count") > 1 && col("count") <= maxDocFreq)
-      .select("shingle")
-    val ix = ix0.join(freq, Seq("shingle")).select("id", "shingle")
-    val a = ix.select(col("id").as("id_a"), col("shingle"))
-    val b = ix.select(col("id").as("id_b"), col("shingle"))
-    val co = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("co"))
-    val sizes = ix0.select("id", "set_size").distinct()
-    co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
+                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+    coOccurrencePairs(df, textCol, idCol, n, maxDocFreq)
       .withColumn("jaccard_decile", expr("(10 * co) div (n_a + n_b - co)"))
       .filter(col("jaccard_decile") >= minDecile)
       .groupBy("jaccard_decile")
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin-style, Bayardo
     * et al. WWW'07; Xiao et al. WWW'08): identical output contract to

@@ -64,6 +64,14 @@ object Graph {
     * cell-for-cell and the face is oracle-comparable. `iters` is a
     * compile-time unroll like [[pageRankFixed]]'s.
     *
+    * Edge-direction contract: propagation follows src → dst, and the
+    * vertex set is the distinct `src` values (the [[pageRankFixed]]
+    * convention) — pass BOTH directions (as [[sharedChunkEdges]] emits)
+    * for undirected community detection. A vertex with no in-edges this
+    * round keeps its current label rather than vanishing (the left join
+    * below), so asymmetric input degrades to fewer updates, never to
+    * silently dropped vertices.
+    *
     * Scale shape per round: one edge⋈label join (shuffle on src), one
     * (dst, label) hash agg, one row_number window partitioned by vertex —
     * bounded by neighbor count, never global. Output: (id, community,
@@ -73,8 +81,9 @@ object Graph {
     require(iters >= 1, "iters >= 1")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    val verts = e.select(col("src").as("id")).distinct()
+      .localCheckpoint(false)
+    var labels = verts.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val cnt = e
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
@@ -82,9 +91,15 @@ object Graph {
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("id")
         .orderBy(col("n").desc, col("label").asc)
-      labels = cnt.withColumn("rn", row_number().over(w))
+      val winners = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select("id", "label")
+        .select(col("id"), col("label").as("new_label"))
+      // totality: a vertex with no in-edge this round keeps its label —
+      // on asymmetric input the old inner-join re-keying silently DROPPED
+      // such vertices round by round (empty output on a directed path)
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))

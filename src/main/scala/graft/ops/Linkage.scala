@@ -42,7 +42,11 @@ object Linkage {
     * than only the survivors: blocking quality (candidate count, match
     * density down the sort order) is the thing an SNM user tunes, so it
     * belongs on the face. Output: (id_a, id_b, inter, uni, is_match),
-    * id_a before id_b in rank order within the block.
+    * id_a before id_b in rank order within the block. A pair of records
+    * both too short to produce any `n`-gram (empty shingle sets) is NOT
+    * a match — the cross-multiplication alone would pass it vacuously
+    * (0 ≥ pct·0), declaring unrelated short records linked at every
+    * threshold, so the verdict additionally requires `uni > 0`.
     */
   def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[Column], sortKey: Column,
@@ -57,7 +61,7 @@ object Linkage {
     val ranked = df
       .select(Seq(col(idCol).as("id"), col(textCol)) ++ blocks: _*)
       .withColumn("tset",
-        array_distinct(TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)))
+        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n))
       .withColumn("rn", row_number().over(w))
       .drop(textCol)
     val a = ranked.select(
@@ -73,6 +77,7 @@ object Linkage {
       .withColumn("uni",
         (size(col("tset_a")) + size(col("tset_b"))).cast("long") - col("inter"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        (col("inter") * 100L >= lit(thresholdPct) * col("uni")).as("is_match"))
+        (col("uni") > 0L &&
+          col("inter") * 100L >= lit(thresholdPct) * col("uni")).as("is_match"))
   }
 }

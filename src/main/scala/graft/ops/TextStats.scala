@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Top-`k` TF-IDF terms per document. The IDF is the fixed-point
-    * rational `(N · scale) div df` — order-isomorphic to the real
-    * `log(N/df)` ranking per document (log is monotone; ties under the
-    * floor break by term ascending, deterministically), with no
-    * transcendental anywhere, so the whole face hash-compares.
+  /** Top-`k` LINEAR-idf salient terms per document: score =
+    * `tf · ((N · scale) div df)`. This is deliberately NOT classic
+    * log-damped TF-IDF — idf enters linearly, which over-rewards rarity
+    * relative to `tf · log(N/df)` (a tf=1 term at N/df=10 outranks a
+    * tf=4 term at N/df=2 here; log-TF-IDF ranks them the other way).
+    * The trade is determinism: the linear form is an exact integer, so
+    * the ranking (and the driver gate) is bit-stable where a log score
+    * diverges by engine and summation order. All three factors (tf, df,
+    * N via score/tf/df) are on the face, so a consumer wanting log
+    * damping can re-rank downstream.
     *
     * Scale shape: one explode + (doc, term) hash agg (map-side combined),
     * one term-keyed df agg, N as a 1-row broadcast cross join; the top-k
@@ -103,7 +108,12 @@ object TextStats {
     val srcTot = bySrc.groupBy("source").agg(sum(col("c_st")).as("tot_s"))
     val global = toks.groupBy("t").agg(count(lit(1)).as("c_t"))
     val tot = global.agg(sum(col("c_t")).as("tot"))
-    val spine = srcTot.crossJoin(global.crossJoin(broadcast(tot)))
+    // both cross factors carry explicit broadcast hints: srcTot is a
+    // grouped aggregate whose PLAN-side size estimate stays corpus-shaped,
+    // so without the hint Catalyst plans a CartesianProduct the moment the
+    // scan estimate clears the broadcast threshold — the hint is what
+    // makes the documented "broadcast cross join" spine actually hold
+    val spine = broadcast(srcTot).crossJoin(global.crossJoin(broadcast(tot)))
     spine
       .join(bySrc, Seq("source", "t"), "left")
       .select(col("source"), col("tot_s"),

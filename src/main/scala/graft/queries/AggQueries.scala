@@ -129,10 +129,15 @@ object AggQueries extends QueryPack {
     // combined hash agg and only k rows leave the cluster, and because x
     // is hours (exact BIGINT) and y is cents (exact BIGINT), the sums are
     // associative integers — no float summation order to diverge on.
+    // x is ANCHORED (hours since 2020-01-01, a fixed constant both
+    // engines share) rather than absolute epoch hours: slope/intercept
+    // shift trivially, but Σx² headroom goes from overflowing BIGINT at
+    // ~4·10⁷ rows per group (epoch hours ≈ 4.7·10⁵, x² ≈ 2.2·10¹¹) to
+    // safe past 10¹¹ rows — the scale the comment above claims.
     "a14_ols_suffstats" -> { (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
-          expr("unix_micros(ts) div 3600000000").as("x"),
+          expr("unix_micros(ts) div 3600000000 - 438288").as("x"),
           round(col("value") * 100, 0).cast("long").as("y"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -216,11 +221,12 @@ object AggQueries extends QueryPack {
         |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
         |CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
         |FROM events""".stripMargin,
-    // mirrors a14: x = event-time hours (BIGINT floor), y = exact cents;
-    // epoch_us // is DuckDB's integer floor-div twin of Spark's `div`
+    // mirrors a14: x = event-time hours since the 2020-01-01 anchor
+    // (BIGINT floor), y = exact cents; epoch_us // is DuckDB's integer
+    // floor-div twin of Spark's `div`
     "a14_ols_suffstats" ->
       """WITH e AS (SELECT event_type,
-        |        epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 - 438288 AS x,
         |        CAST(round(value * 100, 0) AS BIGINT) AS y
         |      FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,

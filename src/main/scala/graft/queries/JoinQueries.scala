@@ -287,7 +287,9 @@ object JoinQueries extends QueryPack {
         |       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
         |       CAST(len(a.tset) + len(b.tset)
         |            - len(list_intersect(a.tset, b.tset)) AS BIGINT) AS uni,
-        |       (100 * len(list_intersect(a.tset, b.tset)) >=
+        |       (len(a.tset) + len(b.tset)
+        |          - len(list_intersect(a.tset, b.tset)) > 0
+        |        AND 100 * len(list_intersect(a.tset, b.tset)) >=
         |        50 * (len(a.tset) + len(b.tset)
         |              - len(list_intersect(a.tset, b.tset)))) AS is_match
         |FROM r a JOIN r b

@@ -914,9 +914,11 @@ object LlmQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("community"), col("community_size"))
     },
 
-    // Top-3 TF-IDF terms per document in exact fixed point: the idf is
-    // the integer rational (N·10⁶) div df — order-isomorphic to log(N/df)
-    // per doc, no transcendental, hash-comparable (TextStats scaladoc).
+    // Top-3 salient terms per document under the LINEAR-idf score
+    // tf·((N·10⁶) div df) — deliberately not log-damped TF-IDF: the
+    // integer form is what makes the ranking engine-exact; tf/df/N all
+    // ride the face for downstream log re-ranking (TextStats scaladoc
+    // spells out where the two rankings diverge).
     "ta_tfidf_topk" -> { (s, dir) =>
       TextStats.tfIdfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3)
     },

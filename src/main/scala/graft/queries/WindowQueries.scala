@@ -333,8 +333,12 @@ object WindowQueries extends QueryPack {
         .orderBy(col("ts").asc, col("event_id").asc)
       val prev = lag(col("event_type"), 1).over(wu)
       Tables.events(s, dir)
+        // null-safe inequality (<=>) — the exact twin of the oracle's
+        // IS DISTINCT FROM: a NULL event_type must BREAK a run in both
+        // engines (prev.isNull || prev =!= type would let a NULL row
+        // silently continue the previous run on the Spark side only)
         .withColumn("brk",
-          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+          when(!(prev <=> col("event_type")), 1L).otherwise(0L))
         .withColumn("blk", sum(col("brk")).over(
           wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "blk")

@@ -55,6 +55,20 @@ class GraphSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("labelPropagation keeps every vertex on directed/asymmetric input") {
+    // the r11 review finding: the old inner-join re-keying dropped any
+    // vertex without in-edges each round — a directed path 1→2→3 lost all
+    // three vertices by round 3 and returned EMPTY. Vertices without an
+    // update must keep their current label instead.
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(directed, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // vertex set = distinct src (the pageRankFixed convention): {1, 2}
+    assert(got.keySet === Set(1L, 2L),
+      s"asymmetric input must not lose vertices: $got")
+    assert(got(1L) === 1L, "no in-edges → keeps its own label")
+  }
+
   test("sharedChunkEdges: chunk-sharing docs link, hot groups capped, symmetric") {
     val shared16 = (1 to 16).map(i => s"s$i").mkString(" ")
     val boiler16 = (1 to 16).map(i => s"b$i").mkString(" ")

@@ -34,6 +34,25 @@ class LinkageSpec extends SparkTestBase {
     assert(!pairs.contains((10L, 14L)))
   }
 
+  test("sortedNeighborPairs: two shingle-less records are NOT a vacuous match") {
+    // the r11 review finding: with both tsets empty, the bare
+    // cross-multiplication 0 >= pct*0 passed, declaring unrelated short
+    // records linked at every threshold; the verdict requires uni > 0
+    val short = Seq(
+      (1L, "red car"),       // < 3 tokens → empty 3-gram set
+      (2L, "blue dog"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Linkage.sortedNeighborPairs(short, "doc_id", "text",
+      blockCols = Seq(col("lang")), sortKey = col("text"),
+      window = 2, n = 3, thresholdPct = 50L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val both = got.find(r => Set(r._1, r._2) == Set(1L, 2L)).get
+    assert(both._3 === 0L && both._4 === 0L && !both._5,
+      s"empty-vs-empty must not match: $both")
+    assert(got.filter(_._5).isEmpty, s"nothing here is a true match: ${got.toSeq}")
+  }
+
   test("sortedNeighborPairs: blocks never pair across, candidate count is O(n·w)") {
     val two = fixture.withColumn("lang",
       when(col("doc_id") % 2 === 0, "en").otherwise("fr"))
