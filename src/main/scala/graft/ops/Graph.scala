@@ -65,12 +65,20 @@ object Graph {
     * compile-time unroll like [[pageRankFixed]]'s.
     *
     * Edge-direction contract: propagation follows src → dst, and the
-    * vertex set is the distinct `src` values (the [[pageRankFixed]]
-    * convention) — pass BOTH directions (as [[sharedChunkEdges]] emits)
-    * for undirected community detection. A vertex with no in-edges this
-    * round keeps its current label rather than vanishing (the left join
-    * below), so asymmetric input degrades to fewer updates, never to
-    * silently dropped vertices.
+    * vertex set is EVERY edge endpoint (src ∪ dst), each seeded with its
+    * own id as label₀ — pass BOTH directions (as [[sharedChunkEdges]]
+    * emits) for undirected community detection; on symmetric input the
+    * endpoint set equals the distinct src set, so this refines the old
+    * src-only convention without changing any undirected result. A
+    * vertex with no in-edges this round keeps its current label rather
+    * than vanishing: each round the
+    * vertex's own label rides along as an n=0 candidate row unioned into
+    * the neighbor counts before the window. An n=0 candidate can never
+    * outrank a real neighbor count (n ≥ 1), so vertices with in-edges are
+    * unaffected, while isolated-this-round vertices win with their own
+    * label — totality with zero extra joins (the previous formulation
+    * restored lost vertices with a vertex-keyed left join per round,
+    * which roughly doubled round cost).
     *
     * Scale shape per round: one edge⋈label join (shuffle on src), one
     * (dst, label) hash agg, one row_number window partitioned by vertex —
@@ -81,7 +89,8 @@ object Graph {
     require(iters >= 1, "iters >= 1")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val verts = e.select(col("src").as("id")).distinct()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(false)
     var labels = verts.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
@@ -89,17 +98,13 @@ object Graph {
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("n"))
+        // totality candidate: own label at n=0 (see scaladoc above)
+        .unionByName(labels.select(col("id"), col("label"), lit(0L).as("n")))
       val w = Window.partitionBy("id")
         .orderBy(col("n").desc, col("label").asc)
-      val winners = cnt.withColumn("rn", row_number().over(w))
+      labels = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("id"), col("label").as("new_label"))
-      // totality: a vertex with no in-edge this round keeps its label —
-      // on asymmetric input the old inner-join re-keying silently DROPPED
-      // such vertices round by round (empty output on a directed path)
-      labels = labels.join(winners, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("new_label"), col("label")).as("label"))
+        .select(col("id"), col("label"))
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))

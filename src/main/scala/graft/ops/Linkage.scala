@@ -80,4 +80,39 @@ object Linkage {
         (col("uni") > 0L &&
           col("inter") * 100L >= lit(thresholdPct) * col("uni")).as("is_match"))
   }
+
+  /** Multi-pass SNM (the production shape Hernández–Stolfo prescribe: the
+    * single-pass recall bound is repaired by re-running with INDEPENDENT
+    * block/sort keys and unioning candidates — a true match missed because
+    * one key ordering separated the pair is caught by a pass whose key
+    * agrees with the pair). Each element of `passes` is one
+    * (blockCols, sortKey) pass of [[sortedNeighborPairs]]; pairs are
+    * canonicalized to id_a < id_b (single-pass order is rank order, which
+    * differs between passes) and deduped, keeping `n_passes` = how many
+    * passes proposed the pair — the blocking-quality signal a linkage
+    * tuner reads (a pair found by every pass is cheap consensus; a pair
+    * found by exactly one shows which key ordering earns its keep).
+    *
+    * The verdict columns (inter, uni, is_match) depend only on the pair,
+    * not the pass, so the dedup aggregation takes them via max (all equal).
+    * Scale shape: each pass is the O(n·w) block-keyed self-join above;
+    * the union dedup is one shuffle on the canonical pair key.
+    */
+  def multiPassPairs(df: DataFrame, idCol: String, textCol: String,
+                     passes: Seq[(Seq[Column], Column)],
+                     window: Int = 2, n: Int = 3,
+                     thresholdPct: Long = 50L): DataFrame = {
+    require(passes.nonEmpty, "at least one pass")
+    passes.map { case (blockCols, sortKey) =>
+      sortedNeighborPairs(df, idCol, textCol, blockCols, sortKey,
+        window, n, thresholdPct)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          col("inter"), col("uni"), col("is_match"))
+    }.reduce(_ unionByName _)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("inter")).as("inter"), max(col("uni")).as("uni"),
+        max(col("is_match")).as("is_match"),
+        count(lit(1)).as("n_passes"))
+  }
 }

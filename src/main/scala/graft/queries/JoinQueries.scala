@@ -175,17 +175,23 @@ object JoinQueries extends QueryPack {
         .select(col("a_key"), col("b_key"), col("dist"))
     },
 
-    // Sorted-neighborhood blocking join (Hernández–Stolfo SNM): one pass
-    // blocked by (lang, first char), sorted by text, window 2, each
-    // candidate verified with exact integer 3-gram Jaccard. The FULL
-    // candidate table ships with the verdict — O(n·w) candidates instead
-    // of O(n²), the record-linkage sibling of the prefix-filter dedup
-    // stages (Linkage scaladoc on the recall-bounded contract).
+    // Sorted-neighborhood blocking join (Hernández–Stolfo SNM), TWO
+    // passes with independent keys as the method prescribes: pass 1
+    // blocked by (lang, first char) sorted by text, pass 2 blocked by
+    // (lang, LAST char) sorted by reverse(text) — a shared-suffix dup
+    // pair separated by pass 1's prefix ordering lands adjacent in pass
+    // 2. Candidates unioned + deduped with n_passes consensus; each
+    // verified with exact integer 3-gram Jaccard. Still O(n·w) per pass
+    // instead of O(n²) (Linkage scaladoc on the recall-bounded contract
+    // and its multi-pass repair).
     "j15_sorted_neighborhood" -> { (s, dir) =>
-      graft.ops.Linkage.sortedNeighborPairs(
+      graft.ops.Linkage.multiPassPairs(
         Tables.documents(s, dir), "doc_id", "text",
-        blockCols = Seq(col("lang"), substring(col("text"), 1, 1)),
-        sortKey = col("text"), window = 2, n = 3, thresholdPct = 50L)
+        passes = Seq(
+          (Seq(col("lang"), substring(col("text"), 1, 1)), col("text")),
+          (Seq(col("lang"), substring(reverse(col("text")), 1, 1)),
+            reverse(col("text")))),
+        window = 2, n = 3, thresholdPct = 50L)
     }
   )
 
@@ -269,31 +275,47 @@ object JoinQueries extends QueryPack {
         |FROM base l, r
         |WHERE abs(length(l.p_name) - length(r.b_name)) <= 1
         |  AND levenshtein(l.p_name, r.b_name) <= 1""".stripMargin,
-    // mirrors Linkage.sortedNeighborPairs: same blocks, same total sort
-    // order (text, doc_id), same window band, same integer Jaccard test
+    // mirrors Linkage.multiPassPairs: pass 1 (lang, first char, text
+    // order), pass 2 (lang, last char, reversed-text order), canonical
+    // pair union with n_passes consensus, same integer Jaccard test
     "j15_sorted_neighborhood" ->
-      """WITH r0 AS (SELECT doc_id, lang, substr(text, 1, 1) AS c1, text,
+      """WITH r0 AS (SELECT doc_id, lang, substr(text, 1, 1) AS c1,
+        |        substr(reverse(text), 1, 1) AS cz, text, reverse(text) AS xet,
         |        list_distinct(list_transform(
         |          range(greatest(len(string_split(text,' '))-2, 0)),
         |          i -> string_split(text,' ')[i+1] || ' ' ||
         |               string_split(text,' ')[i+2] || ' ' ||
         |               string_split(text,' ')[i+3])) AS tset
         |      FROM documents),
-        |r AS (SELECT doc_id, lang, c1, tset,
+        |r1 AS (SELECT doc_id, lang, c1, tset,
         |        row_number() OVER (PARTITION BY lang, c1
         |                           ORDER BY text, doc_id) AS rn
-        |      FROM r0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
-        |       CAST(len(a.tset) + len(b.tset)
-        |            - len(list_intersect(a.tset, b.tset)) AS BIGINT) AS uni,
-        |       (len(a.tset) + len(b.tset)
-        |          - len(list_intersect(a.tset, b.tset)) > 0
-        |        AND 100 * len(list_intersect(a.tset, b.tset)) >=
-        |        50 * (len(a.tset) + len(b.tset)
-        |              - len(list_intersect(a.tset, b.tset)))) AS is_match
-        |FROM r a JOIN r b
-        |  ON a.lang = b.lang AND a.c1 = b.c1
-        | AND b.rn > a.rn AND b.rn <= a.rn + 2""".stripMargin
+        |      FROM r0),
+        |r2 AS (SELECT doc_id, lang, cz, tset,
+        |        row_number() OVER (PARTITION BY lang, cz
+        |                           ORDER BY xet, doc_id) AS rn
+        |      FROM r0),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |         greatest(a.doc_id, b.doc_id) AS id_b,
+        |         a.tset AS ta, b.tset AS tb
+        |  FROM r1 a JOIN r1 b
+        |    ON a.lang = b.lang AND a.c1 = b.c1
+        |   AND b.rn > a.rn AND b.rn <= a.rn + 2
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+        |         a.tset, b.tset
+        |  FROM r2 a JOIN r2 b
+        |    ON a.lang = b.lang AND a.cz = b.cz
+        |   AND b.rn > a.rn AND b.rn <= a.rn + 2),
+        |v AS (SELECT id_a, id_b,
+        |        CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+        |        CAST(len(ta) + len(tb)
+        |             - len(list_intersect(ta, tb)) AS BIGINT) AS uni
+        |      FROM cand)
+        |SELECT id_a, id_b, max(inter) AS inter, max(uni) AS uni,
+        |       bool_or(uni > 0 AND 100 * inter >= 50 * uni) AS is_match,
+        |       CAST(count(*) AS BIGINT) AS n_passes
+        |FROM v GROUP BY 1, 2""".stripMargin
   )
 }

@@ -334,9 +334,10 @@ object WindowQueries extends QueryPack {
       val prev = lag(col("event_type"), 1).over(wu)
       Tables.events(s, dir)
         // null-safe inequality (<=>) — the exact twin of the oracle's
-        // IS DISTINCT FROM: a NULL event_type must BREAK a run in both
-        // engines (prev.isNull || prev =!= type would let a NULL row
-        // silently continue the previous run on the Spark side only)
+        // IS DISTINCT FROM: a NULL after a non-NULL breaks the run, while
+        // CONSECUTIVE NULL rows continue one shared NULL-typed run,
+        // identically in both engines (prev.isNull || prev =!= type would
+        // instead break on every NULL row, on the Spark side only)
         .withColumn("brk",
           when(!(prev <=> col("event_type")), 1L).otherwise(0L))
         .withColumn("blk", sum(col("brk")).over(

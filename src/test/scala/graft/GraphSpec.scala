@@ -58,15 +58,18 @@ class GraphSpec extends SparkTestBase {
   test("labelPropagation keeps every vertex on directed/asymmetric input") {
     // the r11 review finding: the old inner-join re-keying dropped any
     // vertex without in-edges each round — a directed path 1→2→3 lost all
-    // three vertices by round 3 and returned EMPTY. Vertices without an
-    // update must keep their current label instead.
+    // three vertices by round 3 and returned EMPTY. The r12 formulation
+    // (own-label n=0 candidate unioned into every round's counts) keeps
+    // the full endpoint set {1, 2, 3}: no-in-edge vertices keep their
+    // label, receivers propagate down the path.
     val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.labelPropagation(directed, iters = 3)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
-    // vertex set = distinct src (the pageRankFixed convention): {1, 2}
-    assert(got.keySet === Set(1L, 2L),
+    assert(got.keySet === Set(1L, 2L, 3L),
       s"asymmetric input must not lose vertices: $got")
     assert(got(1L) === 1L, "no in-edges → keeps its own label")
+    assert(got(2L) === 1L && got(3L) === 1L,
+      "labels flow down the directed path")
   }
 
   test("sharedChunkEdges: chunk-sharing docs link, hot groups capped, symmetric") {

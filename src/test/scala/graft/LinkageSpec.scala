@@ -53,6 +53,30 @@ class LinkageSpec extends SparkTestBase {
     assert(got.filter(_._5).isEmpty, s"nothing here is a true match: ${got.toSeq}")
   }
 
+  test("multiPassPairs: pass-2 (reverse key) catches the pair pass-1 misses") {
+    // the single-pass recall bound, repaired: (10, 14) share the suffix
+    // "p q r s t u v w" but sort 4 ranks apart on text (outside window=2)
+    // — pass 1 never pairs them; sorted by reverse(text) their shared
+    // suffix makes them ADJACENT and pass 2 emits the pair.
+    val got = Linkage.multiPassPairs(fixture, "doc_id", "text",
+      passes = Seq(
+        (Seq(col("lang")), col("text")),
+        (Seq(col("lang")), reverse(col("text")))),
+      window = 2, n = 3, thresholdPct = 50L)
+      .as[(Long, Long, Long, Long, Boolean, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    val caught = byPair.get((10L, 14L))
+    assert(caught.isDefined, s"pass 2 must catch the suffix dup: ${got.toSeq}")
+    assert(caught.get._5, "(10,14) is a true >=0.5-Jaccard match")
+    assert(caught.get._6 === 1L, "found by exactly one pass (the reverse key)")
+    // consensus: the adjacent near-dup is proposed by both passes
+    val both = byPair((10L, 11L))
+    assert(both._5 && both._6 === 2L, s"(10,11) is 2-pass consensus: $both")
+    // canonical order + dedup: every pair appears once, id_a < id_b
+    assert(got.forall(r => r._1 < r._2))
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+  }
+
   test("sortedNeighborPairs: blocks never pair across, candidate count is O(n·w)") {
     val two = fixture.withColumn("lang",
       when(col("doc_id") % 2 === 0, "en").otherwise("fr"))

@@ -4,19 +4,18 @@ uses — the single-process comparison row for BENCH_NOTES.md.
 
 Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [spark_bench.json]
 
-DuckDB timings are the median of 3 runs (mirrors Bench.scala's
-median-of-3). With a Spark bench JSON as the third arg, prints the
-per-query RATIOS table on the oracle-comparable subset and flags every
-query over the 2x-of-DuckDB bar, except:
+DuckDB timings are the MIN of 5 runs. Min, not median: host contention
+is strictly additive noise, so the minimum estimates the uncontended
+time and — unlike the median, which drifts ±10% when load shifts
+between whole invocations — lands floor-straddling queries stably on
+one side of the 50 ms floor run after run. (The r11 "(floor~)"
+hysteresis band existed solely to absorb that median flicker; with a
+stable estimator it is retired.) With a Spark bench JSON as the third
+arg, prints the per-query RATIOS table on the oracle-comparable subset
+and flags every query over the 2x-of-DuckDB bar, except:
 
 - (floor): DuckDB < 50 ms — the ratio measures planning constants, not
   data processing, on both sides;
-- (floor~): DuckDB in [50, 100) ms AND Spark under FLOOR_SPARK_S — the
-  borderline-floor band. The oracle re-times per invocation and drifts
-  ±10% with host load, so floor-straddling queries would flicker in and
-  out of the flag set run to run; the spark-side absolute ceiling keeps
-  a real plan regression (seconds of Spark against a sub-0.1 s oracle)
-  flagging;
 - (constant): the Spark excess over DuckDB is under 0.35 s — within
   Spark's fixed multi-stage scheduling overhead at local[32]/32
   partitions (measured: pure-map queries run 0.09-0.13 s regardless of
@@ -42,7 +41,6 @@ comparable subset smaller than MIN_COMPARABLE.
 """
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -51,9 +49,8 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-RUNS = 3
+RUNS = 5              # duck time = min of RUNS (see module docstring)
 DUCK_FLOOR_S = 0.05   # below this, the ratio measures planning constants
-FLOOR_SPARK_S = 1.5   # spark-side ceiling for the borderline-floor band
 CONSTANT_S = 0.35     # Spark fixed multi-stage scheduling overhead bound
 RATIO_BAR = 2.0
 MIN_COMPARABLE = 80   # enforced floor; oracle subset is ~111, headline ~31
@@ -266,7 +263,7 @@ def main():
                 t0 = time.monotonic()
                 con.execute(oracle[name]).fetchall()
                 samples.append(time.monotonic() - t0)
-            times[name] = statistics.median(samples)
+            times[name] = min(samples)
         except Exception as e:  # noqa: BLE001
             print(f"[duck] {name}: ERROR {e}")
     total = sum(times.values())
@@ -311,18 +308,6 @@ def main():
                     mark = f"  (explained, cap {cap * CAP_SCALE}s: {why})"
                 elif times[k] < DUCK_FLOOR_S:
                     mark = "  (floor)"
-                elif times[k] < 2 * DUCK_FLOOR_S and spark[k] < FLOOR_SPARK_S * CAP_SCALE:
-                    # borderline-floor hysteresis: the oracle re-times per
-                    # invocation and drifts +-10% with host load, so queries
-                    # whose duck time straddles the floor (w17_streaks
-                    # 0.044-0.053 s, tpch_q20 0.048-0.051 s measured) would
-                    # flicker in and out of the flag set run to run. Within
-                    # [floor, 2*floor) the ratio still measures planning
-                    # constants, not work — but only while the SPARK side is
-                    # itself small in absolute terms; a real plan regression
-                    # (seconds of Spark against a sub-0.1 s oracle) still
-                    # flags via the spark-side ceiling.
-                    mark = "  (floor~)"
                 elif spark[k] - times[k] < CONSTANT_S * CAP_SCALE:
                     mark = "  (constant)"
                 else:
