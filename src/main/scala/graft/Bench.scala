@@ -112,7 +112,8 @@ object Bench {
       "ta_bm25", "ta_pack", "ta_corpus_stats",
       "j7_asof", "j12_interval_bucket", "w4_rolling_avg", "w11_sessionize",
       "f1_explode_tokens", "o4_topk", "o6_grouped_topk", "sk_hll_card",
-      "ta_e2e_pipeline"
+      "ta_e2e_pipeline",
+      "nhl_fact_player_game_stats", "nhl_team_shot_metrics", "nhl_sog_props_v2"
     ).filter(med.contains)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nq":${names.size},"failed":${jarr(failed)},"queries":${jmap(med, headline)},"note":"headline subset; full map on total_detail line","sf":"$sfDir"}""")
     spark.stop()

@@ -20,7 +20,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ScanQueries, FilterQueries, ExplodeQueries, JoinQueries,
     AggQueries, WindowQueries, SortSetQueries, ScalarQueries, LlmQueries,
-    SketchQueries, TpchQueries)
+    SketchQueries, TpchQueries, NhlQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Pricing-summary
     * aggregate (A1-shaped) over lineitem — scan + filter + hash agg + sort.

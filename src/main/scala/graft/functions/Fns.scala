@@ -99,4 +99,26 @@ object Fns {
   /** Null-safe ratio: x / NULLIF(y, 0) (`team_shots_against_by_position.sql:61-62`). */
   def safeDiv(x: Column, y: Column): Column =
     x.cast("double") / nullif(y.cast("double"), lit(0.0))
+
+  /** `ROUND(num/den, 2)` computed on the EXACT rational with
+    * half-away-from-zero ties — Snowflake's ROUND-on-DECIMAL semantics
+    * (the reference's `ROUND(AVG(sog), 2)` etc. run on exact NUMBER
+    * averages, `team_shot_metrics.sql:24-36`). Evaluating `round` on an
+    * IEEE double instead silently diverges on values like 2.675 (stored as
+    * 2.67499…), and diverges BETWEEN engines (Spark rounds the shortest
+    * decimal rendering, DuckDB rounds via `x*100`): this integer form —
+    * `sign(n) * floor((200|n| + d) / (2d)) / 100` — is both the faithful
+    * semantics and bit-exact cross-engine. Returns null when `den` is
+    * null/0 (the models' `NULLIF(den, 0)` idiom). Inputs must be integer
+    * columns; floor-of-double is exact here because the quotient sits at
+    * least `1/(2·den)` from any integer, far above double error at these
+    * magnitudes.
+    */
+  def roundDiv2(num: Column, den: Column): Column = {
+    val n = num.cast("long")
+    val d = den.cast("long")
+    when(d.isNull || d === 0 || n.isNull, lit(null).cast("double"))
+      .otherwise(signum(n) *
+        floor((lit(200L) * abs(n) + d) / (lit(2L) * d)) / 100.0)
+  }
 }

@@ -27,7 +27,14 @@ object Metrics {
   def teamShotMetrics(factTeamGameStats: DataFrame): DataFrame = {
     val w = Window.partitionBy("team_id", "season")
       .orderBy(col("game_date").asc, col("game_id").asc)
-    def roll(n: Int) = round(avg(col("sog")).over(w.rowsBetween(-(n - 1), 0)), 2)
+    // ROUND(AVG(sog), 2) as sum/count on the exact rational (Fns.roundDiv2):
+    // Snowflake rounds the exact NUMBER average; round-of-double would both
+    // mis-round ties and diverge cross-engine.
+    def roll(n: Int) = {
+      val f = w.rowsBetween(-(n - 1), 0)
+      Fns.roundDiv2(sum(col("sog")).over(f), count(col("sog")).over(f))
+    }
+    val season = w.rowsBetween(Window.unboundedPreceding, 0)
     regSeason(factTeamGameStats)
       .select(col("team_id"), col("team_abbrev"), col("season"), col("game_id"),
         col("game_date"), col("sog"), col("sog_against"), col("goals"))
@@ -35,7 +42,7 @@ object Metrics {
       .withColumn("sog_avg_last5", roll(5))
       .withColumn("sog_avg_last10", roll(10))
       .withColumn("sog_avg_season",
-        round(avg(col("sog")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        Fns.roundDiv2(sum(col("sog")).over(season), count(col("sog")).over(season)))
       .withColumn("games_played_in_season", row_number().over(w))
   }
 
@@ -64,7 +71,8 @@ object Metrics {
       // eligibility gate (`player_shot_metrics.sql:178-203`): need at least
       // LEAST(n, team_total) - 1 appearances in the window, else NULL
       when(gamesInWindow >= least(lit(n), first(col("team_total_games"))) - 1,
-        round(avg(when(col("team_game_rank") <= n, col("sog"))), 2))
+        Fns.roundDiv2(sum(when(col("team_game_rank") <= n, col("sog"))),
+          count(when(col("team_game_rank") <= n, col("sog")))))
     }
 
     joined.groupBy("player_id", "player_name", "position", "team_id", "team_abbrev", "season")
@@ -73,9 +81,8 @@ object Metrics {
         first(col("team_total_games")).as("team_total_games"),
         sum("sog").as("total_sog"),
         sum("goals").as("total_goals"),
-        round(avg(col("sog")), 2).as("sog_per_game"),
-        round(lit(100.0) * sum("goals").cast("double") /
-          nullif(sum("sog").cast("double"), lit(0.0)), 2).as("shooting_pct"),
+        Fns.roundDiv2(sum(col("sog")), count(col("sog"))).as("sog_per_game"),
+        Fns.roundDiv2(lit(100) * sum("goals"), sum("sog")).as("shooting_pct"),
         lastN(3).as("sog_avg_last3_team_games"),
         lastN(5).as("sog_avg_last5_team_games"),
         lastN(10).as("sog_avg_last10_team_games"))
@@ -104,16 +111,20 @@ object Metrics {
 
     val w = Window.partitionBy("team_id", "season")
       .orderBy(col("game_date").asc, col("game_id").asc)
-    def roll(c: String, n: Int) = round(avg(col(c)).over(w.rowsBetween(-(n - 1), 0)), 2)
+    def roll(c: String, n: Int) = {
+      val f = w.rowsBetween(-(n - 1), 0)
+      Fns.roundDiv2(sum(col(c)).over(f), count(col(c)).over(f))
+    }
+    val season = w.rowsBetween(Window.unboundedPreceding, 0)
     perTeam
       .withColumn("fwd_sog_against_last5", roll("sog_against_forwards", 5))
       .withColumn("def_sog_against_last5", roll("sog_against_defense", 5))
       .withColumn("total_sog_against_season",
-        round(avg(col("sog_against_total")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        Fns.roundDiv2(sum(col("sog_against_total")).over(season),
+          count(col("sog_against_total")).over(season)))
       .withColumn("team_game_number", row_number().over(w))
       .withColumn("fwd_share_pct",
-        round(lit(100.0) * col("sog_against_forwards").cast("double") /
-          nullif(col("sog_against_total").cast("double"), lit(0.0)), 2))
+        Fns.roundDiv2(lit(100) * col("sog_against_forwards"), col("sog_against_total")))
   }
 
   /** `team_shot_locations.sql`: 5-ft |coord| bins (M6/A9), offense+defense
@@ -136,8 +147,7 @@ object Metrics {
         sum(when(col("shot_type") === "wrist", 1).otherwise(0)).as("wrist_shots"),
         sum(when(col("shot_type") === "slap", 1).otherwise(0)).as("slap_shots"))
       .withColumn("shooting_pct",
-        round(lit(100.0) * col("goals").cast("double") /
-          nullif(col("shot_attempts").cast("double"), lit(0.0)), 2))
+        Fns.roundDiv2(lit(100) * col("goals"), col("shot_attempts")))
       .withColumn("shot_context", lit(context))
 
     cell("shooting_team_id", "offense")
@@ -160,6 +170,5 @@ object Metrics {
         sum(when(col("is_goal"), 1).otherwise(0)).as("goals"),
         sum(when(col("event_type") === "shot-on-goal", 1).otherwise(0)).as("shots_on_goal"))
       .withColumn("shooting_pct",
-        round(lit(100.0) * col("goals").cast("double") /
-          nullif(col("shot_attempts").cast("double"), lit(0.0)), 2))
+        Fns.roundDiv2(lit(100) * col("goals"), col("shot_attempts")))
 }

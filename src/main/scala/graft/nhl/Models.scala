@@ -211,8 +211,7 @@ object Models {
 
     teamRows.join(playerAgg, Seq("game_id", "team_id", "home_away"), "left")
       .withColumn("shooting_pct",
-        round(lit(100.0) * col("goals").cast("double") /
-          nullif(col("sog").cast("double"), lit(0.0)), 2))
+        Fns.roundDiv2(lit(100) * col("goals"), col("sog")))
   }
 
   /** `fact_shot_events.sql`: latest PBP snapshot (W1) → explode plays (F3)

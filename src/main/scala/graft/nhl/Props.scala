@@ -275,11 +275,13 @@ object Props {
         sum(when(col("outcome") === "over", 1).otherwise(0)).as("n_over"),
         sum(when(col("outcome") === "under", 1).otherwise(0)).as("n_under"),
         sum(when(col("outcome") === "push", 1).otherwise(0)).as("n_push"),
-        round(lit(100.0) *
-          sum(when(col("outcome") === "over", 1).otherwise(0)).cast("double") /
-          nullif(count(when(col("outcome") =!= "push", lit(1))).cast("double"), lit(0.0)), 2)
-          .as("over_hit_pct"),
-        round(avg(col("beat_line_by")), 2).as("avg_beat_line_by"))
+        // exact-rational ROUND(…, 2) — see Fns.roundDiv2. beat_line_by is in
+        // half-unit steps (x.5 lines), so 2*beat is exactly integral and
+        // AVG rounds as (sum of halves)/(2*count).
+        Fns.roundDiv2(lit(100) * sum(when(col("outcome") === "over", 1).otherwise(0)),
+          count(when(col("outcome") =!= "push", lit(1)))).as("over_hit_pct"),
+        Fns.roundDiv2(sum((col("beat_line_by") * 2).cast("long")),
+          lit(2) * count(col("beat_line_by"))).as("avg_beat_line_by"))
 
     def overall(v2: DataFrame): DataFrame =
       hitStats(settled(v2).groupBy(lit("overall").as("scope")))

@@ -155,6 +155,19 @@ class PlanGuardSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
   }
 
+  test("no NHL model query plans a CartesianProduct; v1's fuzzy join keeps its date equi-key") {
+    // the v1 LIKE-containment matcher is the reference's own quadratic flaw,
+    // but it must stay quadratic-per-date (equi join on game_date with the
+    // name predicate as residual), never a full cross join; the rest of the
+    // model graph is equi-joins and windows throughout.
+    val family = SparkEntry.queries.keys.filter(_.startsWith("nhl_")).toSeq.sorted
+    val offenders = family.filter(n => finalPlan(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+    val v1 = finalPlan("nhl_sog_props_v1")
+    assert(v1.contains("SortMergeJoin") || v1.contains("ShuffledHashJoin") ||
+      v1.contains("BroadcastHashJoin"), "v1 actuals join lost its equi key:\n" + v1)
+  }
+
   test("w12_dist_bucketed: sketch boundaries aggregate partially, bounds broadcast") {
     // the production claim of the w12 twin: quartile boundaries come from
     // a MERGEABLE partial+final percentile_approx hash aggregate (partition
