@@ -120,6 +120,101 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Interpolated Kneser–Ney trigram language model (Chen–Goodman absolute
+    * discounting, D = 0.75) — the quality-filter LM a data pipeline trains
+    * on its own corpus to score perplexity/novelty. Per trigram type with
+    * `c3 >= minCount`:
+    *
+    *   p_kn = max(c3−D,0)/c12 + (D·T12/c12)·[ max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *          + (D·T2/N1+(·w2·))·(1/V) ]
+    *
+    * c3 = trigram token count, c12 = context token count, T12 = distinct
+    * continuations of (w1,w2); the lower order uses CONTINUATION counts
+    * (distinct-predecessor types, the KN insight) with a uniform 1/V base.
+    * Everything is integer counts; D = 0.75 is dyadic and every +,−,×,÷ is
+    * a single IEEE op on exact operands in a fixed tree, so p_kn is
+    * bit-identical cross-engine (the ta_bm25 exactness discipline).
+    * Scale shape: two hash aggregations on trigram/continuation grain plus
+    * entity-keyed windows — no joins wider than the type tables, V attached
+    * as a broadcast scalar.
+    */
+  def knTrigram(df: DataFrame, textCol: String, idCol: String,
+                minCount: Int = 2): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val g = split(col("g"), " ")
+    val tt = df.select(explode(TextOps.gramsFromTokens(toks, 3)).as("g"))
+      .select(g.getItem(0).as("w1"), g.getItem(1).as("w2"), g.getItem(2).as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val wCtx = Window.partitionBy("w1", "w2")
+    val ctx = tt
+      .withColumn("c12", sum("c3").over(wCtx))
+      .withColumn("t12", count(lit(1)).over(wCtx))
+    val wMid = Window.partitionBy("w2")
+    val mid = tt.groupBy("w2", "w3").agg(count(lit(1)).as("n_cont3"))
+      .withColumn("n_ctx2", sum("n_cont3").over(wMid))
+      .withColumn("t2", count(lit(1)).over(wMid))
+    val v = df.select(explode(toks).as("w")).agg(countDistinct("w").as("v"))
+    val d = lit(0.75)
+    val term1 = greatest(col("c3") - d, lit(0.0)) / col("c12")
+    val lam1 = d * col("t12") / col("c12")
+    val term2 = greatest(col("n_cont3") - d, lit(0.0)) / col("n_ctx2")
+    val lam2 = d * col("t2") / col("n_ctx2")
+    ctx.join(mid, Seq("w2", "w3")).crossJoin(broadcast(v))
+      .filter(col("c3") >= minCount)
+      .select(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("trigram"),
+        col("c3"), col("c12"), col("t12"), col("n_cont3"), col("n_ctx2"), col("t2"),
+        (term1 + lam1 * (term2 + lam2 * (lit(1.0) / col("v")))).as("p_kn"))
+  }
+
+  /** Cross-source quantile normalization — calibrate a per-source score
+    * (here: any integer column) onto the POOLED corpus distribution, the
+    * fix for "source A's quality scorer runs hot" before mixing corpora.
+    * Each (source, score) group maps at its source-CDF midpoint
+    * p = (2·cum_before + cnt) / (2·n_src) to the pooled score at index
+    * ceil(p·N) (1-based, clamped) — classic rank-interpolation QN, fully
+    * integer so the driver hash-compares it exactly.
+    *
+    * Scale shape: NO global per-row window (the naive rank-everything QN
+    * is a single-partition sort at 100 TB). Ranks come from score-BUCKET
+    * cumsums: one hash agg per (source, score), windows ordered over the
+    * tiny distinct-score domain, and the idx→pooled-score lookup is a
+    * broadcast range join against the distinct-score table. Per-doc work
+    * is one equi-join on (source, score).
+    */
+  def quantileNormalize(df: DataFrame, scoreCol: String, srcCol: String,
+                        idCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(scoreCol).cast("long").as("score"))
+    val wSrc = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcBuckets = docs.groupBy("source", "score").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wSrc))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n_src",
+        sum("cnt").over(Window.partitionBy("source")))
+    val wPool = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = docs.groupBy("score").agg(count(lit(1)).as("pcnt"))
+      .withColumn("pcum", sum("pcnt").over(wPool))
+      .withColumn("pcum_before", col("pcum") - col("pcnt"))
+      .select(col("score").as("norm_score"), col("pcum"), col("pcum_before"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    // idx = ceil(((2·cum_before + cnt) · N) / (2·n_src)), clamped to [1, N];
+    // floor-of-double is exact here (operands < 2^53, quotient ≥ 1/(2·n_src)
+    // from any integer — the roundDiv2 argument)
+    val num = (lit(2) * col("cum_before") + col("cnt")) * col("n_total") +
+      lit(2) * col("n_src") - 1
+    val idx = least(greatest(floor(num / (lit(2) * col("n_src"))).cast("long"),
+      lit(1L)), col("n_total"))
+    docs.join(srcBuckets, Seq("source", "score"))
+      .crossJoin(broadcast(n))
+      .withColumn("idx", idx)
+      .join(broadcast(pooled),
+        col("idx") > col("pcum_before") && col("idx") <= col("pcum"))
+      .select(col("doc_id"), col("source"), col("score"), col("idx"),
+        col("norm_score"))
+  }
+
   /** Deterministic train/val/test split by content-independent hash of the
     * id: the first hex digit of md5(id) buckets rows 16 ways, split by
     * lexicographic range — train '0'-'b' (12/16), val 'c'-'d' (2/16), test

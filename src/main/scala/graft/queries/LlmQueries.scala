@@ -842,6 +842,24 @@ object LlmQueries extends QueryPack {
       CorpusOps.bigramCounts(Tables.documents(s, dir), "text", "doc_id")
     },
 
+    // Interpolated Kneser-Ney trigram LM (D=0.75, continuation counts,
+    // uniform base) — every factor integer-exact, p_kn a fixed IEEE op
+    // tree, so the full smoothed probability is oracled bit-exactly.
+    "ta_kn_trigram" -> { (s, dir) =>
+      CorpusOps.knTrigram(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // Cross-source quantile normalization of doc length onto the pooled
+    // distribution (source = doc_id % 4) — all-integer rank interpolation,
+    // no global per-row window (score-bucket cumsums + broadcast lookup).
+    "ta_quantile_norm" -> { (s, dir) =>
+      CorpusOps.quantileNormalize(
+        Tables.documents(s, dir)
+          .withColumn("src", (col("doc_id") % 4).cast("int"))
+          .withColumn("len", length(col("text"))),
+        "len", "src", "doc_id")
+    },
+
     // BPE round-0 statistics: character-pair counts weighted by word
     // frequency — the oracled face of the BPE trainer (exact integers).
     "ta_bpe_pairs" -> { (s, dir) =>
@@ -1707,6 +1725,52 @@ object LlmQueries extends QueryPack {
         |bg AS (SELECT unnest(list_transform(range(greatest(len(tk)-1,0)),
         |         i -> tk[i+1] || ' ' || tk[i+2])) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1""".stripMargin,
+    "ta_kn_trigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |tg AS (SELECT unnest(list_transform(range(greatest(len(tk)-2,0)),
+        |         i -> [tk[i+1], tk[i+2], tk[i+3]])) AS g FROM t),
+        |tt AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS c3
+        |       FROM tg GROUP BY 1, 2, 3),
+        |ctx AS (SELECT *, CAST(SUM(c3) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+        |               COUNT(*) OVER (PARTITION BY w1, w2) AS t12 FROM tt),
+        |mid AS (SELECT *, CAST(SUM(n_cont3) OVER (PARTITION BY w2) AS BIGINT) AS n_ctx2,
+        |               COUNT(*) OVER (PARTITION BY w2) AS t2
+        |        FROM (SELECT w2, w3, COUNT(*) AS n_cont3 FROM tt GROUP BY 1, 2)),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |      FROM (SELECT unnest(tk) AS w FROM t))
+        |SELECT c.w1 || ' ' || c.w2 || ' ' || c.w3 AS trigram,
+        |  c.c3, c.c12, c.t12, m.n_cont3, m.n_ctx2, m.t2,
+        |  greatest(c.c3 - 7.5E-1, 0.0E0)/c.c12 + (7.5E-1*c.t12/c.c12) *
+        |    (greatest(m.n_cont3 - 7.5E-1, 0.0E0)/m.n_ctx2 +
+        |     (7.5E-1*m.t2/m.n_ctx2) * (1.0E0/v.v)) AS p_kn
+        |FROM ctx c JOIN mid m ON c.w2 = m.w2 AND c.w3 = m.w3
+        |CROSS JOIN v
+        |WHERE c.c3 >= 2""".stripMargin,
+    "ta_quantile_norm" ->
+      """WITH docs AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS source,
+        |         CAST(length(text) AS BIGINT) AS score FROM documents),
+        |sb AS (SELECT *, CAST(cum - cnt AS BIGINT) AS cum_before FROM (
+        |    SELECT source, score, COUNT(*) AS cnt,
+        |      CAST(SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |      CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |    FROM docs GROUP BY 1, 2)),
+        |pooled AS (SELECT score AS norm_score,
+        |      CAST(SUM(pcnt) OVER (ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pcum,
+        |      CAST(SUM(pcnt) OVER (ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pcnt AS BIGINT) AS pcum_before
+        |    FROM (SELECT score, COUNT(*) AS pcnt FROM docs GROUP BY 1)),
+        |n AS (SELECT COUNT(*) AS n_total FROM docs),
+        |withidx AS (
+        |  SELECT d.doc_id, d.source, d.score,
+        |    least(greatest(
+        |      ((2*b.cum_before + b.cnt) * n.n_total + 2*b.n_src - 1) // (2*b.n_src),
+        |      1), n.n_total) AS idx
+        |  FROM docs d JOIN sb b ON d.source = b.source AND d.score = b.score
+        |  CROSS JOIN n)
+        |SELECT w.doc_id, w.source, w.score, w.idx, p.norm_score
+        |FROM withidx w JOIN pooled p ON w.idx > p.pcum_before AND w.idx <= p.pcum""".stripMargin,
     "ta_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b' THEN 'train'

@@ -84,6 +84,40 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(offBand.count() === 0)
   }
 
+  test("knTrigram: counts and the exact KN op tree on a hand-computed corpus") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // trigram tokens: (a,b,c)x2, (b,c,a), (c,a,b), (a,b,d); V = {a,b,c,d}
+    val out = CorpusOps.knTrigram(docs, "text", "doc_id", minCount = 2).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("trigram") === "a b c")
+    assert(r.getAs[Long]("c3") === 2L)      // two occurrences
+    assert(r.getAs[Long]("c12") === 3L)     // (a,b,*) tokens: abc,abc,abd
+    assert(r.getAs[Long]("t12") === 2L)     // continuations of (a,b): c,d
+    assert(r.getAs[Long]("n_cont3") === 1L) // predecessors of (b,c): a
+    assert(r.getAs[Long]("n_ctx2") === 2L)  // N1+(. b .): (a,c),(a,d)
+    assert(r.getAs[Long]("t2") === 2L)      // types after b: c,d
+    // the EXACT op sequence the query and oracle both execute
+    val want = (2 - 0.75) / 3 + (0.75 * 2 / 3) *
+      ((1 - 0.75) / 2 + (0.75 * 2 / 2) * (1.0 / 4))
+    assert(r.getAs[Double]("p_kn") === want)
+  }
+
+  test("quantileNormalize: rank-interpolation onto the pooled distribution, hand-checked") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 100L), (5L, "b", 200L)
+    ).toDF("doc_id", "src", "sc")
+    val out = CorpusOps.quantileNormalize(docs, "sc", "src", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // pooled sorted: 10,20,30,100,200 (N=5); midpoint quantile per source rank
+    assert(out(1L) === ((1L, 10L)))   // a p=1/6  -> idx 1
+    assert(out(2L) === ((3L, 30L)))   // a p=3/6  -> idx 3
+    assert(out(3L) === ((5L, 200L)))  // a p=5/6  -> idx 5
+    assert(out(4L) === ((2L, 20L)))   // b p=1/4  -> idx 2
+    assert(out(5L) === ((4L, 100L)))  // b p=3/4  -> idx 4
+  }
+
   test("bigramCounts: all occurrences counted, not per-doc-distinct") {
     val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
     val counts = CorpusOps.bigramCounts(docs, "text", "doc_id")
