@@ -269,17 +269,22 @@ object Synthetic {
       .otherwise("player_shots_on_goal")
     val lineValue = when((q + ln) % 3 === 0, (q % 5).cast("double"))
       .otherwise((q % 5).cast("double") + 0.5)
-    val overP = (-(lit(100) + (q * 3 + s) % 60)).cast("int")
-    val underP = (lit(100) + (q * 5 + s) % 45).cast("int")
+    // prices key on s ONLY through s % 60 — see the tie argument below
+    val overP = (-(lit(100) + (q * 3 + s % 60) % 60)).cast("int")
+    val underP = (lit(100) + (q * 5 + s % 60) % 45).cast("int")
     val book1 = when(s % 4 === 0, "draftkings").when(s % 4 === 1, "fanduel")
       .when(s % 4 === 2, "betmgm").otherwise("pointsbet")
-    // last_update encodes (ln, s, q) injectively in (hour, minute, second):
-    // the driver's lineitem DUPLICATES l_linenumber within an order, so two
-    // same-book quotes for one prop can otherwise tie completely in the
-    // best-line window while carrying different lines — a full ordering tie
-    // must imply identical projected rows. Caesars quotes stamp the game
+    // last_update encodes (ln, s%5, q, s%60) in (hour, minute, second): the
+    // driver's lineitem DUPLICATES l_linenumber within an order, so two
+    // same-book quotes for one prop can tie completely in the best-line
+    // window — a full ordering tie must imply identical projected rows.
+    // A tie fixes (q, ln, s%60, s%5, s%4-via-book), and every projected
+    // value (line, prices) is a function of exactly those residues, so
+    // either engine's rank-1 pick projects identically. (suppkey is NOT
+    // bounded across scale factors — gen_sf offsets keys — so nothing may
+    // assume s < 100; hour stays in 0..9.) Caesars quotes stamp the game
     // date itself (book1 stamps the day before), staying strictly fresher.
-    val hour1 = (ln - 1) + (s / 60).cast("int") * 2 + s % 5 * 4
+    val hour1 = (ln - 1) + s % 5 * 2
     def updateAt(d: Column): Column = concat(
       d.cast("string"), lit(" "),
       lpad(hour1.cast("string"), 2, "0"), lit(":"),

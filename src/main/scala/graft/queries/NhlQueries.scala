@@ -298,12 +298,12 @@ object NhlQueries extends QueryPack {
       |              ELSE 'player_shots_on_goal' END AS market_key,
       |         CASE WHEN (l.q + l.l_linenumber) % 3 = 0 THEN CAST(l.q % 5 AS DOUBLE)
       |              ELSE CAST(l.q % 5 AS DOUBLE) + 0.5 END AS line_value,
-      |         CAST(-(100 + (l.q*3 + l.l_suppkey) % 60) AS INTEGER) AS over_p,
-      |         CAST(100 + (l.q*5 + l.l_suppkey) % 45 AS INTEGER) AS under_p,
+      |         CAST(-(100 + (l.q*3 + l.l_suppkey % 60) % 60) AS INTEGER) AS over_p,
+      |         CAST(100 + (l.q*5 + l.l_suppkey % 60) % 45 AS INTEGER) AS under_p,
       |         CASE WHEN l.l_suppkey % 4 = 0 THEN 'draftkings'
       |              WHEN l.l_suppkey % 4 = 1 THEN 'fanduel'
       |              WHEN l.l_suppkey % 4 = 2 THEN 'betmgm' ELSE 'pointsbet' END AS book1,
-      |         CAST((l.l_linenumber - 1) + (l.l_suppkey // 60) * 2 + l.l_suppkey % 5 * 4 AS INTEGER) AS hour1
+      |         CAST((l.l_linenumber - 1) + l.l_suppkey % 5 * 2 AS INTEGER) AS hour1
       |  FROM lq l JOIN games g ON l.l_orderkey = g.game_id
       |  WHERE l.l_linenumber <= 2)""".stripMargin
 
