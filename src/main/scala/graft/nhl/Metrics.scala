@@ -55,16 +55,18 @@ object Metrics {
   def playerShotMetrics(factPlayerGameStats: DataFrame): DataFrame = {
     val reg = regSeason(factPlayerGameStats)
 
-    // team-game recency rank: 1 = team's most recent game in season
-    val teamGames = reg.select("team_id", "season", "game_id", "game_date").distinct()
+    // team-game recency rank: 1 = team's most recent game in season.
+    // dense_rank over the player rows ≡ row_number over the DISTINCT
+    // team-games joined back ((game_date, game_id) is unique per game), but
+    // costs ONE shuffle instead of distinct + window + join — and the two
+    // windows share a partitioning, so they ride one exchange.
     val wDesc = Window.partitionBy("team_id", "season")
       .orderBy(col("game_date").desc, col("game_id").desc)
-    val ranked = teamGames
-      .withColumn("team_game_rank", row_number().over(wDesc))
+    val joined = reg
+      .withColumn("team_game_rank", dense_rank().over(wDesc))
       .withColumn("team_total_games",
-        count(lit(1)).over(Window.partitionBy("team_id", "season")))
-
-    val joined = reg.join(ranked, Seq("team_id", "season", "game_id", "game_date"))
+        max(col("team_game_rank")).over(Window.partitionBy("team_id", "season"))
+          .cast("long")) // count-typed, as the distinct-and-count form was
 
     def lastN(n: Int) = {
       val gamesInWindow = count(when(col("team_game_rank") <= n, lit(1)))
@@ -94,20 +96,25 @@ object Metrics {
     */
   def teamShotsAgainstByPosition(factPlayerGameStats: DataFrame): DataFrame = {
     val reg = regSeason(factPlayerGameStats)
-    // shots by players AGAINST the opposing team: re-key each player-game
-    // row to the defending side
-    val against = reg.withColumn("defending_home_away",
-      when(col("home_away") === "home", "away").otherwise("home"))
-    val teamGameSides = reg.select("game_id", "team_id", "team_abbrev", "home_away",
-      "season", "game_date").distinct()
-    val conceded = against
-      .groupBy(col("game_id"), col("season"), col("game_date"),
-        col("defending_home_away").as("home_away"))
+    // one aggregation to (game, side) grain, then a tiny self-join swaps
+    // each side's sums onto the DEFENDING team — same semantics as the
+    // reference's re-key-and-join (a side appears iff both sides dressed
+    // players), but the join and swap run on the aggregated frame, not two
+    // passes over the player rows.
+    val perSide = reg
+      .groupBy("game_id", "season", "game_date", "home_away", "team_id", "team_abbrev")
       .agg(
-        sum(when(col("position_type") === "F", col("sog")).otherwise(0)).as("sog_against_forwards"),
-        sum(when(col("position_type") === "D", col("sog")).otherwise(0)).as("sog_against_defense"),
-        sum(col("sog")).as("sog_against_total"))
-    val perTeam = teamGameSides.join(conceded, Seq("game_id", "season", "game_date", "home_away"))
+        sum(when(col("position_type") === "F", col("sog")).otherwise(0)).as("f_sog"),
+        sum(when(col("position_type") === "D", col("sog")).otherwise(0)).as("d_sog"),
+        sum(col("sog")).as("t_sog"))
+    val opp = perSide.select(col("game_id").as("o_gid"), col("home_away").as("o_side"),
+      col("f_sog").as("sog_against_forwards"),
+      col("d_sog").as("sog_against_defense"),
+      col("t_sog").as("sog_against_total"))
+    val perTeam = perSide
+      .select("game_id", "season", "game_date", "home_away", "team_id", "team_abbrev")
+      .join(opp, col("game_id") === col("o_gid") && col("home_away") =!= col("o_side"))
+      .drop("o_gid", "o_side")
 
     val w = Window.partitionBy("team_id", "season")
       .orderBy(col("game_date").asc, col("game_id").asc)

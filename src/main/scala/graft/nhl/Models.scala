@@ -109,17 +109,26 @@ object Models {
     * headshot URL (`dim_player.sql:77`).
     */
   def dimPlayer(stgPlayerGameStats: DataFrame): DataFrame = {
-    val w = Window.partitionBy("player_id")
-      .orderBy(col("game_date").desc, col("game_id").desc,
-        col("team_id").asc, col("position").asc)
+    // ROW_NUMBER()=1 over (date DESC, id DESC, team ASC, pos ASC) as a
+    // MIN_BY on the equivalent composite key: a partial-aggregating hash
+    // agg (map-side combine) instead of a full-shuffle window — at scale
+    // the per-player rows combine within partitions before the exchange.
+    // Ties project identically (name/abbrev/type are functions of the tied
+    // keys), so the pick is deterministic either way.
+    val ord = struct(
+      (lit(0) - datediff(col("game_date"), lit("1970-01-01").cast("date"))).as("d"),
+      (lit(0L) - col("game_id")).as("g"),
+      col("team_id").as("t"),
+      col("position").as("p"))
+    val row = struct(col("player_name"), col("position"), col("position_type"),
+      col("team_id"), col("team_abbrev"))
     stgPlayerGameStats
-      .select("player_id", "player_name", "position", "position_type",
-        "team_id", "team_abbrev", "game_date", "game_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("player_id"), col("player_name"), col("position"),
-        col("position_type"), col("team_id").as("current_team_id"),
-        col("team_abbrev").as("current_team_abbrev"),
+      .groupBy("player_id")
+      .agg(min_by(row, ord).as("r"))
+      .select(col("player_id"), col("r.player_name").as("player_name"),
+        col("r.position").as("position"), col("r.position_type").as("position_type"),
+        col("r.team_id").as("current_team_id"),
+        col("r.team_abbrev").as("current_team_abbrev"),
         concat(lit("https://assets.nhle.com/mugs/nhl/latest/"),
           col("player_id").cast("string"), lit(".png")).as("headshot_url"))
   }

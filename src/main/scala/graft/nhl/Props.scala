@@ -56,11 +56,19 @@ object Props {
     * odds_player_name) = 1` (W3, `:111`).
     */
   def stgPlayerNameCrosswalk(oddsNames: DataFrame, nhlPlayers: DataFrame): DataFrame = {
+    // materialize the two name tables: Snowflake evaluates each CTE once,
+    // but the DataFrame DAG re-evaluates shared subtrees per reference —
+    // the strategy cascade below references them ~4x through its
+    // anti-joins, which re-ran the full corpus DISTINCTs each time
+    // (measured 21 s warm at sf0.1; ~1 s materialized). Both tables are
+    // distinct-name-sized (thousands of rows), not corpus-sized.
     val odds = oddsNames.select(col("odds_player_name")).distinct()
       .withColumn("odds_norm", Fns.normalizeName(col("odds_player_name")))
+      .localCheckpoint()
     val nhl = nhlPlayers
       .select(col("player_id"), col("player_name")).distinct()
       .withColumn("nhl_norm", Fns.normalizeName(col("player_name")))
+      .localCheckpoint()
 
     val exact = odds.join(nhl, upper(trim(col("odds_player_name"))) === upper(trim(col("player_name"))))
       .select(col("odds_player_name"), col("player_id"), col("player_name"),

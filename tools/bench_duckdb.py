@@ -245,6 +245,34 @@ EXPLAINED = {
     "j6_theta_residual": (2.0, "constant-dominated: 0.47 s @sf0.01 vs "
         "0.56 s @sf0.1 warm (+20% on 10x data); equi-join with OR "
         "residual, two exchanges + probe stage constants"),
+    # nhl_* (r12): the Spark side runs the LIVE production model over the
+    # bronze payload shape; the oracle re-derives values from the raw
+    # tables by the algebraic shortcut (no nesting, no snapshot window) —
+    # plus the usual multi-stage constants at toy SF. All measured warm,
+    # constant-dominated on 10x data:
+    "nhl_stg_games": (2.0, "live bronze nesting (collect_list payloads) + "
+        "latest-snapshot window vs the oracle's direct orders projection; "
+        "1.13 s @sf0.01 vs 0.70 s @sf0.1 warm (flat on 10x data)"),
+    "nhl_dim_player": (2.0, "constant-dominated min_by hash agg over the "
+        "materialized staging: 1.27 s @sf0.01 vs 0.84 s @sf0.1 warm (flat "
+        "on 10x data)"),
+    "nhl_team_shots_against_pos": (3.0, "constant-dominated agg + "
+        "side-swap self-join + 3 windows: 1.70 s @sf0.01 vs 1.75 s "
+        "@sf0.1 warm (flat on 10x data)"),
+    "nhl_team_shot_locations": (2.0, "two grouping passes (offense + "
+        "defense contexts) + union: 0.35 s @sf0.01 vs 0.91 s @sf0.1 warm "
+        "(10x data, sub-linear)"),
+    "nhl_crosswalk": (4.5, "the live 3-strategy cascade (2 anti-joins, 3 "
+        "matcher joins, ambiguity window) over materialized name tables; "
+        "constant-dominated at toy SF — 2.75 s @sf0.1 warm, and the name "
+        "tables grow with vocabulary, not corpus"),
+    "nhl_sog_props_v2": (6.0, "the live 8-stage v2 pipeline (best-line "
+        "window, pivot, crosswalk + fuzzy fallback windows, roster + "
+        "actuals joins): 3.61 s @sf0.1 warm vs the oracle's ~2.8 s "
+        "re-derivation; stage constants dominate the 1.3x gap"),
+    "ta_kn_trigram": (2.0, "constant-dominated 6-stage KN stack (2 hash "
+        "aggs, 2 windows, join, broadcast V): 0.97 s @sf0.01 vs 0.76 s "
+        "@sf0.1 warm (flat on 10x data; output is vocabulary-shaped)"),
 }
 
 
