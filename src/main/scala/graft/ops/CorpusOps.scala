@@ -166,6 +166,53 @@ object CorpusOps {
         (term1 + lam1 * (term2 + lam2 * (lit(1.0) / col("v")))).as("p_kn"))
   }
 
+  /** CCNet-style LM quality filter faces: score every document by how many
+    * of its trigram OCCURRENCES the corpus-trained [[knTrigram]] model
+    * finds improbable. The classic formulation thresholds per-doc
+    * perplexity — a sum of logs no two engines evaluate identically — so
+    * this face keeps the verdict engine-exact by BUCKETING instead:
+    * each occurrence is OOV (pruned from the LM by `minCount`, the
+    * strongest signal), low-probability (`p_kn < lowP`, an exact
+    * comparison of the bit-exact p_kn double against a literal), or fine;
+    * the doc-level `bad_share` is one IEEE divide of exact counts and the
+    * keep verdict one exact comparison. Same monotone-face discipline as
+    * the entropy/repetition filters.
+    *
+    * Docs with fewer than 3 tokens have no trigrams and carry no LM
+    * evidence; they are absent from the output (the shingle-family
+    * totality contract).
+    *
+    * Scale shape: the LM is trigram-TYPE-shaped (sublinear in corpus
+    * tokens under `minCount` pruning); occurrences hash-join it on the
+    * trigram key — one token-linear shuffle — and fold into a doc-keyed
+    * aggregation with map-side partials. No window, no pair join.
+    */
+  def knSurprisal(df: DataFrame, textCol: String, idCol: String,
+                  minCount: Int = 2, lowP: Double = 1e-3,
+                  maxBadShare: Double = 0.05): DataFrame = {
+    val lm = knTrigram(df, textCol, idCol, minCount)
+      .select(col("trigram"), col("p_kn"))
+    val occ = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.gramsFromTokens(TextOps.tokens(col(textCol)), 3))
+        .as("trigram"))
+    occ.join(lm, Seq("trigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("p_kn").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("p_kn") < lowP, 1L).otherwise(0L)).as("n_lowp"))
+      .withColumn("bad_share",
+        (col("n_oov") + col("n_lowp")).cast("double") / col("n_trigrams"))
+      // integer decile twin of bad_share (the dd_threshold_curve
+      // discipline): a threshold-sweep face that cannot flicker at bucket
+      // boundaries. floor-of-double is exact: operands < 2^53 and an
+      // integer-valued quotient divides exactly (the quantileNormalize
+      // argument), matching DuckDB's `//`
+      .withColumn("bad_decile",
+        floor(lit(10L) * (col("n_oov") + col("n_lowp")) / col("n_trigrams"))
+          .cast("long"))
+      .withColumn("keep", col("bad_share") <= maxBadShare)
+  }
+
   /** Cross-source quantile normalization — calibrate a per-source score
     * (here: any integer column) onto the POOLED corpus distribution, the
     * fix for "source A's quality scorer runs hot" before mixing corpora.

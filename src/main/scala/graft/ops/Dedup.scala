@@ -69,6 +69,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Near-SUBSET duplicate pairs: containment C = |A∩B| / min(|A|,|B|) —
+    * the asymmetric overlap measure that catches a document embedded
+    * whole inside a larger one (quote-inclusion, article + wrapper
+    * boilerplate, truncated re-crawls), which symmetric Jaccard
+    * structurally under-scores: a doc fully contained in one 4× its size
+    * has J = 1/4 but C = 1. Corpus self-pair twin of the probe-directed
+    * [[containmentPairs]] (decontamination); both jaccard and containment
+    * are emitted so the `containment ≥ t > jaccard` rows — the pairs ONLY
+    * this operator finds — are visible in the output.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — the shared
+    * [[coOccurrencePairs]] inverted-index join bounded by `maxDocFreq`,
+    * then per-pair arithmetic; both scores are single IEEE ops on exact
+    * integers, so verdicts are engine-exact.
+    */
+  def containmentSelfPairs(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           maxDocFreq: Long = Long.MaxValue): DataFrame =
+    coOccurrencePairs(df, textCol, idCol, n, maxDocFreq)
+      .withColumn("containment",
+        col("co").cast("double") / least(col("n_a"), col("n_b")))
+      .withColumn("jaccard",
+        col("co").cast("double") / (col("n_a") + col("n_b") - col("co")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "co", "n_a", "n_b", "containment", "jaccard")
+
   /** The shared candidate stage of [[ngramJaccardPairs]] and
     * [[jaccardYieldCurve]]: every co-occurring doc pair with its shared
     * shingle count and both set sizes — (id_a, id_b, co, n_a, n_b),

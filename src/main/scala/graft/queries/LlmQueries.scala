@@ -246,6 +246,24 @@ object LlmQueries extends QueryPack {
         n = 3)
     },
 
+    // Near-SUBSET pairs: containment |A∩B|/min(|A|,|B|) over the corpus
+    // plus planted snippet docs (every doc_id % 5 == 2 contributes its
+    // first 2/5 of tokens under doc_id + 1e12 — the corpus carries no
+    // natural subset pairs, same planting rationale as dd_chunk_dedup).
+    // Snippet⊂parent pairs score containment 1.0 at jaccard ≈ 0.4: the
+    // asymmetric band symmetric Jaccard structurally misses.
+    "dd_containment" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val t = TextOps.tokens(col("text"))
+      val snip = docs.filter(col("doc_id") % 5 === 2).select(
+        (col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        concat_ws(" ",
+          slice(t, lit(1), greatest(floor(size(t) * 2 / 5).cast("int"), lit(5))))
+          .as("text"))
+      Dedup.containmentSelfPairs(docs.unionByName(snip), "text", "doc_id",
+        n = 3, threshold = 0.9)
+    },
+
     // MinHash+LSH near-dup pairs (banded candidates + exact verification);
     // output contract equals dd_ngram_jaccard — same oracle.
     "dd_minhash_lsh" -> { (s, dir) =>
@@ -847,6 +865,18 @@ object LlmQueries extends QueryPack {
     // tree, so the full smoothed probability is oracled bit-exactly.
     "ta_kn_trigram" -> { (s, dir) =>
       CorpusOps.knTrigram(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // CCNet-style LM quality filter over the KN trigram model: per-doc
+    // OOV / low-probability trigram-occurrence counts with an exact
+    // bucketed verdict (a log-sum perplexity would not be engine-exact;
+    // the p_kn < 1e-3 comparison on the bit-exact double is). keep<=0.05
+    // is corpus-calibrated to stay LIVE at every SF (drops 457/500 at
+    // sf0.001, ~460/500 at sf0.01, 25/5000 at sf0.1 — OOV share falls as
+    // LM coverage grows with the corpus, the real-pipeline behavior);
+    // bad_decile is the all-integer threshold-sweep face.
+    "ta_kn_surprisal" -> { (s, dir) =>
+      CorpusOps.knSurprisal(Tables.documents(s, dir), "text", "doc_id")
     },
 
     // Cross-source quantile normalization of doc length onto the pooled
@@ -1477,6 +1507,30 @@ object LlmQueries extends QueryPack {
       s"""WITH p AS ($jaccardPairsSql)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM p)""".stripMargin,
+    // snippet planting: first max(floor(2n/5), 5) tokens under doc_id+1e12;
+    // '//' (not CAST of the fractional divide) because DuckDB's
+    // double->int CAST rounds while Spark's truncates
+    "dd_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |sn AS (SELECT doc_id + 1000000000000 AS doc_id,
+        |    array_to_string(string_split(text,' ')[1:greatest(
+        |      (len(string_split(text,' '))*2)//5, 5)], ' ') AS text
+        |  FROM base WHERE doc_id % 5 = 2),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM sn),
+        |toks AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(string_split(text,' '))-2,0)),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |         || ' ' || string_split(text,' ')[i+3])) AS sh FROM docs),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co,
+        |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2)
+        |SELECT id_a, id_b, co, n_a, n_b,
+        |  co*1.0/least(n_a,n_b) AS containment,
+        |  co*1.0/(n_a+n_b-co) AS jaccard
+        |FROM pairs WHERE co*1.0/least(n_a,n_b) >= 9.0E-1""".stripMargin,
     "dd_incremental_neardup" ->
       s"""WITH toks AS ($shingleSql),
          |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
@@ -1746,6 +1800,38 @@ object LlmQueries extends QueryPack {
         |FROM ctx c JOIN mid m ON c.w2 = m.w2 AND c.w3 = m.w3
         |CROSS JOIN v
         |WHERE c.c3 >= 2""".stripMargin,
+    // ta_kn_trigram's LM as a CTE, then per-doc occurrence buckets; SUMs
+    // cast to BIGINT (DuckDB widens to HUGEINT, Spark stays long)
+    "ta_kn_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |tg AS (SELECT unnest(list_transform(range(greatest(len(tk)-2,0)),
+        |         i -> [tk[i+1], tk[i+2], tk[i+3]])) AS g FROM t),
+        |tt AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS c3
+        |       FROM tg GROUP BY 1, 2, 3),
+        |ctx AS (SELECT *, CAST(SUM(c3) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+        |               COUNT(*) OVER (PARTITION BY w1, w2) AS t12 FROM tt),
+        |mid AS (SELECT *, CAST(SUM(n_cont3) OVER (PARTITION BY w2) AS BIGINT) AS n_ctx2,
+        |               COUNT(*) OVER (PARTITION BY w2) AS t2
+        |        FROM (SELECT w2, w3, COUNT(*) AS n_cont3 FROM tt GROUP BY 1, 2)),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |      FROM (SELECT unnest(tk) AS w FROM t)),
+        |lm AS (SELECT c.w1 || ' ' || c.w2 || ' ' || c.w3 AS trigram,
+        |  greatest(c.c3 - 7.5E-1, 0.0E0)/c.c12 + (7.5E-1*c.t12/c.c12) *
+        |    (greatest(m.n_cont3 - 7.5E-1, 0.0E0)/m.n_ctx2 +
+        |     (7.5E-1*m.t2/m.n_ctx2) * (1.0E0/v.v)) AS p_kn
+        |  FROM ctx c JOIN mid m ON c.w2 = m.w2 AND c.w3 = m.w3
+        |  CROSS JOIN v WHERE c.c3 >= 2),
+        |occ AS (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2,0)),
+        |         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS trigram FROM t),
+        |d AS (SELECT o.doc_id, COUNT(*) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN l.p_kn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN l.p_kn < 1.0E-3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowp
+        |  FROM occ o LEFT JOIN lm l USING (trigram) GROUP BY 1)
+        |SELECT doc_id, n_trigrams, n_oov, n_lowp,
+        |  CAST(n_oov + n_lowp AS DOUBLE)/n_trigrams AS bad_share,
+        |  CAST((10*(n_oov + n_lowp))//n_trigrams AS BIGINT) AS bad_decile,
+        |  CAST(n_oov + n_lowp AS DOUBLE)/n_trigrams <= 5.0E-2 AS keep
+        |FROM d""".stripMargin,
     "ta_quantile_norm" ->
       """WITH docs AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS source,
         |         CAST(length(text) AS BIGINT) AS score FROM documents),

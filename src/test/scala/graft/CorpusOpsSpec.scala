@@ -523,4 +523,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L) === ((3L, 0L, 1L, -1L, false, false)))
     assert(out(4L) === ((4L, 0L, 1L, -1L, false, false)))
   }
+
+  test("knSurprisal flags the all-OOV outlier, keeps corpus-typical docs, drops trigram-less docs") {
+    // 3 copies of the base doc push every base trigram to count 3 >= minCount;
+    // the gibberish doc's trigrams are singletons -> pruned from the LM -> OOV
+    val base = "the cat sat on the mat and then the cat slept well today friends"
+    val d = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, "qzx wvu tsr qpo nml kji hgf edc bax zzy yyx xxw wwv vvu"),
+      (5L, "one two") // fewer than 3 tokens: no trigrams, absent from output
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.knSurprisal(d, "text", "doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L, 4L))
+    val bad = out.find(_.getAs[Long]("doc_id") == 4L).get
+    assert(bad.getAs[Long]("n_oov") === bad.getAs[Long]("n_trigrams"))
+    assert(bad.getAs[Long]("bad_decile") === 10L)
+    assert(!bad.getAs[Boolean]("keep"))
+    val good = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(good.getAs[Long]("n_oov") === 0L)
+    assert(good.getAs[Long]("bad_decile") === 0L)
+    assert(good.getAs[Boolean]("keep"))
+  }
 }

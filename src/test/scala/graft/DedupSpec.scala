@@ -489,4 +489,21 @@ class DedupSpec extends SparkTestBase {
   test("dd_span_dedup's planted paragraph is exactly 20 tokens") {
     assert(graft.queries.LlmQueries.SpanPara.split(" ").length === 20)
   }
+
+  test("containmentSelfPairs finds the near-subset pair symmetric Jaccard misses") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // prefix subset of 1
+      (3L, "totally unrelated words about something else entirely different here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentSelfPairs(d, "text", "doc_id", n = 3, threshold = 0.9).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) === ((1L, 2L)))
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    // the symmetric operator misses this pair at the same bar — the
+    // asymmetric band is the operator's reason to exist
+    assert(Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.9).count() === 0L)
+  }
 }
