@@ -462,6 +462,47 @@ object CorpusOps {
       .withColumn("pos_in_seq", (col("tok_offset") % lit(maxTokens.toLong)).cast("long"))
   }
 
+  /** WHOLE-document greedy bin packing — the no-split twin of
+    * [[packSequences]]: every document lands entirely in one bin, the
+    * packing used when cross-document attention contamination is not
+    * masked at training time (a split doc would attend across its own
+    * boundary; concat-then-chunk accepts that, this operator refuses it,
+    * trading tail waste instead).
+    *
+    * Within each shard, docs order by (n_tokens DESC, id ASC) — the
+    * "decreasing" half of first-fit-decreasing — and bin boundaries fall
+    * at running-total multiples of `budget`: `bin_id = cum_before DIV
+    * budget`. Exact FFD is inherently sequential (every placement depends
+    * on all previous bins' residuals — a driver-side loop at 100 TB);
+    * this boundary rule is the distributable approximation with a PROVEN
+    * overflow bound: a bin's fill is < budget + its last doc, and every
+    * bin except each shard's final one fills ≥ budget − (largest doc − 1).
+    * All-integer, so bin ids / positions / fills are engine-exact.
+    *
+    * Scale shape: ONE exchange on shard; the (shard, bin_id) window needs
+    * no second shuffle — hashpartitioning(shard) already clusters every
+    * (shard, bin) group, so Spark inserts only a local sort (pinned in
+    * PlanGuardSpec). No global sort, no driver loop.
+    */
+  def packGreedyBins(df: DataFrame, textCol: String, idCol: String,
+                     budget: Long = 512L, shards: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val wOrd = Window.partitionBy("shard")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBin = Window.partitionBy("shard", "bin_id")
+    df.select(col(idCol).as("doc_id"),
+        (col(idCol) % shards).cast("int").as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(wOrd), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before DIV ${budget}"))
+      .withColumn("pos_in_bin",
+        row_number().over(Window.partitionBy("shard", "bin_id")
+          .orderBy(col("n_tokens").desc, col("doc_id").asc)))
+      .withColumn("bin_fill", sum("n_tokens").over(wBin))
+      .drop("cum_before")
+  }
+
   /** Deterministic global shuffle + shard assignment — the last step of a
     * training-data build: break any crawl/source/time ordering and write N
     * shards a data loader can stream independently. `shuffle_key =

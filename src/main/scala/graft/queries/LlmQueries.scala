@@ -1098,6 +1098,15 @@ object LlmQueries extends QueryPack {
           col("share_ppm"), col("temp_share_ppm"))
     },
 
+    // Whole-doc greedy bin packing: the no-split twin of ta_pack for
+    // training runs without cross-doc attention masking — docs order
+    // (n_tokens DESC, id ASC) per shard, bins cut at running-total
+    // multiples of the 512 budget, bounded overflow (see scaladoc).
+    "ta_pack_bins" -> { (s, dir) =>
+      CorpusOps.packGreedyBins(Tables.documents(s, dir), "text", "doc_id",
+        budget = 512L, shards = 32)
+    },
+
     // Sequence packing (concat-then-chunk): shard by lang, order by doc_id,
     // cut every 512 tokens; window-function running offsets only.
     "ta_pack" -> { (s, dir) =>
@@ -2202,6 +2211,20 @@ object LlmQueries extends QueryPack {
          |        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
          |    AS tf_weight
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats""".stripMargin,
+    "ta_pack_bins" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS shard,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(coalesce(SUM(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d),
+        |b AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS bin_id FROM c)
+        |SELECT doc_id, shard, n_tokens, bin_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, bin_id
+        |    ORDER BY n_tokens DESC, doc_id ASC) AS INTEGER) AS pos_in_bin,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY shard, bin_id) AS BIGINT) AS bin_fill
+        |FROM b""".stripMargin,
     "ta_pack" ->
       """WITH t AS (SELECT doc_id, lang AS shard,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),

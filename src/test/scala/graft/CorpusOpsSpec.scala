@@ -524,6 +524,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(4L) === ((4L, 0L, 1L, -1L, false, false)))
   }
 
+  test("packGreedyBins: boundary rule, whole-doc placement, bounded overflow") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq((10L, words(7)), (20L, words(6)), (30L, words(4)),
+      (40L, words(3)), (50L, words(2))).toDF("doc_id", "text")
+    // desc order 7,6,4,3,2; cum_before 0,7,13,17,20; budget 10 -> bins 0,0,1,1,2
+    val out = CorpusOps.packGreedyBins(d, "text", "doc_id", budget = 10L, shards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bin_id"), r.getAs[Int]("pos_in_bin"), r.getAs[Long]("bin_fill")))).toMap
+    assert(out(10L) === ((0L, 1, 13L))) // bin 0 overflows to 13 < 10 + its last doc (6)
+    assert(out(20L) === ((0L, 2, 13L)))
+    assert(out(30L) === ((1L, 1, 7L)))
+    assert(out(40L) === ((1L, 2, 7L)))
+    assert(out(50L) === ((2L, 1, 2L)))  // tail bin may underfill
+  }
+
   test("knSurprisal flags the all-OOV outlier, keeps corpus-typical docs, drops trigram-less docs") {
     // 3 copies of the base doc push every base trigram to count 3 >= minCount;
     // the gibberish doc's trigrams are singletons -> pruned from the LM -> OOV

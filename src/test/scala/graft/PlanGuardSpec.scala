@@ -80,6 +80,18 @@ class PlanGuardSpec extends SparkTestBase {
         s"groupBy to reuse one hash partitioning, found $exchanges exchanges:\n$plan")
   }
 
+  test("ta_pack_bins: shard window and (shard,bin) window share ONE exchange") {
+    // hashpartitioning(shard) clusters every (shard, bin_id) group, so the
+    // refined window must add only a local sort — a second exchange here
+    // would double the operator's data movement for nothing
+    val qe = finalQe("ta_pack_bins")
+    val exchanges = countShuffleStages(qe.executedPlan)
+    assert(exchanges === 1,
+      s"expected one shard hash exchange shared by both windows, found $exchanges:\n${qe.executedPlan}")
+    val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("rangepartitioning"), s"global sort planned in packGreedyBins:\n$p")
+  }
+
   test("ta_shuffle_shard: the epoch shuffle is ONE exchange, no global sort") {
     // the md5 key + mod-shard assignment are narrow maps; the only data
     // movement allowed is the per-shard window's hash partitioning —
