@@ -117,8 +117,12 @@ object Fns {
   def roundDiv2(num: Column, den: Column): Column = {
     val n = num.cast("long")
     val d = den.cast("long")
+    // sign and magnitude handled separately so a NEGATIVE denominator
+    // still rounds half-away-from-zero (the old +d tie shift and
+    // signum(n) result sign were correct only for d > 0; every in-repo
+    // caller passes counts, but the utility is public)
     when(d.isNull || d === 0 || n.isNull, lit(null).cast("double"))
-      .otherwise(signum(n) *
-        floor((lit(200L) * abs(n) + d) / (lit(2L) * d)) / 100.0)
+      .otherwise(signum(n) * signum(d) *
+        floor((lit(200L) * abs(n) + abs(d)) / (lit(2L) * abs(d))) / 100.0)
   }
 }

@@ -116,7 +116,12 @@ object Models {
     // Ties project identically (name/abbrev/type are functions of the tied
     // keys), so the pick is deterministic either way.
     val ord = struct(
-      (lit(0) - datediff(col("game_date"), lit("1970-01-01").cast("date"))).as("d"),
+      // null game_date must LOSE (the row_number(date DESC) form this
+      // replaces sorts nulls last, as does the DuckDB twin): coalesce to
+      // a sentinel far in the past so the negated key sorts it biggest
+      (lit(0) - coalesce(
+        datediff(col("game_date"), lit("1970-01-01").cast("date")),
+        lit(-1000000))).as("d"),
       (lit(0L) - col("game_id")).as("g"),
       col("team_id").as("t"),
       col("position").as("p"))

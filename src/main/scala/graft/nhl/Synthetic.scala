@@ -72,7 +72,7 @@ object Synthetic {
     * too, a full name — to exercise the crosswalk ambiguity gate.
     */
   private def firstName(p: Column): Column =
-    concat(expr("char(65 + l_partkey % 7)"), lit("lex"))
+    concat(call_function("char", lit(65) + p % 7), lit("lex"))
   private def lastName(p: Column): Column =
     when(p % 101 === 0, lit("Kane"))
       .otherwise(concat(lit("Smith"), (p / 2).cast("long").cast("string")))

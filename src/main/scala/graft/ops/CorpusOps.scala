@@ -134,11 +134,13 @@ object CorpusOps {
     * Everything is integer counts; D = 0.75 is dyadic and every +,−,×,÷ is
     * a single IEEE op on exact operands in a fixed tree, so p_kn is
     * bit-identical cross-engine (the ta_bm25 exactness discipline).
+    * The model is CORPUS-GLOBAL (one LM over all documents — no id
+    * parameter by design; per-doc scoring is [[knSurprisal]]'s job).
     * Scale shape: two hash aggregations on trigram/continuation grain plus
     * entity-keyed windows — no joins wider than the type tables, V attached
     * as a broadcast scalar.
     */
-  def knTrigram(df: DataFrame, textCol: String, idCol: String,
+  def knTrigram(df: DataFrame, textCol: String,
                 minCount: Int = 2): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val g = split(col("g"), " ")
@@ -190,7 +192,7 @@ object CorpusOps {
   def knSurprisal(df: DataFrame, textCol: String, idCol: String,
                   minCount: Int = 2, lowP: Double = 1e-3,
                   maxBadShare: Double = 0.05): DataFrame = {
-    val lm = knTrigram(df, textCol, idCol, minCount)
+    val lm = knTrigram(df, textCol, minCount)
       .select(col("trigram"), col("p_kn"))
     val occ = df.select(col(idCol).as("doc_id"),
       explode(TextOps.gramsFromTokens(TextOps.tokens(col(textCol)), 3))
@@ -246,16 +248,20 @@ object CorpusOps {
       .withColumn("pcum_before", col("pcum") - col("pcnt"))
       .select(col("score").as("norm_score"), col("pcum"), col("pcum_before"))
     val n = docs.agg(count(lit(1)).as("n_total"))
-    // idx = ceil(((2·cum_before + cnt) · N) / (2·n_src)), clamped to [1, N];
-    // floor-of-double is exact here (operands < 2^53, quotient ≥ 1/(2·n_src)
-    // from any integer — the roundDiv2 argument)
-    val num = (lit(2) * col("cum_before") + col("cnt")) * col("n_total") +
-      lit(2) * col("n_src") - 1
-    val idx = least(greatest(floor(num / (lit(2) * col("n_src"))).cast("long"),
-      lit(1L)), col("n_total"))
+    // idx = ceil(((2·cum_before + cnt) · N) / (2·n_src)), clamped to [1, N].
+    // Integer DIV, not floor-of-double: the numerator reaches ~2·N² and
+    // leaves the double mantissa at N ≈ 6.7e7 rows, where a double detour
+    // could land one rank off the oracle's exact `//`. Long headroom bound:
+    // exact up to N ≈ 2.1e9 rows (2·N² < 2^63), the a14-class documented
+    // ceiling.
     docs.join(srcBuckets, Seq("source", "score"))
       .crossJoin(broadcast(n))
-      .withColumn("idx", idx)
+      .withColumn("__qn_num",
+        (lit(2L) * col("cum_before") + col("cnt")) * col("n_total") +
+          lit(2L) * col("n_src") - 1)
+      .withColumn("idx", least(greatest(
+        expr("__qn_num DIV (2 * n_src)"), lit(1L)), col("n_total")))
+      .drop("__qn_num")
       .join(broadcast(pooled),
         col("idx") > col("pcum_before") && col("idx") <= col("pcum"))
       .select(col("doc_id"), col("source"), col("score"), col("idx"),

@@ -523,9 +523,11 @@ object LlmQueries extends QueryPack {
       val sim = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"), lit(1).as("in_s"))
       truth.join(sim, Seq("id_a", "id_b"), "left")
+        // empty truth set: SUM over 0 rows is NULL, and the oracle states
+        // TRUE (vacuous recall) — coalesce so a dup-free corpus passes
         .agg(count(lit(1)).as("n_true"),
-          (sum(coalesce(col("in_s"), lit(0))) * 100L >=
-            count(lit(1)) * SimhashRecallFloorPct).as("recall_ok"))
+          coalesce(sum(coalesce(col("in_s"), lit(0))) * 100L >=
+            count(lit(1)) * SimhashRecallFloorPct, lit(true)).as("recall_ok"))
     },
 
     // Embedding cosine near-dup pairs, exact over all pairs (threshold in
@@ -864,7 +866,7 @@ object LlmQueries extends QueryPack {
     // uniform base) — every factor integer-exact, p_kn a fixed IEEE op
     // tree, so the full smoothed probability is oracled bit-exactly.
     "ta_kn_trigram" -> { (s, dir) =>
-      CorpusOps.knTrigram(Tables.documents(s, dir), "text", "doc_id")
+      CorpusOps.knTrigram(Tables.documents(s, dir), "text")
     },
 
     // CCNet-style LM quality filter over the KN trigram model: per-doc

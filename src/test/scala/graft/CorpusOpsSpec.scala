@@ -87,7 +87,7 @@ class CorpusOpsSpec extends SparkTestBase {
   test("knTrigram: counts and the exact KN op tree on a hand-computed corpus") {
     val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
     // trigram tokens: (a,b,c)x2, (b,c,a), (c,a,b), (a,b,d); V = {a,b,c,d}
-    val out = CorpusOps.knTrigram(docs, "text", "doc_id", minCount = 2).collect()
+    val out = CorpusOps.knTrigram(docs, "text", minCount = 2).collect()
     assert(out.length === 1)
     val r = out(0)
     assert(r.getAs[String]("trigram") === "a b c")

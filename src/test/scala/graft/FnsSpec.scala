@@ -9,6 +9,14 @@ class FnsSpec extends SparkTestBase {
   private def one[T](c: org.apache.spark.sql.Column): T =
     spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
 
+  test("roundDiv2: half-away rounding holds for signed numerators AND denominators") {
+    assert(one[Double](Fns.roundDiv2(lit(1), lit(8))) === 0.13)    // 0.125 away from zero
+    assert(one[Double](Fns.roundDiv2(lit(-1), lit(8))) === -0.13)
+    assert(one[Double](Fns.roundDiv2(lit(1), lit(-8))) === -0.13)  // pre-fix gave -0.12
+    assert(one[Double](Fns.roundDiv2(lit(-1), lit(-8))) === 0.13)
+    assert(one[Any](Fns.roundDiv2(lit(1), lit(0))) === null)
+  }
+
   test("nhlSeason: Oct-Dec rolls forward, Jan-Jun rolls back, Jul-Sep null") {
     assert(one[Int](Fns.nhlSeason(to_date(lit("2024-10-15")))) === 20242025)
     assert(one[Int](Fns.nhlSeason(to_date(lit("2025-02-01")))) === 20242025)

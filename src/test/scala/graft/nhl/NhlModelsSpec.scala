@@ -60,6 +60,19 @@ class NhlModelsSpec extends SparkTestBase {
     assert(trade(0).getAs[String]("current_team_abbrev") === "CAR") // g2 later than g1
   }
 
+  test("dimPlayer: a null game_date row can never win the recency pick") {
+    // the min_by rewrite must keep the row_number(date DESC)-form's
+    // nulls-last semantics: a corrupt unparseable-date row loses
+    val rows = Seq(
+      (99L, "Good Row", "C", "F", 6L, "BOS", java.sql.Date.valueOf("2024-10-09"), 2024020001L),
+      (99L, "Corrupt Row", "C", "F", 12L, "CAR", null.asInstanceOf[java.sql.Date], 2024020099L)
+    ).toDF("player_id", "player_name", "position", "position_type",
+      "team_id", "team_abbrev", "game_date", "game_id")
+    val dim = Models.dimPlayer(rows).collect()
+    assert(dim.length === 1)
+    assert(dim(0).getAs[String]("current_team_abbrev") === "BOS")
+  }
+
   test("dimTeam: union-distinct of home and away sides") {
     val teams = out.dimTeam.select("team_id", "team_abbrev").as[(Long, String)].collect().toSet
     assert(teams === Set((6L, "BOS"), (10L, "TOR"), (12L, "CAR")))
