@@ -740,6 +740,79 @@ object Similarity {
       .select("vec_id", "bucket")
   }
 
+  /** kNN majority-vote classification: each query takes the modal label of
+    * its k nearest neighbors (ties to the smallest label) — the
+    * semi-supervised label-spreading step a curation pipeline uses to
+    * extend a small hand-labeled set over a large corpus (distill a
+    * quality/domain judgment onto unlabeled documents).
+    *
+    * `neighbors` is ANY (query_id, neighbor_id, rank, cos) table, so the
+    * candidate source is pluggable: [[bruteForceTopK]] for the exactness
+    * baseline, [[lshTopK]]/[[ivfQueryIndex]] at corpus scale — the vote is
+    * the same plan either way. Votes are integer counts; the argmax is a
+    * row_number over (votes DESC, label ASC), so the output is exact and
+    * partition-order-independent with no float in sight.
+    *
+    * Scale: one shuffle on neighbor_id for the label attach (broadcast
+    * when the labeled set is small — here it is corpus-sized so it
+    * shuffles), one (query_id, label) hash agg with map-side combine, one
+    * query-partitioned window over ≤ distinct-labels rows per query.
+    */
+  def knnClassify(neighbors: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val lab = labels.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = neighbors.filter(col("rank") <= k)
+      .join(lab, Seq("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** Margin-based pair mining (the ratio-margin criterion of
+    * Artetxe & Schwenk, ACL'19 — the CCMatrix/LASER bitext-mining scorer):
+    * a candidate pair (x, y) scores cos(x,y) relative to the average
+    * similarity of each side's own k-NN neighborhood,
+    * `margin = cos(x,y) / ((avgK(x) + avgK(y)) / 2)`, which suppresses
+    * hub vectors that score high against EVERYTHING and would flood a raw
+    * cosine threshold.
+    *
+    * Cross-engine exactness: each avgK folds its k cosines in RANK order
+    * (sort_array over (rank, cos) structs, then a sequential double fold
+    * seeded at 0.0 — IEEE-identical to any engine's ordered list sum), so
+    * the assembled margin double is bit-equal in DuckDB and thresholds on
+    * it are reproducible, not tolerance-dependent.
+    *
+    * Scale: two [[bruteForceTopK]] passes (queries→corpus forward,
+    * distinct forward candidates→query side backward — the backward pass
+    * scores only candidates, not the whole corpus), two query-keyed hash
+    * aggs for the neighborhood averages, then joins back on the pair. At
+    * 100 TB both passes swap to the bucketed/IVF scorer unchanged.
+    */
+  def marginPairs(queries: DataFrame, corpus: DataFrame, k: Int,
+                  threshold: Double): DataFrame = {
+    def rankOrderedAvg(nn: DataFrame, idOut: String, avgOut: String): DataFrame =
+      nn.groupBy(col("query_id").as(idOut))
+        .agg((aggregate(
+            transform(sort_array(collect_list(struct(col("rank"), col("cos")))),
+              x => x("cos")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1))).as(avgOut))
+
+    val fwd = bruteForceTopK(queries, corpus, k)
+    val avgF = rankOrderedAvg(fwd, "query_id", "avg_f")
+    val candIds = fwd.select(col("neighbor_id").as("vec_id")).distinct()
+    val bwd = bruteForceTopK(corpus.join(candIds, Seq("vec_id")), queries, k)
+    val avgB = rankOrderedAvg(bwd, "neighbor_id", "avg_b")
+    fwd.join(avgF, Seq("query_id"))
+      .join(avgB, Seq("neighbor_id"))
+      .withColumn("margin",
+        col("cos") / ((col("avg_f") + col("avg_b")) / lit(2.0)))
+      .withColumn("accepted", col("margin") >= threshold)
+      .select("query_id", "neighbor_id", "rank", "cos", "margin", "accepted")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact over all
     * pairs when `planes` is empty (broadcast nested-loop, parallel over the
     * left side); bucket-local when LSH planes are given.

@@ -693,6 +693,37 @@ object LlmQueries extends QueryPack {
           (col("n_hits") * 100L >= col("n_brute") * PqRecallFloorPct).as("recall_ok"))
     },
 
+    // kNN majority-vote classification: spread the corpus's labels onto
+    // the id<50 query slice via each query's 5 exact nearest neighbors —
+    // the label-distillation step that extends a small hand-labeled set
+    // over an unlabeled corpus. Integer votes, ties to the smallest
+    // label; the true label joins back so the face carries accuracy too.
+    // The neighbor source is pluggable (ivfQueryIndex at scale); the
+    // brute source here keeps the face oracle-exact end to end.
+    "ann_knn_classify" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val nn = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
+      Similarity.knnClassify(nn, emb, k = 5)
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .select("query_id", "pred_label", "votes", "true_label", "correct")
+    },
+
+    // Margin-based pair mining (Artetxe & Schwenk ratio margin — the
+    // bitext/alignment-mining scorer): even-id vectors (a bounded id<200
+    // query slice) against odd-id vectors, cos(x,y) normalized by the
+    // mean top-4 similarity of BOTH endpoints' neighborhoods, which
+    // suppresses hub vectors a raw cosine threshold would flood on.
+    // Rank-ordered double folds keep every margin bit-exact cross-engine.
+    "ann_margin_pairs" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginPairs(
+        emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, threshold = 1.02)
+    },
+
     // Text quality metrics: token/char counts, avg token length, stopword
     // ratio, composite quality score.
     "ta_quality" -> { (s, dir) =>
@@ -1719,6 +1750,53 @@ object LlmQueries extends QueryPack {
         |  CAST(5*count(*) AS BIGINT) AS n_pq,
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
+    "ann_knn_classify" ->
+      s"""WITH nn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rank
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id < 50) WHERE rank <= 5),
+         |votes AS (
+         |  SELECT nn.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT query_id, label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label ASC) AS rn FROM votes) WHERE rn = 1)
+         |SELECT p.query_id, p.pred_label, p.votes, q.label AS true_label,
+         |  p.pred_label = q.label AS correct
+         |FROM pred p JOIN embeddings q ON p.query_id = q.vec_id""".stripMargin,
+    "ann_margin_pairs" ->
+      s"""WITH qa AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE vec_id % 2 = 0 AND vec_id < 200),
+         |cb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |fwd AS (
+         |  SELECT query_id, neighbor_id, rank, cos FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM qa q JOIN cb c ON q.vec_id <> c.vec_id) WHERE rank <= 4),
+         |avgf AS (SELECT query_id, list_sum(list(cos ORDER BY rank)) / count(*) AS avg_f
+         |         FROM fwd GROUP BY 1),
+         |cand AS (SELECT DISTINCT neighbor_id AS vec_id FROM fwd),
+         |bwd AS (
+         |  SELECT neighbor_id, rank, cos FROM (
+         |    SELECT c.vec_id AS neighbor_id, q.vec_id AS bid,
+         |      ${cosSql("c.embedding", "q.embedding")} AS cos,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, q.vec_id ASC) AS rank
+         |    FROM (SELECT cb.* FROM cb JOIN cand USING (vec_id)) c
+         |    JOIN qa q ON c.vec_id <> q.vec_id) WHERE rank <= 4),
+         |avgb AS (SELECT neighbor_id, list_sum(list(cos ORDER BY rank)) / count(*) AS avg_b
+         |         FROM bwd GROUP BY 1)
+         |SELECT f.query_id, f.neighbor_id, f.rank, f.cos,
+         |  f.cos / ((af.avg_f + ab.avg_b) / 2.0) AS margin,
+         |  f.cos / ((af.avg_f + ab.avg_b) / 2.0) >= ${sqlDouble(1.02)} AS accepted
+         |FROM fwd f JOIN avgf af USING (query_id) JOIN avgb ab USING (neighbor_id)""".stripMargin,
     "ann_lsh_multiprobe" -> {
       // probe masks follow the adaptive plane count: the own-bucket probe
       // is unconditional, flip-bit-i probes exist only for i < np

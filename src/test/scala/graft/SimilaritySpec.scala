@@ -259,4 +259,95 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= ivfRecall - 0.15, s"pq=$recall ivf=$ivfRecall")
     assert(recall >= 0.35, s"recall=$recall")
   }
+
+  test("knnClassify: majority label wins, ties break to the smallest label") {
+    // two tight clusters with known labels; query 0 sits inside cluster A
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.95f, 0.05f), 7),
+      (4L, Array(0.0f, 1.0f), 9), (5L, Array(0.1f, 0.9f), 9),
+      (6L, Array(0.05f, 0.95f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, Array(1.0f, 0.02f))).toDF("vec_id", "embedding")
+    val nn = Similarity.bruteForceTopK(queries, labeled.drop("label"), k = 3)
+    val pred = Similarity.knnClassify(nn, labeled, k = 3).collect()
+    assert(pred.length === 1)
+    assert(pred.head.getAs[Int]("pred_label") === 7)
+    assert(pred.head.getAs[Long]("votes") === 3L)
+    // tie case: k=2 neighbors drawn one from each cluster for an
+    // equidistant query → votes 1-1, the smaller label must win
+    val eq = Seq((0L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val two = Seq((1L, Array(1.0f, 0.0f), 9), (2L, Array(0.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val tie = Similarity.knnClassify(
+      Similarity.bruteForceTopK(eq, two.drop("label"), k = 2), two, k = 2).collect()
+    assert(tie.head.getAs[Int]("pred_label") === 7)
+    assert(tie.head.getAs[Long]("votes") === 1L)
+  }
+
+  test("knnClassify only counts the top-k rows of the neighbor table") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 5), (2L, Array(0.9f, 0.1f), 5),
+      (3L, Array(-1.0f, 0.0f), 8), (4L, Array(-0.9f, -0.1f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    // hand the classifier MORE neighbors than k; ranks 3-4 (the far
+    // cluster) must not vote
+    val nn4 = Similarity.bruteForceTopK(q, labeled.drop("label"), k = 4)
+    val pred = Similarity.knnClassify(nn4, labeled, k = 2).collect().head
+    assert(pred.getAs[Int]("pred_label") === 5)
+    assert(pred.getAs[Long]("votes") === 2L)
+  }
+
+  test("marginPairs: margins match a driver-side recomputation; hub demoted") {
+    val a = emb.filter($"vec_id" % 2 === 0 && $"vec_id" < 40)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val k = 3
+    val got = Similarity.marginPairs(a, b, k, threshold = 1.0).collect()
+    assert(got.nonEmpty)
+    // independent recomputation from brute-force cosines
+    val fwd = Similarity.bruteForceTopK(a, b, k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    val avgF = fwd.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._3).map(_._4).foldLeft(0.0)(_ + _) / rows.length
+    }
+    val candIds = fwd.map(_._2).toSet
+    val bwd = Similarity.bruteForceTopK(
+        b.filter($"vec_id".isInCollection(candIds)), a, k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    val avgB = bwd.groupBy(_._1).map { case (c, rows) =>
+      c -> rows.sortBy(_._3).map(_._4).foldLeft(0.0)(_ + _) / rows.length
+    }
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val expect = r.getAs[Double]("cos") / ((avgF(q) + avgB(n)) / 2.0)
+      assert(r.getAs[Double]("margin") === expect,
+        s"pair ($q,$n): got ${r.getAs[Double]("margin")} expect $expect")
+      assert(r.getAs[Boolean]("accepted") === (r.getAs[Double]("margin") >= 1.0))
+    }
+  }
+
+  test("marginPairs suppresses a hub that raw cosine would accept") {
+    // side B holds a hub equally close to every query; pair-specific
+    // matches score the same raw cosine but a LOW neighborhood average,
+    // so margin ranks them above the hub pairs
+    val qs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val hub = (1L, Array(0.577f, 0.577f, 0.577f)) // ~equidistant to all
+    val mates = Seq(
+      (3L, Array(0.95f, 0.05f, 0.0f)),  // mate of 0
+      (5L, Array(0.05f, 0.95f, 0.0f)),  // mate of 2
+      (7L, Array(0.0f, 0.05f, 0.95f))) // mate of 4
+    val b = (hub +: mates).toDF("vec_id", "embedding")
+    val pairs = Similarity.marginPairs(qs, b, k = 3, threshold = 1.0)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("margin")).toMap
+    // each query's true mate out-margins its hub pairing
+    assert(pairs((0L, 3L)) > pairs((0L, 1L)))
+    assert(pairs((2L, 5L)) > pairs((2L, 1L)))
+    assert(pairs((4L, 7L)) > pairs((4L, 1L)))
+  }
 }
