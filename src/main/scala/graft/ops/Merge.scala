@@ -48,4 +48,39 @@ object Merge {
     base.join(latestDelta.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(latestDelta)
   }
+
+  /** Row-level snapshot diff (the CDC shape): classify every key of two
+    * table snapshots as `added` / `removed` / `changed`, comparing rows by
+    * an md5 fingerprint of the tracked columns instead of column-by-column
+    * — at 100 TB the full-outer join then moves (key, 32-byte hash) per
+    * side, not the row width, and adding tracked columns never changes the
+    * plan. Unchanged keys drop out (they are the overwhelming mass of any
+    * real snapshot pair and nobody diffs to read them).
+    *
+    * Determinism contract: the fingerprint is md5 over the tracked columns
+    * cast to string and joined with an explicit NULL sentinel (`concat_ws`
+    * alone SKIPS nulls, which would collide ('a', NULL) with ('a') — the
+    * sentinel keeps null transitions visible as changes). Engine-portable
+    * as long as the tracked columns stringify identically — integers,
+    * strings, and exact-cents longs do; raw doubles/timestamps should be
+    * normalized by the caller first (see the s12 face).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String], trackCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(trackCols.nonEmpty, "snapshotDiff needs at least one tracked column")
+    def fingerprint(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("|",
+          trackCols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)).as(as): _*)
+    val o = fingerprint(oldSnap, "old_fp")
+    val n = fingerprint(newSnap, "new_fp")
+    o.join(n, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
 }

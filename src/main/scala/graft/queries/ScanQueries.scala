@@ -61,6 +61,33 @@ object ScanQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    },
+
+    // S12 — row-level snapshot diff (beyond the reference; the CDC /
+    // time-travel row complement of S10's metrics drift): what changed
+    // between two loads of the same table, as added/removed/changed keys.
+    // The "new" snapshot derives deterministically from orders (drops at
+    // key%97, status flips at key%101, inserts as negated key%89 clones),
+    // so both engines diff identical inputs. Rows compare by an md5
+    // fingerprint of the tracked columns — the 100 TB shape: the
+    // full-outer join moves (key, hash), never the row width. Money
+    // normalizes to exact cents BEFORE hashing (raw double stringification
+    // is engine-specific; a BIGINT's string is not).
+    "s12_snapshot_diff" -> { (s, dir) =>
+      import graft.ops.Merge
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderpriority"))
+      val mutated = base
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 101 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      val inserts = base.filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") =!= 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      Merge.snapshotDiff(base, mutated.unionByName(inserts),
+        keyCols = Seq("o_orderkey"),
+        trackCols = Seq("o_custkey", "o_orderstatus", "price_c", "o_orderpriority"))
     }
   )
 
@@ -73,7 +100,34 @@ object ScanQueries extends QueryPack {
       s"((((${x} >> $i) & 1) << ${2 * i}) | (((${y} >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
 
+  /** The s12 fingerprint, mirroring Merge.snapshotDiff's md5-of-concat
+    * (explicit NULL sentinel; BIGINT/VARCHAR stringification is identical
+    * across engines).
+    */
+  private val s12FpSql =
+    """md5(concat_ws('|', coalesce(CAST(o_custkey AS VARCHAR), '\N'),
+      |  coalesce(o_orderstatus, '\N'), coalesce(CAST(price_c AS VARCHAR), '\N'),
+      |  coalesce(o_orderpriority, '\N')))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s12_snapshot_diff" ->
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c, o_orderpriority
+         |  FROM orders),
+         |mut AS (SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    price_c, o_orderpriority FROM base WHERE o_orderkey % 97 <> 0),
+         |ins AS (SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+         |    price_c, o_orderpriority FROM base WHERE o_orderkey % 89 = 0 AND o_orderkey <> 0),
+         |newsnap AS (SELECT * FROM mut UNION ALL SELECT * FROM ins),
+         |o AS (SELECT o_orderkey, $s12FpSql AS old_fp FROM base),
+         |n AS (SELECT o_orderkey, $s12FpSql AS new_fp FROM newsnap)
+         |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |  CASE WHEN o.old_fp IS NULL THEN 'added'
+         |       WHEN n.new_fp IS NULL THEN 'removed'
+         |       WHEN o.old_fp <> n.new_fp THEN 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+         |WHERE o.old_fp IS NULL OR n.new_fp IS NULL OR o.old_fp <> n.new_fp""".stripMargin,
     "s4_file_metadata" ->
       "SELECT 'events' AS table_name, COUNT(*) AS n FROM events",
     "s4_regex_extract" ->

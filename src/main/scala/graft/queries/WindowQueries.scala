@@ -349,6 +349,31 @@ object WindowQueries extends QueryPack {
           max(col("event_id")).as("last_id"))
         .filter(col("n_run") >= 3)
         .select("user_id", "event_type", "n_run", "first_id", "last_id")
+    },
+
+    // Exponentially-weighted moving average (beyond the reference) — the
+    // smoothed engagement/metric signal, in the one form that is exact
+    // cross-engine: a DYADIC kernel over a bounded 8-event window. Weights
+    // 2^7..2^0 (newest first) on integer cents make numerator and
+    // denominator exact BIGINTs — the final single IEEE divide is the only
+    // float op, so results are bit-equal in any engine (true geometric
+    // EWMA accumulates float error recursively and is
+    // partition-order-fragile). Ramp-up rows (fewer than 8 predecessors)
+    // renormalize over the weights actually present. One user_id exchange;
+    // 8 lags ride one window pass.
+    "w18_ewma" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val terms = (0 to 7).map { i =>
+        val weight = 1L << (7 - i)
+        val v = if (i == 0) cents else lag(cents, i).over(w)
+        (when(v.isNotNull, v * weight).otherwise(0L),
+          when(v.isNotNull, lit(weight)).otherwise(0L))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      Tables.events(s, dir)
+        .withColumn("ewma", num.cast("double") / den)
+        .select("event_id", "user_id", "ewma")
     }
   )
 
@@ -543,6 +568,25 @@ object WindowQueries extends QueryPack {
          |SELECT user_id, min(event_type) AS event_type,
          |       CAST(count(*) AS BIGINT) AS n_run,
          |       min(event_id) AS first_id, max(event_id) AS last_id
-         |FROM y GROUP BY user_id, blk HAVING count(*) >= 3""".stripMargin
+         |FROM y GROUP BY user_id, blk HAVING count(*) >= 3""".stripMargin,
+    "w18_ewma" -> {
+      // the 8 dyadic terms, generated to mirror the Spark reduce exactly
+      // (integer adds are order-free; only the final divide is IEEE)
+      val numTerms = (0 to 7).map { i =>
+        val weight = 1L << (7 - i)
+        val v = if (i == 0) "c" else s"lag(c, $i) OVER w"
+        s"CASE WHEN $v IS NOT NULL THEN ($v) * $weight ELSE 0 END"
+      }.mkString(" + ")
+      val denTerms = (0 to 7).map { i =>
+        val weight = 1L << (7 - i)
+        val v = if (i == 0) "c" else s"lag(c, $i) OVER w"
+        s"CASE WHEN $v IS NOT NULL THEN $weight ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, $tsUs AS tsu,
+         |    $centsSql AS c FROM events)
+         |SELECT event_id, user_id,
+         |  CAST($numTerms AS DOUBLE) / ($denTerms) AS ewma
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC)""".stripMargin
+    }
   )
 }

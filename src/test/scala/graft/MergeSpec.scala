@@ -32,4 +32,34 @@ class MergeSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSet
     assert(id === base.as[(Long, String, Long)].collect().toSet)
   }
+
+  test("snapshotDiff: classifies added/removed/changed, drops unchanged") {
+    val old = Seq(
+      (1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option("c"), 30L), (4L, Option("d"), 40L)
+    ).toDF("k", "v", "n")
+    val neu = Seq(
+      (1L, Option("a"), 10L),   // unchanged — must NOT appear
+      (2L, Option("b2"), 20L),  // changed
+      (4L, Option("d"), 41L),   // changed (other column)
+      (5L, Option("e"), 50L)    // added; 3 removed
+    ).toDF("k", "v", "n")
+    val got = Merge.snapshotDiff(old, neu, Seq("k"), Seq("v", "n"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "changed"), (3L, "removed"),
+      (4L, "changed"), (5L, "added")))
+  }
+
+  test("snapshotDiff: NULL transitions are visible changes, not collisions") {
+    // the sentinel must distinguish ('a', NULL) from ('a') -- concat_ws
+    // alone would hash them identically and a NULL-ing update would
+    // silently vanish from the diff
+    val old = Seq[(Long, Option[String], Option[String])](
+      (1L, Some("a"), Some("x")), (2L, Some("a"), None)).toDF("k", "v", "w")
+    val neu = Seq[(Long, Option[String], Option[String])](
+      (1L, Some("a"), None), (2L, Some("a"), None)).toDF("k", "v", "w")
+    val got = Merge.snapshotDiff(old, neu, Seq("k"), Seq("v", "w"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "changed"))) // key 2: NULL == NULL, unchanged
+  }
 }
