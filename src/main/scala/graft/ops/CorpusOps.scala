@@ -120,6 +120,48 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The corpus's positional trigram stream: one row per in-document
+    * trigram occurrence — (doc_id, pos, w1, w2, w3), pos 0-based at the
+    * first token. Built with lead() over a doc-keyed window: ONE
+    * document-keyed exchange and a local sort, linear in tokens (the
+    * self-join formulation of [[bigramCounts]] would pay a (doc, pos)
+    * shuffle per adjacency step — fine for one step, worse for two).
+    */
+  def trigramStream(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .withColumn("w3", lead(col("w1"), 2).over(w))
+      .filter(col("w3").isNotNull)
+  }
+
+  /** The most frequent trigram in the corpus (ties to the lexicographically
+    * smallest (w1, w2, w3)) as a 1-row frame — the data-derived probe for
+    * [[phraseOccurrences]]. One trigram-keyed hash agg with map-side
+    * combine + a global top-1 (TakeOrdered, never a full sort).
+    */
+  def topTrigram(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    trigramStream(df, textCol, idCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc, col("w3").asc)
+      .limit(1)
+
+  /** Positional phrase search: every occurrence of each probe phrase —
+    * (doc_id, pos, phrase) — via a broadcast join of the (tiny) phrase
+    * relation against the positional trigram stream. The retrieval twin of
+    * a positional inverted index: the corpus side streams once, phrase
+    * candidates never shuffle, and a selective phrase prunes in the
+    * broadcast-hash probe itself. `phrases` carries (w1, w2, w3) rows.
+    */
+  def phraseOccurrences(df: DataFrame, textCol: String, idCol: String,
+                        phrases: DataFrame): DataFrame =
+    trigramStream(df, textCol, idCol)
+      .join(broadcast(phrases.select("w1", "w2", "w3")), Seq("w1", "w2", "w3"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
+
   /** Interpolated Kneser–Ney trigram language model (Chen–Goodman absolute
     * discounting, D = 0.75) — the quality-filter LM a data pipeline trains
     * on its own corpus to score perplexity/novelty. Per trigram type with

@@ -84,6 +84,37 @@ object Dedup {
     * then per-pair arithmetic; both scores are single IEEE ops on exact
     * integers, so verdicts are engine-exact.
     */
+  /** Tail-head overlap pairs — shard-stitching detection: (a, b) where
+    * document a's LAST `m` tokens equal document b's FIRST `m` tokens,
+    * the signature of one logical document split across two crawl records
+    * with an overlapping boundary (paginated scrapes, chunked dumps,
+    * retried fetches that re-emit the seam). Span dedup ([[stripDupSpans]])
+    * would only strip the shared seam; this operator IDENTIFIES the
+    * (predecessor, continuation) edge so a curator can re-join or drop the
+    * fragments.
+    *
+    * Scale shape: two narrow projections (each row contributes exactly one
+    * m-token boundary key per side) and ONE equi-join on the boundary
+    * string — no inverted index, no fanout beyond genuinely colliding
+    * boundaries. A boundary shared by h heads and t tails emits h·t pairs
+    * (the true answer); boilerplate boundaries that would make h·t
+    * quadratic are the caller's signal to raise `m` — a longer seam is
+    * strictly more specific.
+    */
+  def stitchOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+                         m: Int = 8): DataFrame = {
+    require(m >= 1, "boundary length m must be positive")
+    val base = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= m)
+    val tails = base.select(col("id").as("id_a"),
+      concat_ws(" ", slice(col("tk"), -m, m)).as("boundary"))
+    val heads = base.select(col("id").as("id_b"),
+      concat_ws(" ", slice(col("tk"), 1, m)).as("boundary"))
+    tails.join(heads, Seq("boundary"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b", "boundary")
+  }
+
   def containmentSelfPairs(df: DataFrame, textCol: String, idCol: String,
                            n: Int = 3, threshold: Double = 0.8,
                            maxDocFreq: Long = Long.MaxValue): DataFrame =

@@ -264,6 +264,22 @@ object LlmQueries extends QueryPack {
         n = 3, threshold = 0.9)
     },
 
+    // Tail-head overlap pairs (shard stitching): doc a's last 8 tokens ==
+    // doc b's first 8 tokens — the split-document seam pagination and
+    // chunked dumps leave behind. The corpus has no natural seams
+    // (measured 0 collisions at m=8), so continuation fragments are
+    // planted for doc_id % 7 == 3: each starts with its parent's final
+    // 8 tokens (the overlap) and continues with fresh content. One
+    // boundary-key equi-join, no inverted index.
+    "dd_stitch_overlap" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val tk = TextOps.tokens(col("text"))
+      val cont = docs.filter(col("doc_id") % 7 === 3 && size(tk) >= 20)
+        .select((col("doc_id") + lit(3000000000000L)).as("doc_id"),
+          concat_ws(" ", concat(slice(tk, -8, 8), slice(tk, 1, 12))).as("text"))
+      Dedup.stitchOverlapPairs(docs.unionByName(cont), "text", "doc_id", m = 8)
+    },
+
     // MinHash+LSH near-dup pairs (banded candidates + exact verification);
     // output contract equals dd_ngram_jaccard — same oracle.
     "dd_minhash_lsh" -> { (s, dir) =>
@@ -891,6 +907,17 @@ object LlmQueries extends QueryPack {
     // self-join keeps construction codegen'd).
     "ta_bigram_lm" -> { (s, dir) =>
       CorpusOps.bigramCounts(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // Positional phrase search: every occurrence of the corpus's most
+    // frequent trigram (data-derived probe, ties lexicographic), found by
+    // broadcasting the 1-row phrase against the positional trigram stream
+    // — the retrieval shape of a positional inverted index. One doc-keyed
+    // window builds the stream; the probe never shuffles the corpus.
+    "ta_phrase_search" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusOps.phraseOccurrences(docs, "text", "doc_id",
+        CorpusOps.topTrigram(docs, "text", "doc_id"))
     },
 
     // Interpolated Kneser-Ney trigram LM (D=0.75, continuation counts,
@@ -1573,6 +1600,20 @@ object LlmQueries extends QueryPack {
         |  co*1.0/least(n_a,n_b) AS containment,
         |  co*1.0/(n_a+n_b-co) AS jaccard
         |FROM pairs WHERE co*1.0/least(n_a,n_b) >= 9.0E-1""".stripMargin,
+    "dd_stitch_overlap" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |cont AS (SELECT doc_id + 3000000000000 AS doc_id,
+        |    array_to_string(list_concat(tk[len(tk)-7:len(tk)], tk[1:12]), ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text,' ') AS tk FROM base)
+        |  WHERE doc_id % 7 = 3 AND len(tk) >= 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM cont),
+        |g AS (SELECT doc_id, len(tk) AS n, tk
+        |      FROM (SELECT doc_id, string_split(text,' ') AS tk FROM docs)
+        |      WHERE len(tk) >= 8),
+        |tails AS (SELECT doc_id AS id_a, array_to_string(tk[n-7:n],' ') AS boundary FROM g),
+        |heads AS (SELECT doc_id AS id_b, array_to_string(tk[1:8],' ') AS boundary FROM g)
+        |SELECT id_a, id_b, boundary FROM tails JOIN heads USING (boundary)
+        |WHERE id_a <> id_b""".stripMargin,
     "dd_incremental_neardup" ->
       s"""WITH toks AS ($shingleSql),
          |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM toks),
@@ -1868,6 +1909,15 @@ object LlmQueries extends QueryPack {
         |bg AS (SELECT unnest(list_transform(range(greatest(len(tk)-1,0)),
         |         i -> tk[i+1] || ' ' || tk[i+2])) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1""".stripMargin,
+    "ta_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2,0)),
+        |    i -> {'pos': i, 'w1': tk[i+1], 'w2': tk[i+2], 'w3': tk[i+3]})) AS g FROM t),
+        |flat AS (SELECT doc_id, g.pos AS pos, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tri),
+        |top AS (SELECT w1, w2, w3 FROM flat GROUP BY 1, 2, 3
+        |        ORDER BY count(*) DESC, w1 ASC, w2 ASC, w3 ASC LIMIT 1)
+        |SELECT f.doc_id, f.pos, f.w1 || ' ' || f.w2 || ' ' || f.w3 AS phrase
+        |FROM flat f JOIN top USING (w1, w2, w3)""".stripMargin,
     "ta_kn_trigram" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |tg AS (SELECT unnest(list_transform(range(greatest(len(tk)-2,0)),

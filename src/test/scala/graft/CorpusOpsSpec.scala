@@ -559,4 +559,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(good.getAs[Long]("bad_decile") === 0L)
     assert(good.getAs[Boolean]("keep"))
   }
+
+  test("topTrigram + phraseOccurrences: hand-computed positions, tie to lexicographic") {
+    val d = Seq(
+      (1L, "a b c a b c x"),  // "a b c" at pos 0 and 3
+      (2L, "z a b c y"),      // "a b c" at pos 1
+      (3L, "m n o p")         // one-off trigrams
+    ).toDF("doc_id", "text")
+    val top = CorpusOps.topTrigram(d, "text", "doc_id").collect()
+    assert(top.length === 1)
+    assert((top.head.getAs[String]("w1"), top.head.getAs[String]("w2"),
+      top.head.getAs[String]("w3")) === (("a", "b", "c")))
+    assert(top.head.getAs[Long]("n") === 3L)
+    val occ = CorpusOps.phraseOccurrences(d, "text", "doc_id",
+        CorpusOps.topTrigram(d, "text", "doc_id"))
+      .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+    assert(occ === Set((1L, 0), (1L, 3), (2L, 1)))
+    // ties break to the smallest (w1, w2, w3): two trigrams at count 2
+    val tie = Seq((1L, "b b b b"), (2L, "a a a a")).toDF("doc_id", "text")
+    val t2 = CorpusOps.topTrigram(tie, "text", "doc_id").collect().head
+    assert((t2.getAs[String]("w1"), t2.getAs[String]("w2"),
+      t2.getAs[String]("w3")) === (("a", "a", "a")))
+    // an explicit multi-phrase probe finds each phrase independently
+    val probes = Seq(("m", "n", "o"), ("b", "c", "x")).toDF("w1", "w2", "w3")
+    val multi = CorpusOps.phraseOccurrences(d, "text", "doc_id", probes)
+      .select("doc_id", "pos", "phrase").as[(Long, Int, String)].collect().toSet
+    assert(multi === Set((3L, 0, "m n o"), (1L, 4, "b c x")))
+  }
 }

@@ -506,4 +506,33 @@ class DedupSpec extends SparkTestBase {
     // asymmetric band is the operator's reason to exist
     assert(Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.9).count() === 0L)
   }
+
+  test("stitchOverlapPairs: seam found, direction kept, short docs excluded") {
+    val d = Seq(
+      (1L, "a b c d e f g h SEAM1 SEAM2 SEAM3"),      // tail = last 3: SEAM1..3
+      (2L, "SEAM1 SEAM2 SEAM3 i j k l m n"),          // head = SEAM1..3 → (1,2)
+      (3L, "x y z SEAM1 SEAM2 SEAM3 q r"),            // seam mid-doc: no match
+      (4L, "SEAM1 SEAM2"),                             // too short for m=3
+      (5L, "p q r s t u v w")                          // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.stitchOverlapPairs(d, "text", "doc_id", m = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+    // a full duplicate is both predecessor and continuation of its twin —
+    // both directions emit; the self pair never does
+    val dup = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val pairs = Dedup.stitchOverlapPairs(dup, "text", "doc_id", m = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("stitchOverlapPairs: colliding boundary emits the full h x t bipartite set") {
+    val d = Seq(
+      (1L, "q w e SEAM SEAM SEAM"), (2L, "r t y SEAM SEAM SEAM"), // two tails
+      (3L, "SEAM SEAM SEAM a s d"), (4L, "SEAM SEAM SEAM f g h")  // two heads
+    ).toDF("doc_id", "text")
+    val out = Dedup.stitchOverlapPairs(d, "text", "doc_id", m = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+  }
 }
