@@ -282,6 +282,48 @@ class PlanGuardSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("w18_ewma: all 8 dyadic lags ride ONE user_id exchange and one window pass") {
+    val plan = finalQe("w18_ewma").executedPlan
+    val exchanges = countShuffleStages(plan)
+    assert(exchanges === 1,
+      s"expected one user_id hash partitioning for the whole lag stack, " +
+        s"found $exchanges exchanges:\n$plan")
+    val p = finalPlan("w18_ewma")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s12_snapshot_diff: the diff shuffles (key, fingerprint), never the row width") {
+    // every shuffle exchange in the diff must carry at most 2 columns —
+    // the md5-compare contract: adding tracked columns must not widen
+    // what moves. Walk to each materialized shuffle and check its output.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    def shuffleWidths(p: SparkPlan): Seq[Int] = {
+      val self = p match {
+        case s: ShuffleQueryStageExec => Seq(s.output.length)
+        case _ => Seq.empty
+      }
+      self ++ (p match {
+        case a: AdaptiveSparkPlanExec => shuffleWidths(a.finalPhysicalPlan)
+        case q: QueryStageExec => shuffleWidths(q.plan)
+        case other => other.children.flatMap(shuffleWidths)
+      })
+    }
+    val widths = shuffleWidths(finalQe("s12_snapshot_diff").executedPlan)
+    assert(widths.nonEmpty, "full-outer diff join expected at least one shuffle")
+    assert(widths.forall(_ <= 2),
+      s"a diff shuffle moves more than (key, fp): widths=$widths")
+  }
+
+  test("ta_phrase_search: phrase probe broadcasts; corpus never pair-joins") {
+    val p = finalPlan("ta_phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1-row phrase relation must broadcast against the trigram stream")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized join side should sort-merge in the probe")
+  }
+
   test("every query dump face is atomic — container columns crash the driver harness") {
     // schema-only (no execution): the driver's pandas checker cannot sort
     // array/struct/map cells (the r7 ta_bpe_encode crash), so Verify
