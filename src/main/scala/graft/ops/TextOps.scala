@@ -205,6 +205,34 @@ object TextOps {
     * "first" in the declared rule order, which makes reject accounting
     * deterministic regardless of evaluation order.
     */
+  /** Canonical URL — the crawl-dedup key: the same logical page arrives
+    * under many raw spellings (case-shifted scheme/host, explicit default
+    * port, `www.` prefix, shuffled query params, tracking params,
+    * fragments), and URL-keyed dedup/frontier logic needs them to collide.
+    * Normalizations, all standards-sanctioned (RFC 3986 §6 + the de-facto
+    * utm strip): lowercase scheme+host, drop `:80`/`:443` for http/https,
+    * drop a leading `www.`, drop the fragment, drop `utm_*` params, sort
+    * the remaining params byte-wise. Pure codegen'd string ops — regex
+    * extracts + one array sort per row, no shuffle; the regexes are
+    * RE2-compatible so any engine reproduces the key byte-for-byte.
+    * Path/param percent-encoding is preserved as-is (normalizing it needs
+    * a decode table; byte-wise equality of encoded forms is the safe key).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => not(p.like("utm_%")) && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   def firstReject(rules: Seq[(String, Column)]): Column =
     rules.foldRight(lit(null).cast("string")) {
       case ((name, cond), acc) => when(cond, lit(name)).otherwise(acc)

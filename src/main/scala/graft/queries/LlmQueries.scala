@@ -830,6 +830,31 @@ object LlmQueries extends QueryPack {
       Tables.documents(s, dir).select(col("doc_id"), TextOps.maskPii(dirty).as("masked"))
     },
 
+    // URL canonicalization (the crawl-dedup key): three raw spellings of
+    // the same logical page — case-shifted host+scheme with explicit :80,
+    // www. prefix, shuffled params, utm_* tracking, fragments — derive
+    // deterministically per doc_id % 3 over a shared doc_id DIV 3 page id;
+    // canonicalization must collapse them. n_variants counts the collapse
+    // (3 per complete triple; the corpus-tail group stays smaller, so the
+    // non-collapsed shape lives in the data too).
+    "ta_url_normalize" -> { (s, dir) =>
+      val grp = expr("doc_id DIV 3").cast("string")
+      val site = expr("(doc_id DIV 3) % 7").cast("string")
+      val variant = col("doc_id") % 3
+      val raw = when(variant === 0, concat(lit("http://www.site"), site,
+          lit(".example.com/d/"), grp, lit("?a=1&b=2")))
+        .when(variant === 1, concat(lit("HTTP://WWW.SITE"), site,
+          lit(".EXAMPLE.COM:80/d/"), grp, lit("?b=2&utm_source=x&a=1")))
+        .otherwise(concat(lit("http://site"), site,
+          lit(".example.com:80/d/"), grp, lit("?utm_medium=y&b=2&a=1#section")))
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("url_raw"))
+        .withColumn("url_canon", TextOps.canonicalizeUrl(col("url_raw")))
+        .withColumn("n_variants",
+          count(lit(1)).over(Window.partitionBy("url_canon")))
+    },
+
     // Structural fingerprint (sorted distinct token set → md5): dup groups.
     "ta_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -2493,6 +2518,36 @@ object LlmQueries extends QueryPack {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "ta_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'http://www.site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+        |        || '.example.com/d/' || CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 1 THEN 'HTTP://WWW.SITE' || CAST((doc_id // 3) % 7 AS VARCHAR)
+        |        || '.EXAMPLE.COM:80/d/' || CAST(doc_id // 3 AS VARCHAR) || '?b=2&utm_source=x&a=1'
+        |      ELSE 'http://site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+        |        || '.example.com:80/d/' || CAST(doc_id // 3 AS VARCHAR) || '?utm_medium=y&b=2&a=1#section'
+        |    END AS url_raw
+        |  FROM documents),
+        |p AS (SELECT doc_id, url_raw,
+        |    lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url_raw, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url_raw, '\?([^#]*)', 1) AS query FROM u),
+        |c AS (SELECT doc_id, url_raw, scheme,
+        |    regexp_replace(regexp_replace(hostport,
+        |      CASE WHEN scheme = 'http' THEN ':80$'
+        |           WHEN scheme = 'https' THEN ':443$' ELSE ':~never~$' END, ''),
+        |      '^www\.', '') AS host,
+        |    path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      q -> NOT (q LIKE 'utm_%') AND q <> '')), '&') AS params FROM p)
+        |SELECT doc_id, url_raw,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS url_canon,
+        |  CAST(count(*) OVER (PARTITION BY scheme || '://' || host || path ||
+        |    CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS BIGINT) AS n_variants
+        |FROM c""".stripMargin,
     "ta_rolling_fp_contains" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -156,4 +156,25 @@ class EdgeCaseSpec extends SparkTestBase {
       .as[(Option[String], Option[Boolean])].head()
     assert(cleanOut._1.isEmpty && cleanOut._2.contains(true))
   }
+
+  test("canonicalizeUrl: RFC normalizations, and what must NOT normalize") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextOps.canonicalizeUrl(col("u")).as("c")).as[String].head()
+    // the full stack at once
+    assert(canon("HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#frag")
+      === "http://ex.com/A/b?a=1&b=2")
+    // https default port strips; non-default port survives
+    assert(canon("https://ex.com:443/p") === "https://ex.com/p")
+    assert(canon("http://ex.com:8080/p") === "http://ex.com:8080/p")
+    assert(canon("https://ex.com:80/p") === "https://ex.com:80/p") // not https's default
+    // no query → no '?'; utm-only query also collapses to none
+    assert(canon("http://ex.com/p") === "http://ex.com/p")
+    assert(canon("http://ex.com/p?utm_campaign=z") === "http://ex.com/p")
+    // path CASE is significant per RFC 3986 — it must survive
+    assert(canon("http://ex.com/CaseSensitive") === "http://ex.com/CaseSensitive")
+    // www only strips as a leading label
+    assert(canon("http://notwww.ex.com/p") === "http://notwww.ex.com/p")
+    assert(canon("http://www.www.ex.com/p") === "http://www.ex.com/p")
+  }
 }
