@@ -65,14 +65,22 @@ object Merge {
     * strings, and exact-cents longs do; raw doubles/timestamps should be
     * normalized by the caller first (see the s12 face).
     */
+  /** The diff fingerprint of one row, as a column — md5 over the tracked
+    * columns stringified with the explicit NULL sentinel (see
+    * [[snapshotDiff]]'s determinism contract). Public so the streaming CDC
+    * twin ([[graft.streaming.Streaming.cdcAgainstBase]]) compares the SAME
+    * key a batch-built base index carries.
+    */
+  def rowFingerprint(trackCols: Seq[String]): Column =
+    md5(concat_ws("|",
+      trackCols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*))
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String], trackCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
     require(trackCols.nonEmpty, "snapshotDiff needs at least one tracked column")
     def fingerprint(df: DataFrame, as: String): DataFrame =
-      df.select(keyCols.map(col) :+
-        md5(concat_ws("|",
-          trackCols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)).as(as): _*)
+      df.select(keyCols.map(col) :+ rowFingerprint(trackCols).as(as): _*)
     val o = fingerprint(oldSnap, "old_fp")
     val n = fingerprint(newSnap, "new_fp")
     o.join(n, keyCols, "full_outer")

@@ -279,6 +279,37 @@ object Streaming {
         size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** Stream-static CDC: classify each ARRIVING row against a static base
+    * snapshot as `added` / `changed` by the same md5 row fingerprint the
+    * batch diff uses ([[graft.ops.Merge.rowFingerprint]]), dropping
+    * unchanged arrivals — the change-data filter an incremental ingest
+    * runs before writing, so re-delivered identical rows cost nothing
+    * downstream. STATELESS: the fingerprint compare rides one
+    * stream-static left join on the key (no state store, no watermark;
+    * the base index is a batch-built (key, base_fp) table, refreshed on
+    * the batch side's schedule).
+    *
+    * Removals are structurally INVISIBLE to a stream — a deleted row is
+    * one that never arrives, and only the batch [[graft.ops.Merge
+    * .snapshotDiff]] (which sees both full snapshots) can emit `removed`.
+    * This operator is the streaming face of the other two verdicts, with
+    * batch-identical classification (StreamingSpec pins row-for-row
+    * parity against snapshotDiff restricted to added/changed).
+    */
+  def cdcAgainstBase(rows: DataFrame, base: DataFrame, keyCols: Seq[String],
+                     trackCols: Seq[String]): DataFrame = {
+    import graft.ops.Merge
+    val baseIdx = base.select(
+      keyCols.map(col) :+ Merge.rowFingerprint(trackCols).as("base_fp"): _*)
+    rows.withColumn("__fp", Merge.rowFingerprint(trackCols))
+      .join(baseIdx, keyCols, "left_outer")
+      .withColumn("status",
+        when(col("base_fp").isNull, lit("added"))
+          .when(col("base_fp") =!= col("__fp"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
+
   /** Streaming ANN retrieval against a prebuilt static IVF index (the
     * [[graft.ops.Similarity.ivfBuildIndex]] pair) — the query-side twin of
     * batch `ivfQueryIndex`, for the retrieval-service shape: embeddings

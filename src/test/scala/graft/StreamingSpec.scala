@@ -290,6 +290,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed(4L) === (("", 0L)), "all-boilerplate doc survives with empty text")
   }
 
+  test("cdcAgainstBase ≡ batch snapshotDiff on added/changed; unchanged arrivals drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)
+    ).toDF("k", "v", "n")
+    val arrivals = Seq(
+      (1L, "a", 10L),   // unchanged re-delivery — must drop
+      (2L, "b2", 20L),  // changed
+      (4L, "d", 40L)    // added
+    )
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streaming.cdcAgainstBase(ms.toDF.toDF("k", "v", "n"), base,
+        Seq("k"), Seq("v", "n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cdc_out").start()
+    ms.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cdc_out")
+      .as[(Long, String)].collect().toSet
+    assert(streamed === Set((2L, "changed"), (4L, "added")))
+    // batch parity: snapshotDiff over (base, base ∪ arrivals-as-new-state)
+    // restricted to added/changed classifies identically (removed is the
+    // batch diff's exclusive verdict — key 3 never arrives here)
+    val newSnap = Seq((1L, "a", 10L), (2L, "b2", 20L), (4L, "d", 40L))
+      .toDF("k", "v", "n")
+    val batch = graft.ops.Merge.snapshotDiff(base, newSnap, Seq("k"), Seq("v", "n"))
+      .filter(col("status") =!= "removed")
+      .as[(Long, String)].collect().toSet
+    assert(batch === streamed)
+  }
+
   test("cmsCounters: streaming sketch equals the batch build, updates across batches, state stays depth×width-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
