@@ -122,20 +122,24 @@ object CorpusOps {
 
   /** The corpus's positional trigram stream: one row per in-document
     * trigram occurrence — (doc_id, pos, w1, w2, w3), pos 0-based at the
-    * first token. Built with lead() over a doc-keyed window: ONE
-    * document-keyed exchange and a local sort, linear in tokens (the
-    * self-join formulation of [[bigramCounts]] would pay a (doc, pos)
-    * shuffle per adjacency step — fine for one step, worse for two).
+    * first token. A pure NARROW projection: the trigram array assembles
+    * in-row (transform over an index sequence) and posexplodes — zero
+    * exchange, so consumers can recompute it freely instead of
+    * checkpointing, and a 100 TB corpus never shuffles its token stream
+    * just to window-adjacent tokens (both the lead()-window and the
+    * position-self-join formulations pay a doc-keyed exchange here).
     */
-  def trigramStream(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    df.select(col(idCol).as("doc_id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w1")))
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .withColumn("w3", lead(col("w1"), 2).over(w))
-      .filter(col("w3").isNotNull)
-  }
+  def trigramStream(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+      .withColumn("n3", greatest(size(col("tk")) - 2, lit(0)))
+      .select(col("doc_id"),
+        slice(col("tk"), lit(1), col("n3")).as("w1"),
+        slice(col("tk"), lit(2), col("n3")).as("w2"),
+        slice(col("tk"), lit(3), col("n3")).as("w3"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("w1"), col("w2"), col("w3"))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
 
   /** The most frequent trigram in the corpus (ties to the lexicographically
     * smallest (w1, w2, w3)) as a 1-row frame — the data-derived probe for
@@ -143,8 +147,14 @@ object CorpusOps {
     * combine + a global top-1 (TakeOrdered, never a full sort).
     */
   def topTrigram(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    trigramStream(df, textCol, idCol)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
+    topTrigramIn(trigramStream(df, textCol, idCol))
+
+  /** [[topTrigram]] over an already-built trigram stream — callers that
+    * also probe the stream ([[phraseOccurrencesIn]]) should build it once
+    * (localCheckpoint) instead of paying the doc-keyed window twice.
+    */
+  def topTrigramIn(stream: DataFrame): DataFrame =
+    stream.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc, col("w3").asc)
       .limit(1)
 
@@ -157,7 +167,11 @@ object CorpusOps {
     */
   def phraseOccurrences(df: DataFrame, textCol: String, idCol: String,
                         phrases: DataFrame): DataFrame =
-    trigramStream(df, textCol, idCol)
+    phraseOccurrencesIn(trigramStream(df, textCol, idCol), phrases)
+
+  /** [[phraseOccurrences]] over an already-built trigram stream. */
+  def phraseOccurrencesIn(stream: DataFrame, phrases: DataFrame): DataFrame =
+    stream
       .join(broadcast(phrases.select("w1", "w2", "w3")), Seq("w1", "w2", "w3"))
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))

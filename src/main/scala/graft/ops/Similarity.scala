@@ -757,6 +757,12 @@ object Similarity {
     * when the labeled set is small — here it is corpus-sized so it
     * shuffles), one (query_id, label) hash agg with map-side combine, one
     * query-partitioned window over ≤ distinct-labels rows per query.
+    *
+    * Neighbors absent from `labels` are abstentions — they simply don't
+    * vote (inner join); a query whose ENTIRE top-k is unlabeled yields no
+    * prediction row. Callers needing "vote among the k nearest LABELED
+    * points" should pre-filter the corpus to labeled rows before the
+    * k-NN search instead.
     */
   def knnClassify(neighbors: DataFrame, labels: DataFrame, k: Int): DataFrame = {
     val lab = labels.select(col("vec_id").as("neighbor_id"), col("label"))

@@ -941,8 +941,10 @@ object LlmQueries extends QueryPack {
     // window builds the stream; the probe never shuffles the corpus.
     "ta_phrase_search" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      CorpusOps.phraseOccurrences(docs, "text", "doc_id",
-        CorpusOps.topTrigram(docs, "text", "doc_id"))
+      // the stream is a narrow projection (no exchange) — recomputing it
+      // for the probe is cheaper than checkpointing it (measured)
+      val stream = CorpusOps.trigramStream(docs, "text", "doc_id")
+      CorpusOps.phraseOccurrencesIn(stream, CorpusOps.topTrigramIn(stream))
     },
 
     // Interpolated Kneser-Ney trigram LM (D=0.75, continuation counts,

@@ -322,6 +322,13 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"),
       "no corpus-sized join side should sort-merge in the probe")
+    // the trigram stream is a NARROW projection (slice + arrays_zip +
+    // posexplode): the only exchange in the whole query is the top-1
+    // count's partial->final agg — the probe re-derives the stream from
+    // the scan instead of shuffling or checkpointing the token stream
+    val exchanges = countShuffleStages(finalQe("ta_phrase_search").executedPlan)
+    assert(exchanges === 1,
+      s"expected one exchange (top-trigram agg), found $exchanges")
   }
 
   test("every query dump face is atomic — container columns crash the driver harness") {

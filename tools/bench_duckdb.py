@@ -159,6 +159,31 @@ EXPLAINED = {
         "single window-dedup shuffle"),
     "ann_topk_brute": (1.5, "constant-dominated: 0.50 s warm @sf0.1, "
         "broadcast NLJ + TakeOrdered; DuckDB sample sits at its floor"),
+    "tpch_q20": (2.5, "floor-straddling + constant-dominated: DuckDB "
+        "min-of-5 flickers 0.040-0.058 s across whole invocations (the "
+        "r11 (floor~) band's documented flicker case); Spark 0.82 s warm "
+        "@sf0.1 is the chained-semi-join pipeline's scheduling constant"),
+    "ta_domain_shift": (2.0, "floor-straddling: DuckDB 0.037-0.059 s "
+        "across invocations; Spark 0.52 s warm @sf0.1 — two "
+        "vocabulary-shaped hash aggs + a broadcast spine, pure constants"),
+    "u5_except_all": (1.5, "floor-straddling: DuckDB 0.040-0.054 s across "
+        "invocations; Spark 0.44 s warm @sf0.1 — one exceptAll shuffle, "
+        "pure constants"),
+    "ann_knn_classify": (2.5, "constant-dominated: 0.78 s @sf0.01 vs "
+        "0.81 s @sf0.1 warm (10x data, +4%); rides ann_topk_brute's "
+        "broadcast scorer plus a vote agg + argmax window over 50 queries"),
+    "ann_margin_pairs": (4.0, "constant-dominated: 0.92 s @sf0.01 vs "
+        "0.99 s @sf0.1 warm (10x data, +8%); TWO brute passes by "
+        "definition (forward + backward neighborhoods) + two rank-ordered "
+        "folds — the margin criterion's cost, not a plan defect"),
+    "s12_snapshot_diff": (2.5, "constant-dominated: 0.44 s @sf0.01 vs "
+        "0.73 s @sf0.1 warm (10x data, +66%); full-outer merge of two "
+        "(key, fp) snapshot fingerprints — the shuffle moves 2 columns "
+        "(PlanGuard-pinned), the excess is 3-stage scheduling constants"),
+    "ta_phrase_search": (3.5, "constant-dominated: 0.71 s @sf0.01 vs "
+        "1.10 s @sf0.1 warm (10x data, +55%); zero-exchange narrow trigram "
+        "stream read twice (top-1 count + broadcast probe), one agg "
+        "exchange total (PlanGuard-pinned)"),
     "w11_sessionize": (1.5, "constant-dominated: 0.49 s warm @sf0.1, "
         "single-exchange window+rollup plan; DuckDB sample (0.041 s) sits "
         "at the floor boundary and the Spark excess is the 3-stage "
