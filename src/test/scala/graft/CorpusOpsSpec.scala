@@ -585,5 +585,12 @@ class CorpusOpsSpec extends SparkTestBase {
     val multi = CorpusOps.phraseOccurrences(d, "text", "doc_id", probes)
       .select("doc_id", "pos", "phrase").as[(Long, Int, String)].collect().toSet
     assert(multi === Set((3L, 0, "m n o"), (1L, 4, "b c x")))
+    // sub-trigram docs (0/1/2 tokens) contribute no rows and no errors —
+    // the slice(…, n3=0) guard must hold under ANSI
+    val short = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val st = CorpusOps.trigramStream(short, "text", "doc_id")
+      .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+    assert(st === Set((4L, 0)))
   }
 }
