@@ -133,6 +133,28 @@ object TextOps {
     regexp_replace(ip, "\\b\\d{7,}\\b", "<NUMBER>")
   }
 
+  /** Luhn checksum validity of a digit string (ISO/IEC 7812 mod-10) — the
+    * filter that separates card-shaped digit runs that could be real PANs
+    * from mere long numbers, so PII triage escalates the former and not
+    * every invoice id. Walking from the RIGHT, every second digit doubles
+    * (casting out nines); valid iff the digit sum ≡ 0 (mod 10). Pure
+    * integer arithmetic in a fixed fold — bit-free of floats, so the
+    * verdict is engine-exact by construction. Input must be digits-only
+    * (extract with a regex first); a non-digit cast fails loudly under
+    * ANSI rather than mis-validating.
+    */
+  def luhnValid(num: Column): Column = {
+    val n = length(num)
+    val total = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val d = num.substr(n - i + 1, lit(1)).cast("int")
+        when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
   /** 64-bit content fingerprint: min of rolling shingle hashes (winnowing
     * with window = whole doc). Engine-internal (xxhash64-based) — compare
     * only against itself.

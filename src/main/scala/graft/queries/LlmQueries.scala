@@ -830,6 +830,31 @@ object LlmQueries extends QueryPack {
       Tables.documents(s, dir).select(col("doc_id"), TextOps.maskPii(dirty).as("masked"))
     },
 
+    // PII triage audit — the COUNTING twin of ta_pii_mask (masking
+    // destroys; triage routes): per-doc counts of each PII class over the
+    // same dirtied text, plus Luhn (ISO 7812 mod-10) validity of a planted
+    // card-shaped 16-digit number — the checksum that separates possible
+    // real PANs from mere long numbers. The planted PAN's last digit is
+    // doc_id % 10, so ~1 in 10 validates naturally (both verdicts live in
+    // the data); the checksum is pure integer arithmetic, engine-exact.
+    "ta_pii_audit" -> { (s, dir) =>
+      val pan = concat(lit("4"),
+        lpad((col("doc_id") % 1000000000L).cast("string"), 14, "0"),
+        (col("doc_id") % 10).cast("string"))
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 5551234567 at 10.0.0."),
+        (col("doc_id") % 255).cast("string"),
+        lit(" card "), pan)
+      Tables.documents(s, dir).select(col("doc_id"),
+        regexp_count(dirty,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_emails"),
+        regexp_count(dirty, lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")).as("n_ips"),
+        regexp_count(dirty, lit("\\b\\d{7,}\\b")).as("n_longnums"),
+        pan.as("pan"),
+        TextOps.luhnValid(pan).as("pan_luhn_valid"))
+    },
+
     // URL canonicalization (the crawl-dedup key): three raw spellings of
     // the same logical page — case-shifted host+scheme with explicit :80,
     // www. prefix, shuffled params, utm_* tracking, fragments — derive
@@ -2520,6 +2545,29 @@ object LlmQueries extends QueryPack {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "ta_pii_audit" ->
+      """WITH u AS (SELECT doc_id, text,
+        |    '4' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 14, '0')
+        |        || CAST(doc_id % 10 AS VARCHAR) AS pan
+        |  FROM documents),
+        |d AS (SELECT doc_id, pan,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 5551234567 at 10.0.0.'
+        |      || CAST(doc_id % 255 AS VARCHAR) || ' card ' || pan AS dirty
+        |  FROM u)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(dirty, '\b\d{7,}\b')) AS INT) AS n_longnums,
+        |  pan,
+        |  list_sum(list_transform(range(1, length(pan)+1),
+        |    i -> CASE WHEN i % 2 = 0 THEN
+        |           CASE WHEN 2*CAST(pan[length(pan)-i+1] AS INT) > 9
+        |                THEN 2*CAST(pan[length(pan)-i+1] AS INT) - 9
+        |                ELSE 2*CAST(pan[length(pan)-i+1] AS INT) END
+        |         ELSE CAST(pan[length(pan)-i+1] AS INT) END)) % 10 = 0 AS pan_luhn_valid
+        |FROM d""".stripMargin,
     "ta_url_normalize" ->
       """WITH u AS (SELECT doc_id,
         |    CASE doc_id % 3

@@ -157,6 +157,23 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(cleanOut._1.isEmpty && cleanOut._2.contains(true))
   }
 
+  test("luhnValid: the canonical mod-10 cases") {
+    def luhn(s: String): Boolean =
+      Seq(Tuple1(s)).toDF("n")
+        .select(TextOps.luhnValid(col("n")).as("v")).as[Boolean].head()
+    // 79927398713 is the textbook Luhn-valid number; every other final
+    // digit fails
+    assert(luhn("79927398713"))
+    (0 to 9).filter(_ != 3).foreach { d =>
+      assert(!luhn(s"7992739871$d"), s"check digit $d must fail")
+    }
+    // a known-valid 16-digit test PAN and an off-by-one corruption
+    assert(luhn("4532015112830366"))
+    assert(!luhn("4532015112830367"))
+    // single digit: only 0 is valid (sum = digit)
+    assert(luhn("0") && !luhn("5"))
+  }
+
   test("canonicalizeUrl: RFC normalizations, and what must NOT normalize") {
     def canon(u: String): String =
       Seq(Tuple1(u)).toDF("u")
