@@ -159,6 +159,10 @@ EXPLAINED = {
         "single window-dedup shuffle"),
     "ann_topk_brute": (1.5, "constant-dominated: 0.50 s warm @sf0.1, "
         "broadcast NLJ + TakeOrdered; DuckDB sample sits at its floor"),
+    "dd_chunk_neardup": (7.0, "2x-bar straddler under host noise: Spark "
+        "1.91/2.09/2.42 s warm @sf0.1 across three same-tree invocations "
+        "vs DuckDB 1.08-1.19 s -> ratio flickers 1.61-2.25x with zero "
+        "code change; banded chunk-minhash plan unchanged since r7"),
     "tpch_q20": (2.5, "floor-straddling + constant-dominated: DuckDB "
         "min-of-5 flickers 0.040-0.058 s across whole invocations (the "
         "r11 (floor~) band's documented flicker case); Spark 0.82 s warm "
