@@ -192,9 +192,12 @@ object CorpusOps {
     * bit-identical cross-engine (the ta_bm25 exactness discipline).
     * The model is CORPUS-GLOBAL (one LM over all documents — no id
     * parameter by design; per-doc scoring is [[knSurprisal]]'s job).
-    * Scale shape: two hash aggregations on trigram/continuation grain plus
-    * entity-keyed windows — no joins wider than the type tables, V attached
-    * as a broadcast scalar.
+    * Scale shape: two hash aggregations on trigram/continuation grain; the
+    * (w1,w2) context totals ride an entity-keyed window (two-word grain —
+    * no hot key), the w2-grain totals a groupBy + join-back (a w2-keyed
+    * window would sort the hottest middle word's continuation set in one
+    * partition) — no joins wider than the type tables, V attached as a
+    * broadcast scalar.
     */
   def knTrigram(df: DataFrame, textCol: String,
                 minCount: Int = 2): DataFrame = {
@@ -207,10 +210,15 @@ object CorpusOps {
     val ctx = tt
       .withColumn("c12", sum("c3").over(wCtx))
       .withColumn("t12", count(lit(1)).over(wCtx))
-    val wMid = Window.partitionBy("w2")
-    val mid = tt.groupBy("w2", "w3").agg(count(lit(1)).as("n_cont3"))
-      .withColumn("n_ctx2", sum("n_cont3").over(wMid))
-      .withColumn("t2", count(lit(1)).over(wMid))
+    // mid-order totals as a groupBy + join-back, NOT a partitionBy("w2")
+    // window: a w2-keyed window sorts the hottest middle word's whole
+    // continuation-type set in one partition (skew-shaped even though the
+    // grain is vocabulary-bounded); the aggregate gets map-side partials
+    // and the join key is the same w2 the rows already hash on
+    val cont = tt.groupBy("w2", "w3").agg(count(lit(1)).as("n_cont3"))
+    val midTotals = cont.groupBy("w2")
+      .agg(sum("n_cont3").as("n_ctx2"), count(lit(1)).as("t2"))
+    val mid = cont.join(midTotals, Seq("w2"))
     val v = df.select(explode(toks).as("w")).agg(countDistinct("w").as("v"))
     val d = lit(0.75)
     val term1 = greatest(col("c3") - d, lit(0.0)) / col("c12")

@@ -57,23 +57,34 @@ object Merge {
     * plan. Unchanged keys drop out (they are the overwhelming mass of any
     * real snapshot pair and nobody diffs to read them).
     *
-    * Determinism contract: the fingerprint is md5 over the tracked columns
-    * cast to string and joined with an explicit NULL sentinel (`concat_ws`
-    * alone SKIPS nulls, which would collide ('a', NULL) with ('a') — the
-    * sentinel keeps null transitions visible as changes). Engine-portable
-    * as long as the tracked columns stringify identically — integers,
-    * strings, and exact-cents longs do; raw doubles/timestamps should be
-    * normalized by the caller first (see the s12 face).
+    * Determinism contract: each tracked column hashes SEPARATELY (md5 of
+    * its string form, or a fixed 32-char non-hex NULL marker), and the row
+    * fingerprint is md5 over the concatenation of those fixed-width field
+    * hashes. Fixed width makes the encoding injection-proof: a delimiter
+    * scheme over raw values collides ('a|b','c') with ('a','b|c') and NULL
+    * with a literal sentinel string, silently classifying a real change as
+    * unchanged — here every field occupies exactly 32 characters and the
+    * marker contains '#' (outside md5's hex alphabet), so no value, NULL
+    * included, can forge a neighbour's slot. Engine-portable as long as
+    * the tracked columns stringify identically — integers, strings, and
+    * exact-cents longs do; raw doubles/timestamps should be normalized by
+    * the caller first (see the s12 face).
     */
-  /** The diff fingerprint of one row, as a column — md5 over the tracked
-    * columns stringified with the explicit NULL sentinel (see
-    * [[snapshotDiff]]'s determinism contract). Public so the streaming CDC
-    * twin ([[graft.streaming.Streaming.cdcAgainstBase]]) compares the SAME
+  /** The NULL field marker: exactly as wide as an md5 hex digest and
+    * containing non-hex characters, so it can never equal one.
+    */
+  val NullFieldMarker = "##NULL##NULL##NULL##NULL##NULL##"
+
+  /** The diff fingerprint of one row, as a column — md5 over the
+    * concatenated per-column md5s (see [[snapshotDiff]]'s determinism
+    * contract). Public so the streaming CDC twin
+    * ([[graft.streaming.Streaming.cdcAgainstBase]]) compares the SAME
     * key a batch-built base index carries.
     */
   def rowFingerprint(trackCols: Seq[String]): Column =
-    md5(concat_ws("|",
-      trackCols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*))
+    md5(concat(
+      trackCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit(NullFieldMarker))): _*))
 
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String], trackCols: Seq[String]): DataFrame = {

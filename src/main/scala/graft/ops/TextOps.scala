@@ -141,7 +141,10 @@ object TextOps {
     * integer arithmetic in a fixed fold — bit-free of floats, so the
     * verdict is engine-exact by construction. Input must be digits-only
     * (extract with a regex first); a non-digit cast fails loudly under
-    * ANSI rather than mis-validating.
+    * ANSI rather than mis-validating. The empty string is `false` by an
+    * explicit guard (Spark's `sequence(1, 0)` defaults to step −1 and
+    * yields `[1, 0]`, so the unguarded fold would walk bogus positions
+    * and return NULL instead); NULL input stays NULL.
     */
   def luhnValid(num: Column): Column = {
     val n = length(num)
@@ -152,7 +155,7 @@ object TextOps {
           when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
       }),
       lit(0), (acc, x) => acc + x)
-    total % 10 === 0
+    when(n === 0, lit(false)).otherwise(total % 10 === 0)
   }
 
   /** 64-bit content fingerprint: min of rolling shingle hashes (winnowing
@@ -249,8 +252,11 @@ object TextOps {
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val host = regexp_replace(noPort, "^www\\.", "")
+    // literal-prefix test, not LIKE 'utm_%': '_' is a LIKE single-char
+    // wildcard, so the LIKE form also drops utmX=/utm1=-style params and
+    // collapses genuinely distinct URLs to one dedup key
     val params = array_join(array_sort(filter(split(query, "&"),
-      p => not(p.like("utm_%")) && p =!= "")), "&")
+      p => substring(p, 1, 4) =!= "utm_" && p =!= "")), "&")
     concat(scheme, lit("://"), host, path,
       when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }

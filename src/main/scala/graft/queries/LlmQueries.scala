@@ -2591,7 +2591,7 @@ object LlmQueries extends QueryPack {
         |      '^www\.', '') AS host,
         |    path,
         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |      q -> NOT (q LIKE 'utm_%') AND q <> '')), '&') AS params FROM p)
+        |      q -> NOT (substr(q, 1, 4) = 'utm_') AND q <> '')), '&') AS params FROM p)
         |SELECT doc_id, url_raw,
         |  scheme || '://' || host || path ||
         |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS url_canon,

@@ -100,14 +100,18 @@ object ScanQueries extends QueryPack {
       s"((((${x} >> $i) & 1) << ${2 * i}) | (((${y} >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
 
-  /** The s12 fingerprint, mirroring Merge.snapshotDiff's md5-of-concat
-    * (explicit NULL sentinel; BIGINT/VARCHAR stringification is identical
-    * across engines).
+  /** The s12 fingerprint, mirroring Merge.rowFingerprint's injection-proof
+    * md5-of-per-column-md5s (fixed-width field hashes; a 32-char non-hex
+    * marker stands in for NULL so NULL can never collide with any string
+    * value — see Merge.snapshotDiff's determinism contract).
     */
-  private val s12FpSql =
-    """md5(concat_ws('|', coalesce(CAST(o_custkey AS VARCHAR), '\N'),
-      |  coalesce(o_orderstatus, '\N'), coalesce(CAST(price_c AS VARCHAR), '\N'),
-      |  coalesce(o_orderpriority, '\N')))""".stripMargin
+  private val s12FpSql = {
+    val m = graft.ops.Merge.NullFieldMarker
+    s"""md5(concat(coalesce(md5(CAST(o_custkey AS VARCHAR)), '$m'),
+      |  coalesce(md5(o_orderstatus), '$m'),
+      |  coalesce(md5(CAST(price_c AS VARCHAR)), '$m'),
+      |  coalesce(md5(o_orderpriority), '$m')))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "s12_snapshot_diff" ->

@@ -172,6 +172,13 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(!luhn("4532015112830367"))
     // single digit: only 0 is valid (sum = digit)
     assert(luhn("0") && !luhn("5"))
+    // empty string is false (not NULL: sequence(1,0) would otherwise walk
+    // [1,0] and the fold would yield NULL); NULL input stays NULL
+    assert(!luhn(""))
+    val nullOut = Seq(Tuple1(Option.empty[String])).toDF("n")
+      .select(TextOps.luhnValid(col("n")).as("v"))
+      .as[Option[Boolean]].head()
+    assert(nullOut.isEmpty)
   }
 
   test("canonicalizeUrl: RFC normalizations, and what must NOT normalize") {
@@ -188,6 +195,9 @@ class EdgeCaseSpec extends SparkTestBase {
     // no query → no '?'; utm-only query also collapses to none
     assert(canon("http://ex.com/p") === "http://ex.com/p")
     assert(canon("http://ex.com/p?utm_campaign=z") === "http://ex.com/p")
+    // only the literal 'utm_' prefix strips -- a LIKE 'utm_%' would treat
+    // '_' as a wildcard and drop utmx=/utm1=-style params too
+    assert(canon("http://ex.com/p?utmx=1&utm1=2") === "http://ex.com/p?utm1=2&utmx=1")
     // path CASE is significant per RFC 3986 — it must survive
     assert(canon("http://ex.com/CaseSensitive") === "http://ex.com/CaseSensitive")
     // www only strips as a leading label

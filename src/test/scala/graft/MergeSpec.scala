@@ -62,4 +62,17 @@ class MergeSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(got === Set((1L, "changed"))) // key 2: NULL == NULL, unchanged
   }
+
+  test("snapshotDiff: fingerprint is injection-proof (delimiters, sentinel lookalikes)") {
+    // per-column fixed-width hashing must distinguish rows a delimiter
+    // encoding would collide: ('a|b','c') vs ('a','b|c'), and NULL vs any
+    // literal string a sentinel scheme might have reserved ('\N' here)
+    val old = Seq[(Long, Option[String], Option[String])](
+      (1L, Some("a|b"), Some("c")), (2L, None, Some("x"))).toDF("k", "v", "w")
+    val neu = Seq[(Long, Option[String], Option[String])](
+      (1L, Some("a"), Some("b|c")), (2L, Some("\\N"), Some("x"))).toDF("k", "v", "w")
+    val got = Merge.snapshotDiff(old, neu, Seq("k"), Seq("v", "w"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "changed"), (2L, "changed")))
+  }
 }

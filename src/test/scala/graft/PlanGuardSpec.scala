@@ -331,6 +331,29 @@ class PlanGuardSpec extends SparkTestBase {
       s"expected one exchange (top-trigram agg), found $exchanges")
   }
 
+  test("ta_kn_trigram: no single-key window over the hot middle word w2") {
+    // the w2-grain totals must come from a groupBy + join-back, not a
+    // partitionBy("w2") window — the window form sorts the hottest middle
+    // word's whole continuation-type set in one partition. The two-word
+    // (w1,w2) context window is fine (finer grain, no hot key).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match { case w: WindowExec => Seq(w); case _ => Seq.empty }
+      self ++ (p match {
+        case a: AdaptiveSparkPlanExec => windows(a.finalPhysicalPlan)
+        case q: QueryStageExec => windows(q.plan)
+        case other => other.children.flatMap(windows)
+      })
+    }
+    val parts = windows(finalQe("ta_kn_trigram").executedPlan)
+      .map(_.partitionSpec.map(_.toString))
+    assert(parts.nonEmpty, "the (w1,w2) context window should remain")
+    assert(parts.forall(_.size >= 2),
+      s"found a single-key (skew-shaped) window: $parts")
+  }
+
   test("every query dump face is atomic — container columns crash the driver harness") {
     // schema-only (no execution): the driver's pandas checker cannot sort
     // array/struct/map cells (the r7 ta_bpe_encode crash), so Verify
