@@ -85,6 +85,50 @@ object LlmQueries extends QueryPack {
        |FROM enc GROUP BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ops.CorpusOps.bpeTrainMerges]]: `rounds`
+    * UNROLLED training iterations (the ta_pagerank discipline — a fixed
+    * small round count is just a CTE chain, not "iterative ∉ SQL"). Each
+    * round's word state rides the same boundary-anchored separator-wrapped
+    * string [[bpeEncodeOracleSql]] uses (greedy left fold ≡ anchored
+    * left-to-right replace), the round's pair statistics come from the
+    * symbol list split back out of that string, and the argmax applies the
+    * same (n_pairs DESC, a, b) total order as the Spark trainer — ASCII
+    * corpus, so binary collation agrees cross-engine. Word-state and
+    * argmax CTEs are MATERIALIZED: each is referenced twice (next state +
+    * output), and inlining would re-derive round r's state 2^(R−r) times.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    val SS = s"$S || $S"
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', $S || '\\1' || $S, 'g') AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w)""".stripMargin
+    val perRound = (0 until rounds).map { r =>
+      val pairsAndBest =
+        s"""p$r AS (
+           |  SELECT sym[i] AS a, sym[i + 1] AS b, CAST(sum(n) AS BIGINT) AS n_pairs
+           |  FROM (SELECT sym, n, unnest(range(1, len(sym))) AS i
+           |        FROM (SELECT string_split(substr(s, 2, length(s) - 2), $SS) AS sym, n
+           |              FROM w$r))
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (
+           |  SELECT a, b, n_pairs FROM p$r ORDER BY n_pairs DESC, a, b LIMIT 1)""".stripMargin
+      val merge =
+        s"""w${r + 1} AS MATERIALIZED (
+           |  SELECT replace(w.s, $S || b.a || $S || $S || b.b || $S,
+           |                 $S || b.a || b.b || $S) AS s, w.n
+           |  FROM w$r w CROSS JOIN b$r b)""".stripMargin
+      if (r < rounds - 1) pairsAndBest + ",\n" + merge else pairsAndBest
+    }
+    val union = (0 until rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS "round", a AS "left", b AS "right", n_pairs FROM b$r"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH $w0,\n${perRound.mkString(",\n")}\n$union"
+  }
+
   // LSH planes are ADAPTIVE: a prefix of this master set sized by
   // Similarity.choosePlaneCount(corpus count) — fixed planes make bucket
   // occupancy (and candidate pairs, quadratically) grow with the corpus;
@@ -1035,10 +1079,11 @@ object LlmQueries extends QueryPack {
           array_join(col("pieces"), " ").as("pieces_str"))
     },
 
-    // BPE merge training, 6 rounds: the learned merge table. Rows-only —
-    // the iterative argmax+merge loop is not one SQL query; round 0 is
-    // oracle-pinned via ta_bpe_pairs and the loop semantics via
-    // CorpusOpsSpec's hand-computed corpus.
+    // BPE merge training, 6 rounds: the learned merge table. Fully
+    // oracled since r13 — the trainer is deterministic (lexicographic
+    // argmax ties), so 6 rounds unroll into a DuckDB CTE chain
+    // (bpeTrainOracleSql); the loop semantics stay pinned by
+    // CorpusOpsSpec's hand-computed corpus too.
     "ta_bpe_merges" -> { (s, dir) =>
       CorpusOps.bpeTrainMerges(Tables.documents(s, dir), "text", rounds = 6)
     },
@@ -1281,6 +1326,37 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), col("n_bytes"),
           element_at(col("feature"), 1).as("f0"),
           element_at(col("feature"), 2).as("f1"))
+    },
+
+    // Oracle-checked audit of the fallback decoder (r13, the
+    // dd_simhash_recall pattern): run the REAL mapPartitions stub, then
+    // reconstruct every histogram bin's integer count from the float
+    // feature (round(f_i * n_bytes) is exact — counts < 2^23 survive the
+    // float round-trip) and compare against an independently-computed
+    // per-bin character count (SQL higher-order functions; the corpus is
+    // printable ASCII so chars ≡ UTF-8 bytes). The oracle recomputes
+    // n_bytes / bins-present arithmetically and asserts hist_ok TRUE for
+    // every doc — any histogram, normalization, or batching regression in
+    // decodeStub flips rows false and the driver hash-mismatches.
+    "mm_decode_fallback_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val feats = Multimodal.decodeStub(s, Multimodal.asMediaTable(docs)).toDF()
+      val chs = regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))
+      val exact = docs.select(
+        col("doc_id") +:
+        size(array_distinct(transform(chs, c => shiftright(ascii(c), 4))))
+          .as("n_bins") +:
+        (0 until 16).map(b =>
+          size(filter(chs, c => shiftright(ascii(c), 4) === b))
+            .cast("long").as(s"e$b")): _*)
+      val joined = feats.join(exact, Seq("doc_id"))
+      def recon(b: Int) =
+        round(element_at(col("feature"), b + 1).cast("double") *
+          greatest(col("n_bytes"), lit(1)).cast("double"), 0).cast("long")
+      joined.select(col("doc_id"), col("n_bytes"),
+        (0 until 16).map(b => recon(b) === col(s"e$b")).reduce(_ && _)
+          .as("hist_ok"),
+        col("n_bins"))
     },
 
     // REAL image decode, oracle-checked: one solid-color PNG per doc_id
@@ -2210,6 +2286,18 @@ object LlmQueries extends QueryPack {
     // symbol encoding).
     "ta_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
     "ta_bpe_encode_deep" -> bpeEncodeOracleSql(BpeMerges40),
+    // the full 6-round trainer, unrolled (round 0 stays separately pinned
+    // by ta_bpe_pairs; rounds 1-5 exercise the merge+recount loop)
+    "ta_bpe_merges" -> bpeTrainOracleSql(6),
+    // the fallback decoder's integer contract: n_bytes and bins-present
+    // re-derived arithmetically; hist_ok is TRUE by the audit's invariant
+    "mm_decode_fallback_audit" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+        |  TRUE AS hist_ok,
+        |  CAST(len(list_distinct(list_transform(
+        |    regexp_extract_all(text, '[\s\S]'), c -> ascii(c) // 16)))
+        |    AS INTEGER) AS n_bins
+        |FROM documents""".stripMargin,
     // integer fixed-point PageRank: BOTH engines compute ranks in exact
     // BIGINT arithmetic (85·rank // (100·deg), sums, +0.15·scale), so the
     // compare is cell-exact with no float anywhere; DuckDB SUM returns
