@@ -41,6 +41,13 @@ object Bench {
     // indexes otherwise squat on storage memory through the timed runs
     // (measured as multi-× noise on individual query times via GC churn)
     spark.catalog.clearCache()
+    // pre-build the NHL Silver materializations for the TIMED sfDir (the
+    // dbt-table build step, one-time per process): without this the first
+    // timed touch of any nhl_* query pays the whole bronze→silver build —
+    // medians hid it but the spread column charged 67-101 s to arbitrary
+    // nhl queries. localCheckpoints survive clearCache by design.
+    try graft.queries.NhlQueries.materializeSilver(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] silver build failed: $e") }
 
     // a failing query must NOT median as a fast clean pass: record success
     // and failure separately; medians are computed over successful runs
