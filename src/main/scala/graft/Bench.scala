@@ -83,6 +83,17 @@ object Bench {
     // crashing implementation would silently pass the perf gate
     val med = names.flatMap(n =>
       if (samples(n).nonEmpty) Some(n -> median(samples(n))) else None).toMap
+    // min-of-runs rides along for the ratio gate: host contention is
+    // strictly additive noise, so the minimum estimates the UNCONTENDED
+    // time — the same estimator bench_duckdb.py already uses for its
+    // min-of-5 DuckDB side. Comparing median-Spark against min-DuckDB is
+    // asymmetric (contention inflates one side of the ratio only) and was
+    // the source of the waiver-boundary flicker: the same tree flipped
+    // queries across the 2x bar and their absolute caps with zero code
+    // change. The headline total and the human-facing "queries" map stay
+    // MEDIAN-based (cross-round comparable, contention honestly included).
+    val minT = names.flatMap(n =>
+      if (samples(n).nonEmpty) Some(n -> samples(n).min) else None).toMap
     val ok = names.filter(med.contains).sorted
     // relative spread: (max−min)/median — the run-to-run noise band
     val spread = ok.map { n =>
@@ -95,7 +106,7 @@ object Bench {
     def jarr(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.sum
     // full per-query detail first (humans / BENCH_NOTES), ...
-    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"failed":${jarr(failed)},"queries":${jmap(med, ok)},"spread":${jmap(spread, ok)},"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"failed":${jarr(failed)},"queries":${jmap(med, ok)},"queries_min":${jmap(minT, ok)},"spread":${jmap(spread, ok)},"sf":"$sfDir"}"""
     println(detailLine)
     // ... persisted too: the driver's stdout tail truncates this line every
     // round (BENCH_r*.json parsed=null), and auditors then misread the

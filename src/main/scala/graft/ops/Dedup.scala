@@ -40,7 +40,7 @@ object Dedup {
   /** (id, sh array, set_size) with tokens materialized before the shingle
     * lambda (see TextOps.shinglesFromTokens for why).
     */
-  private def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+  private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))

@@ -12,7 +12,12 @@ one side of the 50 ms floor run after run. (The r11 "(floor~)"
 hysteresis band existed solely to absorb that median flicker; with a
 stable estimator it is retired.) With a Spark bench JSON as the third
 arg, prints the per-query RATIOS table on the oracle-comparable subset
-and flags every query over the 2x-of-DuckDB bar, except:
+and flags every query over the 2x-of-DuckDB bar. The Spark side of the
+flag/cap logic uses the bench's min-of-runs map ("queries_min", r13+)
+for the SAME reason the DuckDB side uses min-of-5 — median-vs-min was
+asymmetric under contention and flickered waiver-boundary queries
+across the bar with zero code change; the median map still prints and
+still carries the headline total. Exceptions to the 2x bar:
 
 - (floor): DuckDB < 50 ms — the ratio measures planning constants, not
   data processing, on both sides;
@@ -64,9 +69,25 @@ MIN_COMPARABLE = 80   # enforced floor; oracle subset is ~111, headline ~31
 # gate untouched.
 CAP_SCALE = float(os.environ.get("GRAFT_CAP_SCALE", "1.0"))
 
+# Pure tripwires: absolute min-basis caps for queries whose DuckDB oracle
+# sits permanently at the sub-50ms floor (audit harnesses whose oracle
+# recomputes an integer contract in ~ms), so the ratio rules can NEVER
+# flag them — without a cap a 100x regression would sail through on the
+# floor waiver. Unlike EXPLAINED entries these waive NOTHING: they can
+# only add flags. name -> (max Spark min-of-runs seconds, note).
+ABS_CAPS = {
+    "ann_ivf_recall": (6.0, "recall audit: brute top-k on a 25% sample + "
+        "full IVF path; duck oracle is a ~1 ms integer contract, ratio "
+        "rules blind by construction"),
+    "ann_ivfpq_recall": (9.0, "recall audit: brute top-k on a 25% sample + "
+        "full IVF-PQ path (train, encode, ADC, re-rank); min 2.6 s r13"),
+}
+
 # name -> (max Spark seconds before the waiver expires, justification).
 # Caps are ~3x the measured warm sf0.1 time: generous enough for host
 # contention, tight enough that a real regression (10x growth) re-flags.
+# r13 on: both the 2x ratio and these caps are checked against the
+# bench's min-of-runs map (estimator symmetry with the duck min-of-5).
 EXPLAINED = {
     "dd_simhash_contains": (15.0, "invariant harness: Spark runs the full "
         "simhash pipeline PLUS the fingerprint join; the oracle computes "
@@ -327,7 +348,17 @@ def main():
     print(json.dumps({"duck_total": round(total, 3), "runs": RUNS,
                       "queries": {k: round(v, 4) for k, v in times.items()}}))
     if len(sys.argv) > 3:
-        spark = json.load(open(sys.argv[3]))["queries"]
+        bench = json.load(open(sys.argv[3]))
+        spark = bench["queries"]
+        # flag/cap logic runs on min-of-runs when Bench provides it (r13+):
+        # the DuckDB side below is already min-of-RUNS because contention is
+        # additive noise and the min estimates the uncontended time — using
+        # the MEDIAN on the Spark side made the ratio asymmetric (contention
+        # inflates only one side) and was the measured source of
+        # waiver-boundary flicker: the same tree flipped queries across the
+        # 2x bar and their absolute caps with zero code change (r12 gate
+        # history, BENCH_NOTES r13). Medians still print alongside.
+        smin = bench.get("queries_min", spark)
         flagged = []
         # a non-positive time means the query crashed every bench run (old
         # Bench emitted -1 for those; current Bench omits them) — never let
@@ -344,20 +375,27 @@ def main():
                   f"total_detail line, not the compact headline line")
             sys.exit(1)
         st = sum(spark[k] for k in comp)
+        sm = sum(smin[k] for k in comp)
         dt = sum(times[k] for k in comp)
-        print(f"[cmp] {len(comp)} comparable: spark {st:.1f}s duck {dt:.1f}s "
-              f"ratio {st/dt:.2f}x")
-        print(f"[ratios] {'query':<28} {'spark':>8} {'duck':>8} {'ratio':>7}")
-        for k in sorted(comp, key=lambda k: -(spark[k] / max(times[k], 1e-9))):
-            r = spark[k] / max(times[k], 1e-9)
+        print(f"[cmp] {len(comp)} comparable: spark median {st:.1f}s "
+              f"(min {sm:.1f}s) duck {dt:.1f}s "
+              f"ratio {st/dt:.2f}x (min-basis {sm/dt:.2f}x)")
+        print(f"[ratios] {'query':<28} {'s_med':>8} {'s_min':>8} {'duck':>8} {'ratio':>7}")
+        for k in sorted(comp, key=lambda k: -(smin[k] / max(times[k], 1e-9))):
+            r = smin[k] / max(times[k], 1e-9)
             mark = ""
             # EXPLAINED absolute cap first, independent of every ratio
             # waiver: a cap breach re-flags even when the floor/constant
             # rule (or a slow DuckDB sample) would hide the regression
-            if k in EXPLAINED and spark[k] > EXPLAINED[k][0] * CAP_SCALE:
+            if k in EXPLAINED and smin[k] > EXPLAINED[k][0] * CAP_SCALE:
                 cap, why = EXPLAINED[k]
                 mark = (f"  <-- FLAG: over its {cap * CAP_SCALE}s EXPLAINED cap "
                         f"(waiver stale: {why})")
+                flagged.append(k)
+            elif k in ABS_CAPS and smin[k] > ABS_CAPS[k][0] * CAP_SCALE:
+                cap, why = ABS_CAPS[k]
+                mark = (f"  <-- FLAG: over its {cap * CAP_SCALE}s tripwire cap "
+                        f"({why})")
                 flagged.append(k)
             elif r > RATIO_BAR:
                 if k in EXPLAINED:
@@ -365,18 +403,20 @@ def main():
                     mark = f"  (explained, cap {cap * CAP_SCALE}s: {why})"
                 elif times[k] < DUCK_FLOOR_S:
                     mark = "  (floor)"
-                elif spark[k] - times[k] < CONSTANT_S * CAP_SCALE:
+                elif smin[k] - times[k] < CONSTANT_S * CAP_SCALE:
                     mark = "  (constant)"
                 else:
                     mark = "  <-- FLAG >2x UNEXPLAINED"
                     flagged.append(k)
-            print(f"[ratios] {k:<28} {spark[k]:>8.3f} {times[k]:>8.3f} {r:>6.2f}x{mark}")
+            print(f"[ratios] {k:<28} {spark[k]:>8.3f} {smin[k]:>8.3f} "
+                  f"{times[k]:>8.3f} {r:>6.2f}x{mark}")
         if flagged:
             print(f"[ratios] {len(flagged)} FLAGGED over {RATIO_BAR}x: {', '.join(flagged)}")
             sys.exit(1)
         print(f"[ratios] clean: no unexplained query over {RATIO_BAR}x "
               f"(floor {DUCK_FLOOR_S}s, constant bound {CONSTANT_S * CAP_SCALE}s, "
-              f"{len(EXPLAINED)} capped waivers, cap scale {CAP_SCALE}x)")
+              f"{len(EXPLAINED)} capped waivers, {len(ABS_CAPS)} tripwire caps, "
+              f"cap scale {CAP_SCALE}x)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Waiver-prune auditor for the EXPLAINED list in bench_duckdb.py.
+
+For every EXPLAINED entry, replays the gate's flag logic WITHOUT the
+waiver across every (spark-detail x duck-sample) invocation pair given
+on the command line, and reports which entries ever re-flag. An entry
+that never re-flags in any pair is subsumed by the floor/constant rules
+and can be deleted; an entry that re-flags in at least one pair must
+keep its waiver (the gate would flicker red without it).
+
+Usage:
+  python3 tools/prune_waivers.py --spark A.json [B.json ...] \
+      --duck gate1.log [gate2.log ...]
+
+Spark args are Bench total_detail JSON lines; duck args are any file
+whose FIRST line is bench_duckdb.py's duck-times JSON (its stdout log
+works). Exits 0 always — this is an auditor, not a gate.
+"""
+import json
+import sys
+
+sys.path.insert(0, __path__ if False else "tools")
+from bench_duckdb import EXPLAINED, DUCK_FLOOR_S, CONSTANT_S, RATIO_BAR  # noqa: E402
+
+
+def load_duck(path):
+    with open(path) as f:
+        return json.loads(f.readline())["queries"]
+
+
+def main():
+    argv = sys.argv[1:]
+    si, di = argv.index("--spark"), argv.index("--duck")
+    spark_files = argv[si + 1:di]
+    duck_files = argv[di + 1:]
+    # same source as the gate's flag logic: min-of-runs when present
+    sparks = {}
+    for p in spark_files:
+        b = json.load(open(p))
+        sparks[p] = b.get("queries_min", b["queries"])
+    ducks = {p: load_duck(p) for p in duck_files}
+
+    print(f"{'entry':<28} {'cap':>5} {'flags':>6} {'worst_ratio':>11} "
+          f"{'worst_excess':>12}  verdict")
+    deletable, keep = [], []
+    for name, (cap, _why) in sorted(EXPLAINED.items()):
+        flags = 0
+        pairs = 0
+        worst_r, worst_ex = 0.0, 0.0
+        max_spark = 0.0
+        for sp, sq in sparks.items():
+            if name not in sq or sq[name] <= 0:
+                continue
+            s = sq[name]
+            max_spark = max(max_spark, s)
+            for dp, dq in ducks.items():
+                if name not in dq:
+                    continue
+                pairs += 1
+                d = dq[name]
+                r = s / max(d, 1e-9)
+                ex = s - d
+                worst_r = max(worst_r, r)
+                worst_ex = max(worst_ex, ex)
+                if r > RATIO_BAR and d >= DUCK_FLOOR_S and ex >= CONSTANT_S:
+                    flags += 1
+        if pairs == 0:
+            verdict = "NO-DATA (keep)"
+            keep.append(name)
+        elif flags == 0:
+            verdict = "DELETABLE (floor/constant subsume it everywhere)"
+            deletable.append(name)
+        else:
+            verdict = f"KEEP ({flags}/{pairs} pairs re-flag)"
+            keep.append(name)
+        capwarn = "  !CAP" if max_spark > cap else ""
+        print(f"{name:<28} {cap:>5.1f} {flags:>3}/{pairs:<3} {worst_r:>10.2f}x "
+              f"{worst_ex:>11.3f}s  {verdict}{capwarn}")
+    print(f"\n== {len(deletable)} deletable, {len(keep)} keep "
+          f"(of {len(EXPLAINED)})")
+    print("deletable:", ", ".join(deletable))
+
+
+if __name__ == "__main__":
+    main()
