@@ -32,7 +32,7 @@ def main():
     argv = sys.argv[1:]
     si, di = argv.index("--spark"), argv.index("--duck")
     spark_files = argv[si + 1:di]
-    duck_files = argv[di + 1:]
+    duck_files = [a for a in argv[di + 1:] if not a.startswith("--")]
     # same source as the gate's flag logic: min-of-runs when present
     sparks = {}
     for p in spark_files:
@@ -79,6 +79,40 @@ def main():
     print(f"\n== {len(deletable)} deletable, {len(keep)} keep "
           f"(of {len(EXPLAINED)})")
     print("deletable:", ", ".join(deletable))
+
+    if "--md" in argv:
+        # survivor table for BENCH_NOTES: one line per keeper naming the
+        # rule that does NOT subsume it (the r12 verdict's ask-#2 "done"
+        # criterion), with the measured evidence
+        print("\n| survivor | why floor/constant don't subsume it |")
+        print("|---|---|")
+        for name in keep:
+            ds = [dq[name] for dq in ducks.values() if name in dq]
+            ss = [sq[name] for sq in sparks.values()
+                  if name in sq and sq[name] > 0]
+            if not ds or not ss:
+                print(f"| {name} | no current sample |")
+                continue
+            dlo, dhi = min(ds), max(ds)
+            exhi = max(ss) - dlo
+            exlo = min(ss) - dhi
+            if dhi < DUCK_FLOOR_S:
+                note = (f"duck {dlo:.3f}-{dhi:.3f}s under the floor, but "
+                        f"excess {exlo:.2f}-{exhi:.2f}s crosses the "
+                        f"{CONSTANT_S}s bound if a sample leaves it")
+            elif dlo < DUCK_FLOOR_S <= dhi:
+                note = (f"duck straddles the {DUCK_FLOOR_S}s floor "
+                        f"({dlo:.3f}-{dhi:.3f}s) and excess "
+                        f"{exlo:.2f}-{exhi:.2f}s can cross {CONSTANT_S}s")
+            elif exlo < CONSTANT_S <= exhi:
+                note = (f"duck {dlo:.3f}-{dhi:.3f}s over the floor; excess "
+                        f"{exlo:.2f}-{exhi:.2f}s straddles the "
+                        f"{CONSTANT_S}s constant bound")
+            else:
+                note = (f"duck {dlo:.3f}-{dhi:.3f}s over the floor, excess "
+                        f"{exlo:.2f}-{exhi:.2f}s over the {CONSTANT_S}s "
+                        f"constant bound — flags outright without the waiver")
+            print(f"| {name} | {note} |")
 
 
 if __name__ == "__main__":
