@@ -27,12 +27,22 @@ import graft.sources.Tables
   * - kn_trigram: output is type-grain (vocabulary-bounded) — wall should
   *   grow sub-linearly (scan-dominated), the same argument as ta_pmi.
   *
-  * Usage: runMain graft.tools.DecadeProbe2 <sfDir> [runs=2]
+  * Usage: runMain graft.tools.DecadeProbe2 <sfDir> [runs=2] [containCap=MaxValue]
+  *
+  * containCap is containmentSelfPairs' maxDocFreq — the documented
+  * production safeguard. Measured 2026-08-16: the UNCAPPED posture dies
+  * at sf10 on this corpus (No space left on device after filling the
+  * node's ~76 GB of spill in stage 67, the candidate self-join) — the
+  * same copy-degenerate candidate-mass arithmetic as the r12 sf10 table:
+  * the generator freezes the shingle vocabulary, so every df multiplies
+  * by 100/decade and sum C(df,2) grows ~x100. kn_trigram runs FIRST so a
+  * containment spill death doesn't rob the other families' numbers.
   */
 object DecadeProbe2 {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 2
+    val containCap = if (args.length > 2) args(2).toLong else Long.MaxValue
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -63,7 +73,11 @@ object DecadeProbe2 {
         k = 4, threshold = 1.02)
     }
 
-    time("dd_containment") {
+    time("ta_kn_trigram") {
+      CorpusOps.knTrigram(docs, "text")
+    }
+
+    time(s"dd_containment(cap=$containCap)") {
       val t = TextOps.tokens(col("text"))
       val snip = docs.filter(col("doc_id") % 5 === 2).select(
         (col("doc_id") + lit(1000000000000L)).as("doc_id"),
@@ -71,11 +85,7 @@ object DecadeProbe2 {
           slice(t, lit(1), greatest(floor(size(t) * 2 / 5).cast("int"), lit(5))))
           .as("text"))
       Dedup.containmentSelfPairs(docs.unionByName(snip), "text", "doc_id",
-        n = 3, threshold = 0.9)
-    }
-
-    time("ta_kn_trigram") {
-      CorpusOps.knTrigram(docs, "text")
+        n = 3, threshold = 0.9, maxDocFreq = containCap)
     }
     spark.stop()
   }
