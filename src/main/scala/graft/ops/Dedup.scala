@@ -284,11 +284,24 @@ object Dedup {
     * 0.98-Jaccard pair is missed with p≈1e-9; candidates below `threshold`
     * are filtered by the exact verification, so output ≡ ngramJaccardPairs
     * up to that miss probability — at ~1000× less comparison work on a
-    * corpus where duplicates are rare.
+    * corpus where duplicates are rare. (b=8 vs b=16 measured at sf1,
+    * BENCH_NOTES r13: identical complete output, 1.72× less candidate
+    * mass — the shipped geometry.)
+    *
+    * `maxBandFreq` is the 100 TB hot-bucket safeguard (the same semantic
+    * cap [[chunkNearDupPairs]] carries): an identical-doc group of size g
+    * collides in EVERY band, putting b·C(g,2) rows through the self-join —
+    * a single million-doc boilerplate group is 8×5e11 candidate rows.
+    * Buckets over the cap are dropped LOUDLY (counted, stderr): pairs
+    * colliding only in dropped buckets are missed — explicitly reduced
+    * recall, not silent truncation. Default keeps every bucket (the exact
+    * oracle face); production runs on unbounded corpora should set it to
+    * a few times the largest expected legitimate dup-group size.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBandFreq: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // materialized once (feeds signature hashing AND both verification
@@ -305,11 +318,23 @@ object Dedup {
       .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
 
     // banding: one (band, bandHash) per signature slice
-    val banded = sigs.select(col("id"), explode(array((0 until bands).map { j =>
+    val banded0 = sigs.select(col("id"), explode(array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
     }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
+    val banded = if (maxBandFreq == Long.MaxValue) banded0 else {
+      val ck = banded0.localCheckpoint(false)
+      val hot = ck.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxBandFreq)
+        .localCheckpoint(false)
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(s"[graft] minhashLshPairs: dropped $nHot hot band " +
+          s"bucket(s) exceeding maxBandFreq=$maxBandFreq — pairs colliding " +
+          "only in dropped buckets are missed")
+      ck.join(hot.select("band", "bh"), Seq("band", "bh"), "left_anti")
+    }
 
     val candidates = banded.select(col("id").as("id_a"), col("band"), col("bh"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))

@@ -131,6 +131,25 @@ class DedupSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("minhashLshPairs: maxBandFreq drops hot buckets loudly, default keeps all") {
+    // an identical-doc group of size g collides in EVERY band: bucket
+    // frequency g per band. Cap below g must drop the group's pairs
+    // (explicitly reduced recall); an uncapped run and a cap >= g must
+    // keep the full C(g,2) output.
+    val grp = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+    val other = Seq((10L, "one two three four five six seven eight"),
+      (11L, "one two three four five six seven nine"))
+    val d = (grp ++ other).toDF("doc_id", "text")
+    val full = Dedup.minhashLshPairs(d, "text", "doc_id", threshold = 0.5).count()
+    assert(full === 15 + 1) // C(6,2) twins + the one near-dup pair
+    val capped = Dedup.minhashLshPairs(d, "text", "doc_id", threshold = 0.5,
+      maxBandFreq = 4)
+    assert(capped.count() === 1) // only the sub-cap near-dup pair survives
+    val highCap = Dedup.minhashLshPairs(d, "text", "doc_id", threshold = 0.5,
+      maxBandFreq = 6).count()
+    assert(highCap === full)
+  }
+
   test("simhashPairs finds exact and near dups at small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
