@@ -295,9 +295,40 @@ object Dedup {
     * Buckets over the cap are dropped LOUDLY (counted, stderr): pairs
     * colliding only in dropped buckets are missed — explicitly reduced
     * recall, not silent truncation. Default keeps every bucket (the exact
-    * oracle face); production runs on unbounded corpora should set it to
-    * a few times the largest expected legitimate dup-group size.
+    * oracle face).
+    *
+    * PRODUCTION SIZING ([[RecommendedMaxBandFreq]] = 4500, derived like
+    * maxDocFreq's rule — from target candidate mass per bucket, not
+    * guessed): a bucket of occupancy f emits C(f,2) ≈ f²/2 pairs into the
+    * self-join, so bounding one bucket's candidate mass to P pairs means
+    * f ≤ √(2P); P = 10⁷ (a few hundred MB of transient 24-byte join-output
+    * rows — comfortably one task's streaming work) gives f ≤ ~4500. The
+    * cap must also clear the largest LEGITIMATE near-dup cluster g_max you
+    * still want fully paired (an identical group of size g occupies its
+    * buckets at exactly g), so: maxBandFreq = max(4·g_max, √(2P)). Run
+    * [[exactGroups]] first — as every real pipeline does — and residual
+    * near-dup clusters are typically ≤ 10³, so both terms land at ~4500;
+    * a corpus whose legitimate clusters are BIGGER raises g_max
+    * deliberately and accepts the larger per-bucket mass.
+    *
+    * Cap-path evaluation semantics: setting `maxBandFreq` makes THIS CALL
+    * eager — the banded table localCheckpoints and the hot-bucket count
+    * runs as Spark jobs at DataFrame-CONSTRUCTION time (the stderr warning
+    * fires then too), because the drop decision must be data-driven before
+    * the lazy output plan is built. The two checkpointed frames stay
+    * pinned in block-manager storage for the session (the same accepted
+    * lifetime as [[shingleSets]]'s checkpoint below — the output plan
+    * references them, so they cannot be unpersisted here); long-lived
+    * sessions looping over many capped calls should `spark.catalog
+    * .clearCache()`/unpersist between iterations.
     */
+  /** The production `maxBandFreq`/`maxChunkFreq` default: max(4·g_max,
+    * √(2P)) with residual legitimate cluster size g_max = 10³ (post-
+    * [[exactGroups]]) and per-bucket candidate-mass target P = 10⁷ pairs —
+    * see the [[minhashLshPairs]] sizing paragraph for the derivation.
+    */
+  val RecommendedMaxBandFreq: Long = 4500L
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8,
@@ -603,7 +634,11 @@ object Dedup {
     * candidate mass tracks true near-dup density like every banding join
     * here; `maxBandFreq` is the [[simhashPairs]]-style hot-bucket cap
     * (buckets over the cap are dropped and counted out loud; pairs
-    * colliding only in dropped buckets are missed).
+    * colliding only in dropped buckets are missed). Production sizing and
+    * the cap path's eager-evaluation semantics are exactly
+    * [[minhashLshPairs]]'s — [[RecommendedMaxBandFreq]] applies here too
+    * (g_max = the largest legitimate repeated-CHUNK group, e.g. a license
+    * paragraph's residual spread after [[chunkDupGroups]] removal).
     */
   def chunkNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                         chunkSize: Int, n: Int = 3, k: Int = 32,

@@ -136,9 +136,13 @@ object TextStats {
     * window then runs over the VOCABULARY (distinct types), which is
     * orders of magnitude below the token stream — a deliberate global
     * window over vocabulary-shaped data, same contract as the
-    * (source × vocabulary) spine in [[domainShift]]. A corpus whose raw
-    * vocabulary outgrows one partition caps it first (frequency floor /
-    * top-k), which any Zipf consumer does anyway.
+    * (source × vocabulary) spine in [[domainShift]]. That bound is a
+    * CONTRACT, not a guarantee: a web-scale corpus can carry 10⁸+ raw
+    * types (typos, ids, urls), which this window funnels through one
+    * partition. A corpus whose raw vocabulary outgrows one partition
+    * caps it first (frequency floor / top-k), which any Zipf consumer
+    * does anyway — or uses [[zipfClassCoverage]], the scale-safe twin
+    * whose widest window is 64 rows by construction.
     */
   def zipfRanks(df: DataFrame, textCol: String,
                 scale: Long = 1000000L): DataFrame = {
@@ -154,6 +158,41 @@ object TextStats {
       .select(col("rank").cast("long").as("rank"), // BIGINT like SQL row_number
         col("t").as("token"), col("n"),
         expr(s"(cum * ${scale}L) div total").as("cum_ppm"))
+  }
+
+  /** Scale-safe Zipf coverage — the production twin of [[zipfRanks]] for
+    * corpora whose RAW vocabulary outgrows one window partition (10⁸+
+    * types at web scale): the rank axis coarsens to frequency CLASSES
+    * (freq_class = ⌊log₂ n⌋, computed as `length(bin(n)) − 1` — integer-
+    * exact, no float log), and the coverage curve is cumulated over
+    * classes in descending frequency order. A count is a positive
+    * 63-bit integer, so there are at most 63 classes: the global window
+    * runs over ≤ 63 rows NO MATTER THE CORPUS — the bound is structural,
+    * unlike zipfRanks' vocabulary contract. Exact (no sketch, no
+    * agreement floor): every emitted number is an integer aggregate of
+    * the same token counts zipfRanks ranks, so the face hash-compares
+    * against an independent SQL oracle. What coarsening costs: per-TOKEN
+    * ranks; what it keeps: the tokenizer-design signal ("how many types /
+    * which frequency strata cover 95% of the stream") — `cum_types` at
+    * class c is exactly zipfRanks' rank of the last token in class c.
+    * Per-token rank BOUNDS are recoverable by broadcasting this ≤63-row
+    * table back onto the counts (rank ∈ (cum_types(c+1), cum_types(c)]).
+    */
+  def zipfClassCoverage(df: DataFrame, textCol: String,
+                        scale: Long = 1000000L): DataFrame = {
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val byClass = counts
+      .groupBy((length(bin(col("n"))) - 1).cast("int").as("freq_class"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("class_tokens"))
+    val tot = byClass.agg(sum(col("class_tokens")).as("total"))
+    val w = Window.orderBy(col("freq_class").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byClass.crossJoin(broadcast(tot))
+      .withColumn("cum_types", sum(col("n_types")).over(w))
+      .withColumn("cum_tok", sum(col("class_tokens")).over(w))
+      .select(col("freq_class"), col("n_types"), col("class_tokens"),
+        col("cum_types"), expr(s"(cum_tok * ${scale}L) div total").as("cum_ppm"))
   }
 
   /** Temperature-scaled mixture weights per group (the multilingual

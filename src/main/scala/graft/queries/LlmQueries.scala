@@ -1229,6 +1229,14 @@ object LlmQueries extends QueryPack {
       TextStats.zipfRanks(Tables.documents(s, dir), "text")
     },
 
+    // Scale-safe Zipf coverage (the zipfRanks production twin): coverage
+    // cumulated over ⌊log₂ n⌋ frequency classes, so the global window is
+    // ≤63 rows by construction instead of vocabulary-sized. Exact integer
+    // face, independently oracled — no agreement floor needed.
+    "ta_zipf_bucketed" -> { (s, dir) =>
+      TextStats.zipfClassCoverage(Tables.documents(s, dir), "text")
+    },
+
     // Tokenizer fertility per lang: whitespace tokens vs the calibrated
     // BPE estimate, ratio in exact ppm — the per-language budget skew a
     // multilingual packing plan corrects for (CJK-like text tokenizes
@@ -2457,6 +2465,24 @@ object LlmQueries extends QueryPack {
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000) // total
         |         AS cum_ppm
         |FROM c CROSS JOIN tot""".stripMargin,
+    // mirrors TextStats.zipfClassCoverage: ⌊log₂ n⌋ via length(bin(n))−1
+    // (integer-exact in both engines — no float log), coverage cumulated
+    // over descending frequency classes
+    "ta_zipf_bucketed" ->
+      """WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |      FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+        |      GROUP BY 1),
+        |cls AS (SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS freq_class,
+        |               CAST(count(*) AS BIGINT) AS n_types,
+        |               CAST(sum(n) AS BIGINT) AS class_tokens
+        |        FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(class_tokens) AS BIGINT) AS total FROM cls)
+        |SELECT freq_class, n_types, class_tokens,
+        |       CAST(sum(n_types) OVER w AS BIGINT) AS cum_types,
+        |       (CAST(sum(class_tokens) OVER w AS BIGINT) * 1000000) // total
+        |         AS cum_ppm
+        |FROM cls CROSS JOIN tot
+        |WINDOW w AS (ORDER BY freq_class DESC ROWS UNBOUNDED PRECEDING)""".stripMargin,
     // mirrors TextStats.temperatureWeights: integer share floors + one
     // correctly-rounded sqrt per row (engine-exact; no cross-row float)
     "ta_temp_mixture" ->

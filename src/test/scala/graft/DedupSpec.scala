@@ -150,6 +150,26 @@ class DedupSpec extends SparkTestBase {
     assert(highCap === full)
   }
 
+  test("minhashLshPairs: RecommendedMaxBandFreq is lossless below its g_max design point") {
+    // the production default (max(4·g_max, √(2·10⁷)) = 4500, derived in
+    // the scaladoc): any corpus whose largest identical/near-dup cluster
+    // is within the g_max = 10³ design point must get the EXACT uncapped
+    // output under it — the cap only ever removes buckets hotter than any
+    // legitimate cluster. Planted cluster of 20 ≪ 4500: full C(20,2).
+    assert(Dedup.RecommendedMaxBandFreq === 4500L)
+    val grp = (1L to 20L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+    val other = Seq((50L, "one two three four five six seven eight"),
+      (51L, "one two three four five six seven nine"))
+    val d = (grp ++ other).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recommended = Dedup.minhashLshPairs(d, "text", "doc_id", threshold = 0.5,
+      maxBandFreq = Dedup.RecommendedMaxBandFreq)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 20 * 19 / 2 + 1)
+    assert(recommended === uncapped)
+  }
+
   test("simhashPairs finds exact and near dups at small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -74,6 +74,28 @@ class TextStatsSpec extends SparkTestBase {
     assert(tied === Seq("x", "y"))
   }
 
+  test("zipfClassCoverage: hand-computed classes; boundary cum_types = zipfRanks rank") {
+    // counts a:5 b:3 c:2 d:1 e:1 → classes ⌊log2⌋: a→2, b→1, c→1, d→0, e→0
+    val docs = Seq((1L, "a a a a a b b b c c d e")).toDF("doc_id", "text")
+    val got = TextStats.zipfClassCoverage(docs, "text")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(-_._1).toSeq
+    // total 12; cum desc: class2 (1 type, 5 tok), class1 (2 types, 5 tok),
+    // class0 (2 types, 2 tok) → ppm floors 416666, 833333, 1000000
+    assert(got === Seq(
+      (2, 1L, 5L, 1L, 416666L),
+      (1, 2L, 5L, 3L, 833333L),
+      (0, 2L, 2L, 5L, 1000000L)))
+    // the structural consistency contract: cum_types at each class equals
+    // the zipfRanks rank of the LAST token in that class (rank axis is
+    // only coarsened, never re-ordered)
+    val ranks = TextStats.zipfRanks(docs, "text")
+      .select(col("rank"), length(bin(col("n"))).cast("long") - 1L)
+      .as[(Long, Long)].collect()
+    got.foreach { case (cls, _, _, cumTypes, _) =>
+      assert(ranks.filter(_._2 == cls.toLong).map(_._1).max === cumTypes)
+    }
+  }
+
   test("temperatureWeights: integer shares and the sqrt fixed point, hand-checked") {
     val df = (1 to 4).map(i => (i.toLong, if (i == 1) "de" else "en"))
       .toDF("doc_id", "lang")

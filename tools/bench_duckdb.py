@@ -4,20 +4,32 @@ uses — the single-process comparison row for BENCH_NOTES.md.
 
 Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [spark_bench.json]
 
-DuckDB timings are the MIN of 5 runs. Min, not median: host contention
+DuckDB timings are the MIN of several runs, taken as TWO independent
+time-separated sample SWEEPS (r14). Min, not median: host contention
 is strictly additive noise, so the minimum estimates the uncontended
 time and — unlike the median, which drifts ±10% when load shifts
 between whole invocations — lands floor-straddling queries stably on
-one side of the DUCK_FLOOR_S floor run after run. (The r11 "(floor~)"
-hysteresis band existed solely to absorb that median flicker; with a
-stable estimator it is retired.) With a Spark bench JSON as the third
-arg, prints the per-query RATIOS table on the oracle-comparable subset
-and flags every query over the 2x-of-DuckDB bar. The Spark side of the
-flag/cap logic uses the bench's min-of-runs map ("queries_min", r13+)
-for the SAME reason the DuckDB side uses min-of-5 — median-vs-min was
-asymmetric under contention and flickered waiver-boundary queries
-across the bar with zero code change; the median map still prints and
-still carries the headline total. Exceptions to the 2x bar:
+one side of the DUCK_FLOOR_S floor run after run. Two sweeps, not one:
+the r13 judge measured that even the min-of-5 of a sub-100ms oracle
+drifts ±30ms across whole invocations, flipping floor/constant
+classifications (and therefore the gate's exit code) on host load
+alone. Sweep A and sweep B each time every query RUNS times, with the
+FULL first sweep (minutes of wall) separating them, so they sample two
+different contention windows — the same decorrelation a second process
+invocation gives. A query is FLAGGED only if it flags against BOTH
+sweeps independently ("2-of-2"): a row whose classification depends on
+which contention window the oracle sampled is boundary noise, not a
+regression, and a REAL regression flags in both because the Spark side
+is fixed and duck mins only flicker upward. rc 0 is then reproducible
+on any honest re-run — the r13 verdict's #1 ask. With a Spark bench
+JSON as the third arg, prints the per-query RATIOS table on the
+oracle-comparable subset and flags every query over the 2x-of-DuckDB
+bar. The Spark side of the flag/cap logic uses the bench's min-of-runs
+map ("queries_min", r13+) for the SAME reason the DuckDB side uses
+min-of-runs — median-vs-min was asymmetric under contention and
+flickered waiver-boundary queries across the bar with zero code
+change; the median map still prints and still carries the headline
+total. Exceptions to the 2x bar:
 
 - (floor): DuckDB < DUCK_FLOOR_S (70 ms, calibrated to the measured
   invocation-noise band of sub-100ms oracles — see its comment) — the
@@ -55,7 +67,8 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-RUNS = 5              # duck time = min of RUNS (see module docstring)
+RUNS = 3              # runs per sweep; duck time = min over both sweeps
+SWEEPS = 2            # independent time-separated sample sets (see docstring)
 # Below the floor, the ratio measures planning constants. 0.07, not 0.05:
 # the min-of-5 of the SAME sub-100ms oracle drifts up to 1.6-2.0x across
 # whole invocations with zero code change (measured r13 over 7 invocations:
@@ -131,6 +144,12 @@ EXPLAINED = {
     "tpch_q18": (2.0, "constant-dominated: flat on 10x data since r6 "
         "[duck 0.061-0.092s straddles the floor, excess 0.53-0.60s; "
         "smin 0.62-0.66s r13]"),
+    "tpch_q2": (2.5, "min-cost-supplier: single-exchange window-MIN plan "
+        "(r14 rewrite — one lineitem pass, one roster broadcast; was two "
+        "of each at smin 1.02s r13); remaining excess is the 3-table "
+        "roster broadcast build + window + TakeOrdered stage constants on "
+        "a sublinear data term [duck 0.07-0.5s flickers across samples "
+        "(the r13 judge's boundary case); smin 0.56-0.99s r14]"),
     "tpch_q7": (3.0, "volume-shipping double dim join, both sides "
         "broadcast [duck 0.095s, excess 0.61-0.80s; smin 0.70-0.90s r13]"),
     "tpch_q9": (2.5, "profit agg, dims broadcast (plan-guarded) "
@@ -192,6 +211,13 @@ EXPLAINED = {
         "twice (top-1 count + broadcast probe), one agg exchange total "
         "(PlanGuard-pinned) [duck 0.14s, excess 0.46-0.50s; smin "
         "0.59-0.64s r13]"),
+    "ta_bpe_merges": (3.0, "iterative trainer: 6 SEQUENTIAL argmax rounds "
+        "over the vocabulary-collapsed word table — rounds, not data, "
+        "drive the cost (state is vocabulary-sized at any corpus SF; r14 "
+        "rewrite cut each round to one TakeOrdered job, no per-round "
+        "checkpoint); duck pays ~14ms/round in-process where Spark pays "
+        "a scheduled job [duck 0.08s near the floor; smin 0.95-1.05s "
+        "r14]"),
 
     # ---- nhl_*: the Spark side runs the LIVE production model over the
     # bronze payload shape; the oracle re-derives values from the raw
@@ -212,15 +238,12 @@ EXPLAINED = {
 }
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+def sweep(con, oracle, errored):
+    """One full sample sweep: min-of-RUNS per query. Errors print once."""
     times = {}
     for name in sorted(oracle):
+        if name in errored:
+            continue
         samples = []
         try:
             for _ in range(RUNS):
@@ -230,21 +253,73 @@ def main():
             times[name] = min(samples)
         except Exception as e:  # noqa: BLE001
             print(f"[duck] {name}: ERROR {e}")
+            errored.add(name)
+    return times
+
+
+def ratio_mark(k, smin_k, duck_k):
+    """Classify one row against ONE duck sample. Returns (flagged, mark).
+
+    Caps are duck-independent (absolute Spark-side bounds) and checked by
+    the caller once; this classifies only the duck-relative rules.
+    """
+    r = smin_k / max(duck_k, 1e-9)
+    if r <= RATIO_BAR:
+        return False, ""
+    if k in EXPLAINED:
+        cap, why = EXPLAINED[k]
+        return False, f"  (explained, cap {cap * CAP_SCALE}s: {why})"
+    if duck_k < DUCK_FLOOR_S:
+        return False, "  (floor)"
+    if smin_k - duck_k < CONSTANT_S * CAP_SCALE:
+        return False, "  (constant)"
+    return True, "  <-- FLAG >2x UNEXPLAINED"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # two independent sample sets, separated by a full sweep of wall time
+    # (different host-contention windows — see module docstring)
+    errored = set()
+    sweeps = [sweep(con, oracle, errored) for _ in range(SWEEPS)]
+    times = {k: min(s[k] for s in sweeps) for k in sweeps[0]
+             if all(k in s for s in sweeps)}
     total = sum(times.values())
-    print(json.dumps({"duck_total": round(total, 3), "runs": RUNS,
+    print(json.dumps({"duck_total": round(total, 3), "runs": RUNS * SWEEPS,
+                      "sweeps": SWEEPS,
                       "queries": {k: round(v, 4) for k, v in times.items()}}))
     if len(sys.argv) > 3:
         bench = json.load(open(sys.argv[3]))
         spark = bench["queries"]
         # flag/cap logic runs on min-of-runs when Bench provides it (r13+):
-        # the DuckDB side below is already min-of-RUNS because contention is
+        # the DuckDB side is already min-of-runs because contention is
         # additive noise and the min estimates the uncontended time — using
         # the MEDIAN on the Spark side made the ratio asymmetric (contention
         # inflates only one side) and was the measured source of
         # waiver-boundary flicker: the same tree flipped queries across the
         # 2x bar and their absolute caps with zero code change (r12 gate
         # history, BENCH_NOTES r13). Medians still print alongside.
-        smin = bench.get("queries_min", spark)
+        # Per-key fallback to the median map (not a one-shot .get) so a
+        # hand-edited bench JSON with a partial queries_min can't KeyError
+        # the gate to death.
+        smed_map = spark
+        smin_map = bench.get("queries_min", {})
+        def smin(k):
+            return smin_map.get(k, smed_map[k])
+        # the min is monotonically non-increasing in sample count: a bench
+        # run with many more runs than the duck side's RUNS*SWEEPS would
+        # silently loosen the ratio gate with zero code change — surface it
+        bench_runs = bench.get("runs")
+        if isinstance(bench_runs, (int, float)) and bench_runs > 2 * RUNS * SWEEPS:
+            print(f"[ratios] WARNING: bench runs={bench_runs} vs duck "
+                  f"{RUNS * SWEEPS} — Spark min-of-{bench_runs} against duck "
+                  f"min-of-{RUNS * SWEEPS} biases ratios low; re-run Bench "
+                  f"with SPARK_GRAFT_RUNS<={2 * RUNS * SWEEPS}")
         flagged = []
         # a non-positive time means the query crashed every bench run (old
         # Bench emitted -1 for those; current Bench omits them) — never let
@@ -261,46 +336,54 @@ def main():
                   f"total_detail line, not the compact headline line")
             sys.exit(1)
         st = sum(spark[k] for k in comp)
-        sm = sum(smin[k] for k in comp)
+        sm = sum(smin(k) for k in comp)
         dt = sum(times[k] for k in comp)
         print(f"[cmp] {len(comp)} comparable: spark median {st:.1f}s "
               f"(min {sm:.1f}s) duck {dt:.1f}s "
               f"ratio {st/dt:.2f}x (min-basis {sm/dt:.2f}x)")
         print(f"[ratios] {'query':<28} {'s_med':>8} {'s_min':>8} {'duck':>8} {'ratio':>7}")
-        for k in sorted(comp, key=lambda k: -(smin[k] / max(times[k], 1e-9))):
-            r = smin[k] / max(times[k], 1e-9)
+        for k in sorted(comp, key=lambda k: -(smin(k) / max(times[k], 1e-9))):
+            r = smin(k) / max(times[k], 1e-9)
             mark = ""
             # EXPLAINED absolute cap first, independent of every ratio
             # waiver: a cap breach re-flags even when the floor/constant
-            # rule (or a slow DuckDB sample) would hide the regression
-            if k in EXPLAINED and smin[k] > EXPLAINED[k][0] * CAP_SCALE:
+            # rule (or a slow DuckDB sample) would hide the regression.
+            # Caps compare Spark-side absolutes only — duck sampling noise
+            # cannot flip them, so they are checked once, not per-sweep.
+            if k in EXPLAINED and smin(k) > EXPLAINED[k][0] * CAP_SCALE:
                 cap, why = EXPLAINED[k]
                 mark = (f"  <-- FLAG: over its {cap * CAP_SCALE}s EXPLAINED cap "
                         f"(waiver stale: {why})")
                 flagged.append(k)
-            elif k in ABS_CAPS and smin[k] > ABS_CAPS[k][0] * CAP_SCALE:
+            elif k in ABS_CAPS and smin(k) > ABS_CAPS[k][0] * CAP_SCALE:
                 cap, why = ABS_CAPS[k]
                 mark = (f"  <-- FLAG: over its {cap * CAP_SCALE}s tripwire cap "
                         f"({why})")
                 flagged.append(k)
-            elif r > RATIO_BAR:
-                if k in EXPLAINED:
-                    cap, why = EXPLAINED[k]
-                    mark = f"  (explained, cap {cap * CAP_SCALE}s: {why})"
-                elif times[k] < DUCK_FLOOR_S:
-                    mark = "  (floor)"
-                elif smin[k] - times[k] < CONSTANT_S * CAP_SCALE:
-                    mark = "  (constant)"
-                else:
-                    mark = "  <-- FLAG >2x UNEXPLAINED"
+            else:
+                # duck-relative rules: classify against EACH independent
+                # sweep; a row is flagged only if it flags in BOTH (2-of-2)
+                verdicts = [ratio_mark(k, smin(k), s[k]) for s in sweeps]
+                flags = [f for f, _ in verdicts]
+                if all(flags):
+                    mark = verdicts[0][1]
                     flagged.append(k)
-            print(f"[ratios] {k:<28} {spark[k]:>8.3f} {smin[k]:>8.3f} "
+                elif any(flags):
+                    # boundary noise: classifications disagree across the
+                    # two contention windows — print both, flag neither
+                    ducks = "/".join(f"{s[k]:.3f}" for s in sweeps)
+                    waive = next(m for f, m in verdicts if not f).strip()
+                    mark = f"  (boundary: sweeps {ducks}, 1-of-2 {waive})"
+                else:
+                    mark = verdicts[0][1]
+            print(f"[ratios] {k:<28} {spark[k]:>8.3f} {smin(k):>8.3f} "
                   f"{times[k]:>8.3f} {r:>6.2f}x{mark}")
         if flagged:
             print(f"[ratios] {len(flagged)} FLAGGED over {RATIO_BAR}x: {', '.join(flagged)}")
             sys.exit(1)
         print(f"[ratios] clean: no unexplained query over {RATIO_BAR}x "
               f"(floor {DUCK_FLOOR_S}s, constant bound {CONSTANT_S * CAP_SCALE}s, "
+              f"2-of-{SWEEPS} sweep flagging, "
               f"{len(EXPLAINED)} capped waivers, {len(ABS_CAPS)} tripwire caps, "
               f"cap scale {CAP_SCALE}x)")
 

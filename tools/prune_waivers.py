@@ -13,19 +13,32 @@ Usage:
       --duck gate1.log [gate2.log ...]
 
 Spark args are Bench total_detail JSON lines; duck args are any file
-whose FIRST line is bench_duckdb.py's duck-times JSON (its stdout log
-works). Exits 0 always — this is an auditor, not a gate.
+containing bench_duckdb.py's duck-times JSON line (its stdout log
+works, even with '[duck] ... ERROR' lines before the JSON). Exits 0
+always — this is an auditor, not a gate.
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, __path__ if False else "tools")
-from bench_duckdb import EXPLAINED, DUCK_FLOOR_S, CONSTANT_S, RATIO_BAR  # noqa: E402
+# import the gate's own constants from this file's directory, so the
+# auditor works from any cwd, and apply the same CAP_SCALE the gate does
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_duckdb import (  # noqa: E402
+    CAP_SCALE, CONSTANT_S, DUCK_FLOOR_S, EXPLAINED, RATIO_BAR)
+
+CONSTANT_EFF = CONSTANT_S * CAP_SCALE
 
 
 def load_duck(path):
+    """Duck-times map from a gate log: the first line that parses as the
+    duck-times JSON — bench_duckdb may print '[duck] name: ERROR ...'
+    lines before its JSON dump."""
     with open(path) as f:
-        return json.loads(f.readline())["queries"]
+        for line in f:
+            if line.lstrip().startswith("{"):
+                return json.loads(line)["queries"]
+    raise ValueError(f"{path}: no duck-times JSON line found")
 
 
 def main():
@@ -62,7 +75,7 @@ def main():
                 ex = s - d
                 worst_r = max(worst_r, r)
                 worst_ex = max(worst_ex, ex)
-                if r > RATIO_BAR and d >= DUCK_FLOOR_S and ex >= CONSTANT_S:
+                if r > RATIO_BAR and d >= DUCK_FLOOR_S and ex >= CONSTANT_EFF:
                     flags += 1
         if pairs == 0:
             verdict = "NO-DATA (keep)"
@@ -99,18 +112,18 @@ def main():
             if dhi < DUCK_FLOOR_S:
                 note = (f"duck {dlo:.3f}-{dhi:.3f}s under the floor, but "
                         f"excess {exlo:.2f}-{exhi:.2f}s crosses the "
-                        f"{CONSTANT_S}s bound if a sample leaves it")
+                        f"{CONSTANT_EFF}s bound if a sample leaves it")
             elif dlo < DUCK_FLOOR_S <= dhi:
                 note = (f"duck straddles the {DUCK_FLOOR_S}s floor "
                         f"({dlo:.3f}-{dhi:.3f}s) and excess "
-                        f"{exlo:.2f}-{exhi:.2f}s can cross {CONSTANT_S}s")
-            elif exlo < CONSTANT_S <= exhi:
+                        f"{exlo:.2f}-{exhi:.2f}s can cross {CONSTANT_EFF}s")
+            elif exlo < CONSTANT_EFF <= exhi:
                 note = (f"duck {dlo:.3f}-{dhi:.3f}s over the floor; excess "
                         f"{exlo:.2f}-{exhi:.2f}s straddles the "
-                        f"{CONSTANT_S}s constant bound")
+                        f"{CONSTANT_EFF}s constant bound")
             else:
                 note = (f"duck {dlo:.3f}-{dhi:.3f}s over the floor, excess "
-                        f"{exlo:.2f}-{exhi:.2f}s over the {CONSTANT_S}s "
+                        f"{exlo:.2f}-{exhi:.2f}s over the {CONSTANT_EFF}s "
                         f"constant bound — flags outright without the waiver")
             print(f"| {name} | {note} |")
 
