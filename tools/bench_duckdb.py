@@ -144,6 +144,18 @@ EXPLAINED = {
     "tpch_q18": (2.0, "constant-dominated: flat on 10x data since r6 "
         "[duck 0.061-0.092s straddles the floor, excess 0.53-0.60s; "
         "smin 0.62-0.66s r13]"),
+    "tpch_q5": (2.0, "5-way dim chain, all dims broadcast (plan-guarded); "
+        "constant-dominated [duck 0.049-0.078s straddles the floor across "
+        "r14 sweeps, excess 0.64-0.67s; smin 0.72s r14]"),
+    "tpch_q8": (2.5, "market-share double-agg over a 6-join broadcast "
+        "spine; constant-dominated [duck 0.057-0.079s straddles the floor "
+        "across r14 sweeps, excess 0.81-0.84s; smin 0.89s r14]"),
+    "tpch_q16": (1.5, "supplier-cnt distinct agg, anti-join prefilter "
+        "[duck 0.037-0.075s straddles the floor across r14 sweeps, excess "
+        "0.40-0.44s; smin 0.48s r14]"),
+    "w11_sessionize": (1.5, "gaps-and-islands session builder: 2 windows "
+        "+ session agg on one exchange [duck 0.040-0.114s straddles the "
+        "floor across r14 sweeps, excess 0.40-0.48s; smin 0.52s r14]"),
     "tpch_q2": (2.5, "min-cost-supplier: single-exchange window-MIN plan "
         "(r14 rewrite — one lineitem pass, one roster broadcast; was two "
         "of each at smin 1.02s r13); remaining excess is the 3-table "
@@ -225,9 +237,6 @@ EXPLAINED = {
     "nhl_dim_player": (2.0, "min_by hash agg over materialized staging, "
         "flat on 10x data [duck 0.46s, excess 0.39-0.51s; smin "
         "0.85-0.97s r13]"),
-    "nhl_team_shots_against_pos": (3.0, "agg + side-swap self-join + 3 "
-        "windows, flat on 10x data [duck 0.63s, excess 0.59-0.86s; smin "
-        "1.22-1.49s r13]"),
     "nhl_team_shot_locations": (2.0, "two grouping passes (offense + "
         "defense contexts) + union, sublinear on 10x data [duck 0.36s, "
         "excess 0.44-0.49s; smin 0.80-0.86s r13]"),
