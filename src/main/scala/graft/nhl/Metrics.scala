@@ -96,25 +96,27 @@ object Metrics {
     */
   def teamShotsAgainstByPosition(factPlayerGameStats: DataFrame): DataFrame = {
     val reg = regSeason(factPlayerGameStats)
-    // one aggregation to (game, side) grain, then a tiny self-join swaps
-    // each side's sums onto the DEFENDING team — same semantics as the
-    // reference's re-key-and-join (a side appears iff both sides dressed
-    // players), but the join and swap run on the aggregated frame, not two
-    // passes over the player rows.
+    // one aggregation to (game, side) grain; the swap of each side's sums
+    // onto the DEFENDING team is then a window over the game, not a
+    // self-join: a game has exactly two side rows, so opponent = game total
+    // minus own, and the reference's both-sides-dressed inner-join gate is
+    // count-over-game = 2. Same semantics, but ONE pass over the player
+    // rows — the self-join form duplicated the whole aggregation subtree
+    // into both join branches and paid a join build for a 2-row swap.
     val perSide = reg
       .groupBy("game_id", "season", "game_date", "home_away", "team_id", "team_abbrev")
       .agg(
         sum(when(col("position_type") === "F", col("sog")).otherwise(0)).as("f_sog"),
         sum(when(col("position_type") === "D", col("sog")).otherwise(0)).as("d_sog"),
         sum(col("sog")).as("t_sog"))
-    val opp = perSide.select(col("game_id").as("o_gid"), col("home_away").as("o_side"),
-      col("f_sog").as("sog_against_forwards"),
-      col("d_sog").as("sog_against_defense"),
-      col("t_sog").as("sog_against_total"))
+    val gw = Window.partitionBy("game_id")
     val perTeam = perSide
-      .select("game_id", "season", "game_date", "home_away", "team_id", "team_abbrev")
-      .join(opp, col("game_id") === col("o_gid") && col("home_away") =!= col("o_side"))
-      .drop("o_gid", "o_side")
+      .withColumn("n_sides", count(lit(1)).over(gw))
+      .withColumn("sog_against_forwards", sum(col("f_sog")).over(gw) - col("f_sog"))
+      .withColumn("sog_against_defense", sum(col("d_sog")).over(gw) - col("d_sog"))
+      .withColumn("sog_against_total", sum(col("t_sog")).over(gw) - col("t_sog"))
+      .filter(col("n_sides") === 2)
+      .drop("n_sides", "f_sog", "d_sog", "t_sog")
 
     val w = Window.partitionBy("team_id", "season")
       .orderBy(col("game_date").asc, col("game_id").asc)

@@ -21,26 +21,39 @@ object Models {
 
   /** `stg_games.sql`: latest snapshot per game (W1), then typed projection
     * out of the payload (P1).
+    *
+    * The projection runs BEFORE the window (they commute: the projection is
+    * row-wise and touches neither the partition key nor the ordering
+    * columns): the latest-snapshot shuffle then moves 16 scalars instead of
+    * the entire nested payload — stg_games never reads the player arrays,
+    * and hoisting the field extraction above the window kept the full
+    * boxscore blob (arrays included) alive through the exchange. At 100 TB
+    * that is the difference between shuffling a header and shuffling the
+    * lake; on a parquet/JSON bronze it also lets nested-schema pruning drop
+    * the array columns at the scan.
     */
-  def stgGames(boxscoreBronze: DataFrame): DataFrame =
-    Bronze.latestSnapshot(boxscoreBronze, Seq("game_id"), Seq("partition_date", "s3_key"))
-      .select(
-        col("payload.id").as("game_id"),
-        col("payload.season").as("season"),
-        col("payload.gameType").as("game_type"),
-        to_date(col("payload.gameDate")).as("game_date"),
-        col("payload.gameState").as("game_state"),
-        col("payload.venue.default").as("venue_name"),
-        col("payload.periodDescriptor.number").as("final_period_number"),
-        col("payload.periodDescriptor.periodType").as("final_period_type"),
-        col("payload.homeTeam.id").as("home_team_id"),
-        col("payload.homeTeam.abbrev").as("home_team_abbrev"),
-        col("payload.homeTeam.score").as("home_team_score"),
-        col("payload.homeTeam.sog").as("home_team_sog"),
-        col("payload.awayTeam.id").as("away_team_id"),
-        col("payload.awayTeam.abbrev").as("away_team_abbrev"),
-        col("payload.awayTeam.score").as("away_team_score"),
-        col("payload.awayTeam.sog").as("away_team_sog"))
+  def stgGames(boxscoreBronze: DataFrame): DataFrame = {
+    val slim = boxscoreBronze.select(
+      col("game_id").as("__gk"), col("partition_date"), col("s3_key"),
+      col("payload.id").as("game_id"),
+      col("payload.season").as("season"),
+      col("payload.gameType").as("game_type"),
+      to_date(col("payload.gameDate")).as("game_date"),
+      col("payload.gameState").as("game_state"),
+      col("payload.venue.default").as("venue_name"),
+      col("payload.periodDescriptor.number").as("final_period_number"),
+      col("payload.periodDescriptor.periodType").as("final_period_type"),
+      col("payload.homeTeam.id").as("home_team_id"),
+      col("payload.homeTeam.abbrev").as("home_team_abbrev"),
+      col("payload.homeTeam.score").as("home_team_score"),
+      col("payload.homeTeam.sog").as("home_team_sog"),
+      col("payload.awayTeam.id").as("away_team_id"),
+      col("payload.awayTeam.abbrev").as("away_team_abbrev"),
+      col("payload.awayTeam.score").as("away_team_score"),
+      col("payload.awayTeam.sog").as("away_team_sog"))
+    Bronze.latestSnapshot(slim, Seq("__gk"), Seq("partition_date", "s3_key"))
+      .drop("__gk", "partition_date", "s3_key")
+  }
 
   /** `stg_player_game_stats.sql:20-78` / the Jinja combo loop of
     * `fact_player_game_stats.sql:29-93` (F1/F2): four side×position

@@ -88,6 +88,69 @@ object ScanQueries extends QueryPack {
       Merge.snapshotDiff(base, mutated.unionByName(inserts),
         keyCols = Seq("o_orderkey"),
         trackCols = Seq("o_custkey", "o_orderstatus", "price_c", "o_orderpriority"))
+    },
+
+    // S13 — TRUE versioned-table time travel (S10, previously the one
+    // un-ported scan): two REAL commits to a manifest-log table on disk,
+    // read back as VERSION AS OF 0 / 1, diffed by the s12 comparator. The
+    // oracle computes the expected diff straight from orders — it matches
+    // only if both versioned reads round-tripped their snapshots exactly
+    // (files, schema, values). Mutation constants differ from s12 so the
+    // two faces cannot mask each other.
+    "s13_version_travel" -> { (s, dir) =>
+      import graft.ops.Merge
+      import graft.sources.VersionedTable
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vt_s13").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+      VersionedTable.commit(base, tbl) // v0
+      val mutated = base
+        .filter(col("o_orderkey") % 93 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 103 === 0, lit("Z")).otherwise(col("o_orderstatus")))
+      val inserts = base.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") =!= 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      VersionedTable.commit(mutated.unionByName(inserts), tbl) // v1
+      Merge.snapshotDiff(
+        VersionedTable.read(s, tbl, versionAsOf = 0),
+        VersionedTable.read(s, tbl, versionAsOf = 1),
+        keyCols = Seq("o_orderkey"),
+        trackCols = Seq("o_custkey", "o_orderstatus", "price_c"))
+    },
+
+    // S14 — the commit-log history face (DESCRIBE HISTORY): overwrite /
+    // append / overwrite, with per-version FULL row counts from the
+    // manifests. Append must report parent+new; the final overwrite must
+    // reset. The oracle recomputes each version's count from orders.
+    "s14_version_history" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vt_s14").toString
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), tbl)
+      VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1), tbl, mode = "append")
+      VersionedTable.commit(o.filter(col("o_orderkey") % 7 === 0), tbl)
+      VersionedTable.history(s, tbl).select("version", "mode", "n_rows")
+    },
+
+    // S15 — manifest-stats data skipping: commit orders RANGE-CLUSTERED on
+    // the key (8 range-disjoint files), then read back through the
+    // stats-pruned path with a key-range predicate. The oracle is the
+    // plain filtered aggregate over orders — a pass proves the pruning
+    // dropped files but never rows (VersionedTableSpec pins that files
+    // WERE dropped; here the grade is zero-loss correctness).
+    "s15_version_skipping" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vt_s15").toString
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      VersionedTable.commit(o, tbl)
+      VersionedTable.readWhere(s, tbl, col("o_orderkey").between(1000L, 30000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
     }
   )
 
@@ -113,7 +176,49 @@ object ScanQueries extends QueryPack {
       |  coalesce(md5(o_orderpriority), '$m')))""".stripMargin
   }
 
+  /** s13's fingerprint (same Merge.rowFingerprint contract, 3 tracked
+    * columns — s13 does not track o_orderpriority).
+    */
+  private val s13FpSql = {
+    val m = graft.ops.Merge.NullFieldMarker
+    s"""md5(concat(coalesce(md5(CAST(o_custkey AS VARCHAR)), '$m'),
+      |  coalesce(md5(o_orderstatus), '$m'),
+      |  coalesce(md5(CAST(price_c AS VARCHAR)), '$m')))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s13_version_travel" ->
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c FROM orders),
+         |mut AS (SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 103 = 0 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         |    price_c FROM base WHERE o_orderkey % 93 <> 0),
+         |ins AS (SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+         |    price_c FROM base WHERE o_orderkey % 91 = 0 AND o_orderkey <> 0),
+         |newsnap AS (SELECT * FROM mut UNION ALL SELECT * FROM ins),
+         |o AS (SELECT o_orderkey, $s13FpSql AS old_fp FROM base),
+         |n AS (SELECT o_orderkey, $s13FpSql AS new_fp FROM newsnap)
+         |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |  CASE WHEN o.old_fp IS NULL THEN 'added'
+         |       WHEN n.new_fp IS NULL THEN 'removed'
+         |       WHEN o.old_fp <> n.new_fp THEN 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+         |WHERE o.old_fp IS NULL OR n.new_fp IS NULL OR o.old_fp <> n.new_fp""".stripMargin,
+    "s15_version_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 30000
+        |GROUP BY 1""".stripMargin,
+    "s14_version_history" ->
+      """SELECT CAST(0 AS BIGINT) AS version, 'overwrite' AS mode,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'append',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+        |  + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'overwrite',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)""".stripMargin,
     "s12_snapshot_diff" ->
       s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
          |    CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c, o_orderpriority

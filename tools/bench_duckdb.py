@@ -134,6 +134,44 @@ EXPLAINED = {
         "fingerprints — the shuffle moves 2 columns (PlanGuard-pinned), "
         "the excess is 3-stage scheduling constants [duck 0.44s, excess "
         "0.45-0.54s; smin 0.90-0.99s r13]"),
+    "nhl_stg_games": (2.2, "live bronze-build face (deliberately unSilvered "
+        "— it IS the staging op): pays the synthetic fixture's nested-payload "
+        "construction, whose player-array collect_list survives pruning "
+        "because CollapseProject's duplicate-expression guard keeps the "
+        "16-field extraction from collapsing into the struct build (a "
+        "fixture artifact; a parquet/JSON bronze prunes at the scan — and "
+        "r14 moved the projection BEFORE the latest-snapshot window, so the "
+        "exchange moves 16 scalars, not the payload blob). Boundary row: "
+        "duck 0.35s > floor, ratio 1.94-2.14x across r14 samples, excess "
+        "0.33-0.40s straddles the 0.35s constant bound [smin 0.68-0.75s, "
+        "QueryTime floor 0.71s post-change]"),
+    "s13_version_travel": (10.0, "side-effecting by definition: the face "
+        "COMMITS two real versions to a manifest-log table on disk (two "
+        "write jobs + committer renames) then diffs the VERSION AS OF "
+        "read-backs; the oracle computes only the expected diff from "
+        "orders in-process [warm 3.7s sf0.1 r14 — s12's in-memory diff "
+        "is 0.9s, the +2.8s IS the two disk commits]"),
+    "s14_version_history": (4.0, "side-effecting by definition: three "
+        "real commits (overwrite/append/overwrite) then the commit-log "
+        "history; the oracle is three COUNTs over orders [warm 1.2s "
+        "sf0.1 r14, all of it the three write jobs]"),
+    "s15_version_skipping": (8.0, "side-effecting by definition: the face "
+        "range-clusters orders (repartitionByRange = sample pass + "
+        "shuffle), COMMITS the 8 range-disjoint files to disk, then runs "
+        "the stats-pruned read + aggregate; the oracle is the bare "
+        "filter-aggregate over orders. The commit is the cost — the "
+        "pruned read itself touches ~1/8 of the files (spec-pinned)"),
+    "nhl_team_shots_against_pos": (2.5, "full pass over the 28-col fpgs "
+        "checkpoint + 3-exchange agg/window stack (r14 replaced the "
+        "side-swap self-join — which duplicated the whole aggregation "
+        "subtree into both branches — with a count-gated window over the "
+        "game: one pass, no join build; QueryTime floor 1.25->1.11s). The "
+        "remaining ~1.1s is the checkpoint-scan constant every fpgs "
+        "consumer pays: sibling nhl_player_shot_metrics runs the SAME "
+        "scan at smin 1.18s and gates 0.99x only because ITS duck oracle "
+        "re-runs the full player chain (1.19s) where this one's "
+        "aggregates it away (0.58s) — the ratio optics are the oracle's, "
+        "not the plan's [duck 0.58s, ratio 1.9-2.2x across r14 samples]"),
 
     # ---- constant-dominated multi-stage pipelines (measured flat-to-
     # sublinear on 10x data; the excess over DuckDB is fixed stage
