@@ -151,6 +151,30 @@ object ScanQueries extends QueryPack {
       VersionedTable.readWhere(s, tbl, col("o_orderkey").between(1000L, 30000L))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
+    },
+
+    // S16 — Z-ORDER × data skipping: commit events clustered on the
+    // Morton interleave of (x, y) (S11's curve), then stats-prune a 2-D
+    // BOX predicate — the z-layout keeps every file's bounding box tight
+    // in BOTH dimensions, so a predicate on either (or both) skips files
+    // a single-column sort could not. The oracle is the bare filtered
+    // aggregate over events; VersionedTableSpec pins that single-
+    // dimension predicates on x AND on y each prune files.
+    "s16_zorder_skipping" -> { (s, dir) =>
+      import graft.ops.Layout
+      import graft.sources.VersionedTable
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vt_s16").toString
+      val ev = Tables.events(s, dir).select(
+        (col("user_id") % 256).as("x"),
+        expr("(unix_micros(ts) DIV 1000000) % 256").as("y"),
+        col("event_type"))
+      VersionedTable.commitClustered(ev, tbl,
+        Seq(Layout.zValue(col("x"), col("y"), 8)), numFiles = 16)
+      VersionedTable.readWhere(s, tbl,
+          col("x").between(32L, 95L) && col("y").between(64L, 127L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"))
     }
   )
 
@@ -204,6 +228,13 @@ object ScanQueries extends QueryPack {
          |       WHEN o.old_fp <> n.new_fp THEN 'changed' END AS status
          |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
          |WHERE o.old_fp IS NULL OR n.new_fp IS NULL OR o.old_fp <> n.new_fp""".stripMargin,
+    "s16_zorder_skipping" ->
+      """WITH e AS (SELECT user_id % 256 AS x,
+        |    (epoch_us(ts) // 1000000) % 256 AS y, event_type FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y
+        |FROM e WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+        |GROUP BY 1""".stripMargin,
     "s15_version_skipping" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c

@@ -156,6 +156,46 @@ object VersionedTable {
   def commit(df: DataFrame, table: String, mode: String = "overwrite"): Long =
     commitInternal(df, table, mode, None).get
 
+  /** Commit range-clustered on `clusterBy`: rows land in `numFiles`
+    * range-disjoint, internally-sorted files, which is what makes the
+    * manifest min/max stats TIGHT on those expressions and [[readWhere]]
+    * pruning effective — stats over randomly-distributed commits span the
+    * whole domain and prune nothing. Pass a z-value interleave (e.g.
+    * `graft.ops.Layout.zValue(x, y, bits)`) to cluster on a single curve
+    * that keeps BOTH dimensions' per-file boxes tight — multi-column
+    * skipping from one sort, the table-format Z-ORDER story. The sort
+    * pays one extra shuffle (sample + range exchange) at write time; at
+    * 100 TB that is the classic write-once/skip-forever trade.
+    */
+  def commitClustered(df: DataFrame, table: String, clusterBy: Seq[org.apache.spark.sql.Column],
+                      numFiles: Int, mode: String = "overwrite"): Long = {
+    require(clusterBy.nonEmpty, "commitClustered needs at least one cluster expression")
+    commit(df.repartitionByRange(numFiles, clusterBy: _*)
+      .sortWithinPartitions(clusterBy: _*), table, mode)
+  }
+
+  /** Rewrite the CURRENT visible content into `targetFiles` files as a new
+    * version (mode "compact" — content-preserving, self-documenting in
+    * [[history]]). This is the small-file countermeasure for
+    * [[streamingSink]] tables (every micro-batch appends a file; a
+    * thousand batches = a thousand-file listing) and the manifest-size
+    * reset the scaladoc's vacuum+recommit compaction path describes: the
+    * new manifest lists `targetFiles` entries instead of the accumulated
+    * thousands, and [[vacuum]] then reclaims the superseded dirs.
+    * `clusterBy` optionally re-clusters during the rewrite (restoring
+    * tight skipping stats that interleaved appends erode); otherwise the
+    * rewrite is a plain coalesce. Returns the committed version.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val current = read(spark, table)
+    if (clusterBy.nonEmpty)
+      commitClustered(current, table, clusterBy, targetFiles, mode = "compact")
+    else
+      commit(current.coalesce(targetFiles), table, mode = "compact")
+  }
+
   /** Idempotent append keyed by a transaction identity — the exactly-once
     * contract a Structured Streaming `foreachBatch` sink needs: replaying
     * micro-batch `batchId` after a restart must not double-append. The
@@ -186,7 +226,8 @@ object VersionedTable {
 
   private def commitInternal(df: DataFrame, table: String, mode: String,
                              txn: Option[(String, Long)]): Option[Long] = {
-    require(mode == "overwrite" || mode == "append", s"bad mode '$mode'")
+    require(mode == "overwrite" || mode == "append" || mode == "compact",
+      s"bad mode '$mode'") // compact = content-preserving overwrite, named for history
     val spark = df.sparkSession
     val (fs, t) = fsFor(spark, table)
     // fast-path txn skip BEFORE paying the data write (a replayed batch on

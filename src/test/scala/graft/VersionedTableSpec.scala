@@ -199,6 +199,45 @@ class VersionedTableSpec extends SparkTestBase {
       .count() === 2L)
   }
 
+  test("compact folds a many-file listing, preserves content, re-clusters stats") {
+    val t = tmp("vt_compact")
+    // ten single-file txn appends = the streamingSink shape: a 10-file listing
+    for (i <- 0 until 10)
+      VersionedTable.commitIfAbsent(
+        spark.range(i * 10, i * 10 + 10).toDF("k").coalesce(1), t, "cmp", i.toLong)
+    val before = VersionedTable.read(spark, t).as[Long].collect().sorted.toSeq
+    assert(VersionedTable.history(spark, t).agg(max("n_files")).head.getLong(0) === 10L)
+    val v = VersionedTable.compact(spark, t, targetFiles = 2, clusterBy = Seq(col("k")))
+    assert(v === 10L)
+    val h = VersionedTable.history(spark, t).filter(col("version") === v)
+      .select("mode", "n_files").as[(String, Long)].collect().head
+    assert(h._1 === "compact" && h._2 <= 2L)
+    assert(VersionedTable.read(spark, t).as[Long].collect().sorted.toSeq === before)
+    // the rewrite re-clustered: a narrow range now reads one of two files
+    assert(VersionedTable.pruneCount(spark, t, col("k") < 10L)._1 === 1)
+    // pre-compact versions still time-travel until vacuumed; then the ten
+    // superseded append dirs reclaim
+    assert(VersionedTable.read(spark, t, 4).count() === 50L)
+    val (_, dirs) = VersionedTable.vacuum(spark, t, retainLast = 1)
+    assert(dirs === 10)
+    assert(VersionedTable.read(spark, t).as[Long].collect().sorted.toSeq === before)
+  }
+
+  test("z-clustered commits prune on BOTH dimensions of the interleave") {
+    val t = tmp("vt_z")
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    VersionedTable.commitClustered(grid, t,
+      Seq(graft.ops.Layout.zValue(col("x"), col("y"), 6)), numFiles = 16)
+    val (kx, total) = VersionedTable.pruneCount(spark, t, col("x") < 8L)
+    val (ky, _) = VersionedTable.pruneCount(spark, t, col("y") < 8L)
+    // a single-column sort prunes one dimension; the z-layout prunes both
+    assert(total === 16 && kx < 10 && ky < 10)
+    val box = col("x").between(16L, 31L) && col("y").between(32L, 47L)
+    assert(VersionedTable.readWhere(spark, t, box).count() === 256L)
+    assert(VersionedTable.pruneCount(spark, t, box)._1 < 10)
+  }
+
   test("versioned reads feed the drift comparator: real VERSION AS OF CDC") {
     val t = tmp("vt_drift")
     val base = Seq((1L, "O", 100L), (2L, "F", 200L), (3L, "O", 300L))

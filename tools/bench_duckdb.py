@@ -155,6 +155,11 @@ EXPLAINED = {
         "real commits (overwrite/append/overwrite) then the commit-log "
         "history; the oracle is three COUNTs over orders [warm 1.2s "
         "sf0.1 r14, all of it the three write jobs]"),
+    "s16_zorder_skipping": (8.0, "side-effecting by definition: the face "
+        "z-clusters events (Morton interleave, range exchange + sort) and "
+        "COMMITS 16 files to disk, then runs the stats-pruned 2-D box "
+        "read; the oracle is the bare filtered aggregate. The commit is "
+        "the cost — write-once/skip-forever is the trade being measured"),
     "s15_version_skipping": (8.0, "side-effecting by definition: the face "
         "range-clusters orders (repartitionByRange = sample pass + "
         "shuffle), COMMITS the 8 range-disjoint files to disk, then runs "
