@@ -268,6 +268,20 @@ object VersionedTable {
       val parentRows: Long = parentManifest.map(_.get("nRows").asLong()).getOrElse(0L)
       val parentStats: Option[JsonNode] =
         parentManifest.flatMap(pm => Option(pm.get("stats")))
+      // append schema evolution: the version's schema is the UNION BY NAME
+      // of parent and incoming (old files read null for added columns, new
+      // files read null for columns they lack); a type conflict refuses
+      // loudly here, before any manifest claims — reclaim the orphaned
+      // data dir on the way out
+      val versionDdl = parentManifest match {
+        case Some(pm) =>
+          try mergeSchemas(
+            StructType.fromDDL(pm.get("schemaDdl").asText()), df.schema).toDDL
+          catch { case e: IllegalArgumentException =>
+            fs.delete(commitDir, true); throw e
+          }
+        case None => ddl
+      }
       val files = parentFiles ++ newFiles
       val nRows = parentRows + newRows
       val m = mapper.createObjectNode()
@@ -275,7 +289,7 @@ object VersionedTable {
       m.put("mode", mode)
       m.put("ts", System.currentTimeMillis())
       m.put("nRows", nRows)
-      m.put("schemaDdl", ddl)
+      m.put("schemaDdl", versionDdl)
       txn.foreach { case (app, batch) =>
         m.put("txnApp", app); m.put("txnBatch", batch)
       }
@@ -309,6 +323,35 @@ object VersionedTable {
       }
     }
     Some(committed)
+  }
+
+  /** Union-by-name schema evolution for appends (the mergeSchema contract
+    * public table formats document): shared columns (matched
+    * case-insensitively — Spark resolution is case-insensitive, so two
+    * spellings would collide on read) must carry IDENTICAL types — type
+    * evolution is refused, not silently coerced, because old files would
+    * read garbage or fail mid-scan; columns present on only one side join
+    * the merged schema as NULLABLE (files lacking a column read null for
+    * it — exactly how Spark's parquet reader treats a missing column).
+    * Parent column order is preserved; additions go last.
+    */
+  private[sources] def mergeSchemas(parent: StructType, next: StructType): StructType = {
+    val nextByName = next.fields.map(f => f.name.toLowerCase -> f).toMap
+    val parentNames = parent.fields.map(_.name.toLowerCase).toSet
+    val merged = parent.fields.map { pf =>
+      nextByName.get(pf.name.toLowerCase) match {
+        case Some(nf) =>
+          require(nf.dataType == pf.dataType,
+            s"append schema conflict on '${pf.name}': table has " +
+              s"${pf.dataType.simpleString}, incoming has " +
+              s"${nf.dataType.simpleString} — type evolution is refused, not coerced")
+          pf.copy(nullable = pf.nullable || nf.nullable)
+        case None => pf.copy(nullable = true) // new files lack it → null
+      }
+    }
+    val added = next.fields.filterNot(f => parentNames.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true)) // parent files lack it → null
+    StructType(merged ++ added)
   }
 
   /** Is (appId, batchId) already committed anywhere in the log? Torn

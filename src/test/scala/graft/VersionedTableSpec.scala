@@ -238,6 +238,33 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.pruneCount(spark, t, box)._1 < 10)
   }
 
+  test("append evolves schema by union-by-name: null backfill both ways, conflicts refuse") {
+    val t = tmp("vt_evolve")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), t)
+    // new column: old rows read null for it
+    VersionedTable.commit(Seq((2L, "b", 9.5)).toDF("k", "s", "score"), t, "append")
+    val l1 = VersionedTable.read(spark, t)
+    assert(l1.schema.fieldNames.toSeq === Seq("k", "s", "score"))
+    assert(l1.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+      === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // append MISSING a column: allowed, its rows read null for it
+    VersionedTable.commit(Seq((3L, 1.5)).toDF("k", "score"), t, "append")
+    val l2 = VersionedTable.read(spark, t)
+    assert(l2.count() === 3L)
+    assert(l2.filter(col("k") === 3L).select("s").collect().head.isNullAt(0))
+    // type conflict refuses loudly and leaves no new version behind
+    val before = VersionedTable.versions(spark, t)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((4L, "x", "oops")).toDF("k", "s", "score"), t, "append")
+    }
+    assert(VersionedTable.versions(spark, t) === before)
+    // time travel still reads each version under ITS schema
+    assert(VersionedTable.read(spark, t, 0).schema.fieldNames.toSeq === Seq("k", "s"))
+    // stats survive evolution: pruning on k still works across all files
+    assert(VersionedTable.pruneCount(spark, t, col("k") === 3L)._1 === 1)
+  }
+
   test("versioned reads feed the drift comparator: real VERSION AS OF CDC") {
     val t = tmp("vt_drift")
     val base = Seq((1L, "O", 100L), (2L, "F", 200L), (3L, "O", 300L))
