@@ -70,17 +70,25 @@ object Props {
       .withColumn("nhl_norm", Fns.normalizeName(col("player_name")))
       .localCheckpoint()
 
+    // Strategy cascade as a RANK, not anti-join chaining (r14): the old
+    // shape ran `exact` twice (once unioned, once as the anti-join's
+    // build side) and `normalized` twice, plus two anti-join stages. Here
+    // every strategy joins ONCE over the full name tables, each match
+    // carries its strategy rank, and a min-rank window keeps only each
+    // name's best strategy — exactly the cascade's semantics (a name with
+    // an exact match never exposes its normalized/last-initial matches to
+    // the ambiguity gate, because those rows lose the rank filter). The
+    // rank filter and the ambiguity count share one window partition, so
+    // both evaluate in a single exchange+sort.
     val exact = odds.join(nhl, upper(trim(col("odds_player_name"))) === upper(trim(col("player_name"))))
       .select(col("odds_player_name"), col("player_id"), col("player_name"),
-        lit("exact").as("match_method"))
+        lit("exact").as("match_method"), lit(1).as("__rank"))
 
-    val rest1 = odds.join(exact.select("odds_player_name"), Seq("odds_player_name"), "left_anti")
-    val normalized = rest1.join(nhl, col("odds_norm") === col("nhl_norm"))
+    val normalized = odds.join(nhl, col("odds_norm") === col("nhl_norm"))
       .select(col("odds_player_name"), col("player_id"), col("player_name"),
-        lit("normalized").as("match_method"))
+        lit("normalized").as("match_method"), lit(2).as("__rank"))
 
-    val rest2 = rest1.join(normalized.select("odds_player_name"), Seq("odds_player_name"), "left_anti")
-    val lastInitial = rest2
+    val lastInitial = odds
       .withColumn("o_last", Fns.lastToken(col("odds_norm")))
       .withColumn("o_init", Fns.firstInitial(col("odds_norm")))
       .join(nhl
@@ -88,13 +96,15 @@ object Props {
         .withColumn("n_init", Fns.firstInitial(col("nhl_norm"))),
         col("o_last") === col("n_last") && col("o_init") === col("n_init"))
       .select(col("odds_player_name"), col("player_id"), col("player_name"),
-        lit("last_name_initial").as("match_method"))
+        lit("last_name_initial").as("match_method"), lit(3).as("__rank"))
 
     val all = exact.unionByName(normalized).unionByName(lastInitial)
     val wGate = Window.partitionBy("odds_player_name")
-    all.withColumn("__c", count(lit(1)).over(wGate))
+    all.withColumn("__mr", min(col("__rank")).over(wGate))
+      .filter(col("__rank") === col("__mr"))
+      .withColumn("__c", count(lit(1)).over(wGate))
       .filter(col("__c") === 1) // unambiguous matches only
-      .drop("__c")
+      .drop("__c", "__mr", "__rank")
   }
 
   private val BookmakerPreference =
@@ -206,34 +216,68 @@ object Props {
       .filter(col("game_date") >= date_sub(to_date(lit(runDate)), 180))
       .select("player_id", "player_name", "team_abbrev").distinct()
 
+    // localCheckpoint: BOTH downstream branches (matched / stillUnmatched)
+    // fork off this frame, and without the cut each branch re-ran the
+    // whole best-line window + pivot + crosswalk-join subtree at
+    // execution (r14 before-plan: the two WindowGroupLimit sorts and the
+    // pivot SortAggregate appeared twice, one copy per branch)
     val viaCrosswalk = pivoted
       .join(broadcast(crosswalk.select(col("odds_player_name"),
         col("player_id"), col("player_name"), col("match_method"))),
         Seq("odds_player_name"), "left")
+      .localCheckpoint(false)
 
     // fuzzy candidate fallback for names the crosswalk couldn't place
-    // unambiguously (the reference's J7 idiom, `v2.sql:115-144`): candidates
-    // on (last name, first initial) restricted to HISTORICAL appearances
-    // (rp.game_date <= prop date), ranked by recency with match_rank = 1
-    // kept inside the same stage to bound the fanout (SURVEY §7.4.8).
+    // unambiguously (the reference's J7 idiom, `v2.sql:115-144`):
+    // candidates on (last name, first initial) restricted to HISTORICAL
+    // appearances (rp.game_date <= prop date), most recent appearance
+    // wins, ties to the lowest player id.
+    //
+    // r14 shape: appearances pre-aggregate to ONE row per (player,
+    // last, initial) carrying a sorted date array — the raw join keyed
+    // them per player-GAME, so every unmatched prop fanned out to ~every
+    // game of every same-surname player and a 3M-row rank window sorted
+    // the result (measured 3.6 s of the 6.6 s query at sf0.1). Now the
+    // join fans out per PLAYER, the per-prop winner is a max_by hash
+    // aggregate over (best_date, −player_id) — identical pick order to
+    // the old (app_date desc, player_id asc) rank-1 window, because each
+    // player's best qualifying date IS its rank-1 row — and the argmax
+    // joins back on the prop grain (event, date, name — unique by the
+    // pivot's grain). A prop whose candidates are all in the future
+    // drops from the argmax (the old residual dropped those rows too)
+    // and resurfaces as null through the left join-back.
     val stillUnmatched = viaCrosswalk.filter(col("player_id").isNull)
       .drop("player_id", "player_name", "match_method")
       .withColumn("o_last", Fns.lastToken(Fns.normalizeName(col("odds_player_name"))))
       .withColumn("o_init", Fns.firstInitial(Fns.normalizeName(col("odds_player_name"))))
+    // normalizeName's regex chain runs AFTER the per-player aggregation —
+    // per distinct (player, name), not per player-GAME row (16× fewer
+    // regex evaluations at sf0.1: 341k appearance rows → 20k players)
     val appearances = factPlayerGameStats
       .select(col("player_id").as("cand_player_id"),
         col("player_name").as("cand_player_name"),
         col("game_date").as("app_date"))
+      .groupBy("cand_player_id", "cand_player_name")
+      .agg(sort_array(collect_set(col("app_date"))).as("app_dates"))
       .withColumn("n_last", Fns.lastToken(Fns.normalizeName(col("cand_player_name"))))
       .withColumn("n_init", Fns.firstInitial(Fns.normalizeName(col("cand_player_name"))))
-    val wCand = Window.partitionBy("event_id", "game_date", "odds_player_name")
-      .orderBy(col("app_date").desc, col("cand_player_id").asc)
-    val viaFuzzy = stillUnmatched
+    val picked = stillUnmatched
+      .select(col("event_id"), col("game_date"), col("odds_player_name"),
+        col("o_last"), col("o_init"))
       .join(appearances,
-        col("o_last") === col("n_last") && col("o_init") === col("n_init") &&
-          col("app_date") <= col("game_date"), "left")
-      .withColumn("match_rank", row_number().over(wCand))
-      .filter(col("match_rank") === 1)
+        col("o_last") === col("n_last") && col("o_init") === col("n_init"))
+      .withColumn("best_date",
+        array_max(filter(col("app_dates"), d => d <= col("game_date"))))
+      .filter(col("best_date").isNotNull)
+      .groupBy("event_id", "game_date", "odds_player_name")
+      .agg(max_by(
+        struct(col("cand_player_id"), col("cand_player_name")),
+        struct(col("best_date"), -col("cand_player_id"))).as("cand"))
+      .select(col("event_id"), col("game_date"), col("odds_player_name"),
+        col("cand.cand_player_id").as("cand_player_id"),
+        col("cand.cand_player_name").as("cand_player_name"))
+    val viaFuzzy = stillUnmatched
+      .join(picked, Seq("event_id", "game_date", "odds_player_name"), "left")
       .select(stillUnmatched.columns.filterNot(Seq("o_last", "o_init").contains).map(col) :+
         col("cand_player_id").as("player_id") :+
         col("cand_player_name").as("player_name") :+

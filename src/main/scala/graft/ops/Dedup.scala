@@ -159,18 +159,27 @@ object Dedup {
     val freq = ix0.groupBy("shingle").count()
       .filter(col("count") > 1 && col("count") <= maxDocFreq)
       .select("shingle")
-    val ix = ix0.join(freq, Seq("shingle")).select("id", "shingle")
-    // slim self-join: shuffle only (shingle, id); set sizes re-attach after
-    // the aggregation via a broadcast of the per-doc size table
-    val a = ix.select(col("id").as("id_a"), col("shingle"))
-    val b = ix.select(col("id").as("id_b"), col("shingle"))
-    val co = a.join(b, Seq("shingle"))
+    // the freq filter join recomputes per self-join side (both cheap scans
+    // of the ix0 checkpoint + a broadcast of the vocabulary-sized freq
+    // set); checkpointing the filtered index instead was measured SLOWER
+    // at sf0.1 (+0.5 s — an extra serial materialization barrier costs
+    // more than re-reading the checkpoint blocks twice)
+    val ix = ix0.join(freq, Seq("shingle"))
+      .select("id", "set_size", "shingle")
+    // set sizes ride THROUGH the self-join and collapse in the same
+    // partial aggregation as the co-occurrence count (they are constant
+    // per id, so min() is exact): +8 bytes per partially-aggregated row
+    // buys back what used to be a per-document `sizes` table attached by
+    // broadcast — a doc-count-sized broadcast, which is exactly the thing
+    // that cannot exist at 100 TB corpus scale (and locally cost two more
+    // joins, two aggregates, and two checkpoint scans per execution).
+    val a = ix.select(col("id").as("id_a"), col("set_size").as("sz_a"), col("shingle"))
+    val b = ix.select(col("id").as("id_b"), col("set_size").as("sz_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("co"))
-    val sizes = ix0.select("id", "set_size").distinct()
-    co.join(broadcast(sizes.select(col("id").as("id_a"), col("set_size").as("n_a"))), Seq("id_a"))
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("set_size").as("n_b"))), Seq("id_b"))
+      .agg(count(lit(1)).as("co"),
+        min(col("sz_a")).as("n_a"), min(col("sz_b")).as("n_b"))
   }
 
   /** Dedup yield curve: how many near-dup pairs each Jaccard threshold
@@ -354,7 +363,11 @@ object Dedup {
         xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
     }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
-    val banded = if (maxBandFreq == Long.MaxValue) banded0 else {
+    // checkpointed on BOTH paths: the two sides of the band-keyed
+    // self-join read this frame, and without the cut each side re-ran the
+    // k-hash signature aggregate + banding at execution (r14 before-plan:
+    // the sigs exchange appeared twice, one copy per join side)
+    val banded = if (maxBandFreq == Long.MaxValue) banded0.localCheckpoint(false) else {
       val ck = banded0.localCheckpoint(false)
       val hot = ck.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > maxBandFreq)
@@ -667,7 +680,11 @@ object Dedup {
           xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("pos"), col("bb.band"), col("bb.bh"))
-    val banded = if (maxBandFreq == Long.MaxValue) banded0 else {
+    // checkpointed on BOTH paths: the two sides of the band-keyed
+    // self-join read this frame, and without the cut each side re-ran the
+    // k-hash signature aggregate + banding at execution (r14 before-plan:
+    // the sigs exchange appeared twice, one copy per join side)
+    val banded = if (maxBandFreq == Long.MaxValue) banded0.localCheckpoint(false) else {
       val ck = banded0.localCheckpoint(false)
       val hot = ck.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > maxBandFreq)
@@ -750,15 +767,22 @@ object Dedup {
         tf0.join(keep, Seq("token"))
       }
     val norms = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("nrm2"))
-    val a = tf.select(col("id").as("id_a"), col("token"), col("tf").as("tf_a"))
-    val b = tf.select(col("id").as("id_b"), col("token"), col("tf").as("tf_b"))
-    val num = a.join(b, Seq("token"))
+    // norms attach ONCE, before the self-join, and ride through the pair
+    // aggregation (constant per id, so min() is exact): the old shape
+    // attached them AFTER the aggregation via two broadcasts of a
+    // per-document table — a doc-count-sized broadcast, which cannot
+    // exist at 100 TB corpus scale (and locally cost an extra aggregate
+    // subtree plus two join stages per execution)
+    val tfn = tf.join(norms, Seq("id"))
+    val a = tfn.select(col("id").as("id_a"), col("token"), col("tf").as("tf_a"),
+      col("nrm2").as("sz_a"))
+    val b = tfn.select(col("id").as("id_b"), col("token"), col("tf").as("tf_b"),
+      col("nrm2").as("sz_b"))
+    a.join(b, Seq("token"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(sum(col("tf_a") * col("tf_b")).as("num"))
-    num
-      .join(broadcast(norms.select(col("id").as("id_a"), col("nrm2").as("n2_a"))), Seq("id_a"))
-      .join(broadcast(norms.select(col("id").as("id_b"), col("nrm2").as("n2_b"))), Seq("id_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("num"),
+        min(col("sz_a")).as("n2_a"), min(col("sz_b")).as("n2_b"))
       // two sqrts, not sqrt(n2_a*n2_b): the BIGINT product would overflow
       // past ~3e9-token docs; per-factor casts stay exact below 2^53 and
       // every op (cast, sqrt, *, /) is IEEE-correctly-rounded, so the
@@ -853,10 +877,19 @@ object Dedup {
     // per-doc verify payload: token-sorted parallel (keys, tfs) arrays,
     // built once — candidates run the codegen'd sort-merge BIGINT dot
     // ([[graft.expressions.SortedDot]]; the HOF intersect+map-scan form
-    // measured ~7 s for 460k candidates where this is O(n+m) in codegen)
+    // measured ~7 s for 460k candidates where this is O(n+m) in codegen).
+    // The verify norm rides the SAME aggregation (sum(tf²) is one more
+    // partial-aggregable column), and the frame checkpoints: the r14
+    // before-plan showed the collect_list ObjectHashAggregate (a full
+    // shuffle of the tf table) running TWICE — once per candidate join
+    // side — plus two more separately-aggregated norm broadcasts; one
+    // aggregate + two checkpoint scans replaces all four.
     val docVecs = tf.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("vec"))
-      .select(col("id"), col("vec.token").as("toks"), col("vec.tf").as("tfs"))
+      .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("vec"),
+        sum(col("tf") * col("tf")).as("nrm2"))
+      .select(col("id"), col("vec.token").as("toks"), col("vec.tf").as("tfs"),
+        col("nrm2"))
+      .localCheckpoint(false)
     import org.apache.spark.sql.GraftSqlBridge
     val dot = GraftSqlBridge.column(graft.expressions.SortedDot(
       GraftSqlBridge.expression(col("toks_a")),
@@ -865,12 +898,10 @@ object Dedup {
       GraftSqlBridge.expression(col("tfs_b"))))
     candidates
       .join(docVecs.select(col("id").as("id_a"), col("toks").as("toks_a"),
-        col("tfs").as("tfs_a")), Seq("id_a"))
+        col("tfs").as("tfs_a"), col("nrm2").as("n2_a")), Seq("id_a"))
       .join(docVecs.select(col("id").as("id_b"), col("toks").as("toks_b"),
-        col("tfs").as("tfs_b")), Seq("id_b"))
+        col("tfs").as("tfs_b"), col("nrm2").as("n2_b")), Seq("id_b"))
       .withColumn("num", dot)
-      .join(broadcast(norms.select(col("id").as("id_a"), col("nrm2").as("n2_a"))), Seq("id_a"))
-      .join(broadcast(norms.select(col("id").as("id_b"), col("nrm2").as("n2_b"))), Seq("id_b"))
       // op-for-op the baseline's score: cast, sqrt, *, / — all IEEE
       // correctly rounded, so the value is engine-exact (see
       // tokenCosinePairs for the overflow rationale behind two sqrts)
@@ -917,33 +948,78 @@ object Dedup {
     * are reclaimed by the ContextCleaner once unreferenced (there is no
     * public API to drop a localCheckpoint eagerly). The fixpoint test is
     * one count per round (the same action that runs the round's job).
+    *
+    * Round economy (r14): the FIRST round is fused into label
+    * initialization — comp₁ = min(id, min neighbor) falls straight out of
+    * one groupBy over the checkpointed edge list, where the old separate
+    * init round materialized comp₀ = id and then paid a whole propagation
+    * job to compute the same thing. (A fused TWO-hop round was also tried
+    * and measured SLOWER at sf0.1 — the un-checkpointed inner hop is
+    * referenced three times by the outer hop's plan, tripling per-round
+    * stage work for half the rounds; per-round stages, not job count, are
+    * the cost.)
     */
   def nearDupComponents(vertices: DataFrame, idCol: String,
                         pairs: DataFrame, maxIters: Int = 50,
                         failOnNonConvergence: Boolean = true): DataFrame = {
-    // localCheckpoint so no round's plan drags the candidate-pair
-    // pipeline's lineage back through the optimizer (see loop note)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The candidate-pair pipeline materializes FIRST, on its own: every
+    // later frame (both union directions, the endpoint set, the edge
+    // restrictions) reads the checkpoint blocks instead of re-running the
+    // pair stage — the old union-of-two-projections shape computed the
+    // whole pair pipeline TWICE inside the edges job (no exchange between
+    // the union branches, so nothing was reusable). localCheckpoint also
+    // keeps every round's plan from dragging the pair pipeline's lineage
+    // back through the optimizer (see loop note).
+    val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val rawEdges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
+    // Edges restrict to the caller's vertex set on BOTH endpoints up
+    // front — a stray pair id (in `pairs`, absent from `vertices`) must
+    // be inert, exactly as it was when strays simply never acquired a
+    // label row. `endpoints` pays the one semi-join against the (possibly
+    // 100 TB) vertex table; the edge-side restrictions then join against
+    // that small endpoint set, so the vertex table is still scanned once.
+    val endpoints = rawEdges.select(col("src").as("id")).distinct()
+      .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val edges = rawEdges
+      .join(endpoints.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(endpoints.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .distinct()
       .localCheckpoint(true)
-    // only vertices with at least one edge participate in propagation;
-    // restrict to the caller's vertex set so stray pair ids don't leak in
-    var labels = edges.select(col("src").as("id")).distinct()
-      .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .withColumn("comp", col("id"))
+    // round 1 fused into initialization: every paired vertex starts at
+    // comp₁ = min(own id, min neighbor id) — one groupBy over the (already
+    // vertex-restricted) edge list instead of a comp₀ = id table plus a
+    // whole propagation job.
+    var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint(true)
-    var iter = 0
+    // one propagation hop: min over (own label, neighbors' labels, own
+    // label's label). The pointer-jump (follow own label's label — comp
+    // values are themselves paired-vertex ids, so the self-join always
+    // resolves) compresses paths so rounds grow with log(diameter), not
+    // diameter.
+    def hop(ls: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(ls.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
+      val jump = ls.select(col("id").as("hop_id"), col("comp").as("hop_comp"))
+      ls.join(neighborMin, Seq("id"), "left")
+        .join(jump, col("comp") === col("hop_id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp")),
+            coalesce(col("hop_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+    }
+    var iter = 1 // the fused init was round 1
     var converged = false
     while (!converged && iter < maxIters) {
-      // smallest neighbor label per vertex...
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
-      // ...plus pointer jumping (follow own label's label — comp values are
-      // themselves paired-vertex ids, so the self-join always resolves):
-      // compresses paths so rounds grow with log(diameter), not diameter
-      val hop = labels.select(col("id").as("hop_id"), col("comp").as("hop_comp"))
+      // ONE hop per checkpointed round. (A fused two-hop round was
+      // measured SLOWER at sf0.1 — the un-checkpointed inner hop is
+      // referenced three times by the outer hop's plan, so each round
+      // tripled its stage count for half the rounds: 3.4 s → 6.1 s on
+      // dd_cluster_cc. The job count is not the bottleneck; per-round
+      // stage work is.)
       // localCheckpoint (not persist): truncates lineage so Catalyst plans
       // each round against a flat scan — with plain persist the logical
       // plan still accumulates every prior round and re-optimization grows
@@ -953,14 +1029,9 @@ object Dedup {
       // metric (verified: eager localCheckpoint runs through withAction,
       // so SQL-execution metrics fire) — one job per round, not a
       // checkpoint job plus a separate count job; count(when(...)) not
-      // sum(when(...)) so an empty round observes 0, never null
+      // sum(when(...)) so an empty round observes 0, never null.
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .join(hop, col("comp") === col("hop_id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp")),
-            coalesce(col("hop_comp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
+      val next = hop(labels)
         .observe(obs,
           count(when(col("comp") =!= col("prev"), lit(1))).as("changed"))
         .localCheckpoint(true)
@@ -1052,7 +1123,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
                    maxChunkFreq: Long = Long.MaxValue): DataFrame = {
-    val withSim = simhashTable(df, textCol, idCol)
+    // checkpoint: both sides of the chunk-keyed self-join read the SimHash
+    // table; without the cut each side re-ran the full tokenize + 64-bit
+    // vote aggregate at execution (r14 before-plan: the parquet scan and
+    // the per-id vote exchange each appeared twice)
+    val withSim = simhashTable(df, textCol, idCol).localCheckpoint(false)
     val chunked0 = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

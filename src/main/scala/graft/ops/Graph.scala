@@ -81,13 +81,13 @@ object Graph {
     * which roughly doubled round cost).
     *
     * Scale shape per round: one edge⋈label join (shuffle on src), one
-    * (dst, label) hash agg, one row_number window partitioned by vertex —
-    * bounded by neighbor count, never global. Output: (id, community,
-    * community size after the last round).
+    * (dst, label) hash agg, one per-vertex max_by argmax hash agg —
+    * bounded by neighbor count, never global, and every aggregation is
+    * map-side partial. Output: (id, community, community size after the
+    * last round).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -100,11 +100,14 @@ object Graph {
         .agg(count(lit(1)).as("n"))
         // totality candidate: own label at n=0 (see scaladoc above)
         .unionByName(labels.select(col("id"), col("label"), lit(0L).as("n")))
-      val w = Window.partitionBy("id")
-        .orderBy(col("n").desc, col("label").asc)
-      labels = cnt.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label"))
+      // argmax by (n desc, label asc) as a hash aggregation — the struct
+      // key (n, −label) makes lexicographic max pick the most frequent
+      // label with ties to the SMALLEST label, exactly the old rank-1
+      // window's order, but with map-side partial aggregation and no
+      // partition-wide sort (the window shuffled and sorted every
+      // (id, label, n) row; labels are vertex ids, so −label is exact)
+      labels = cnt.groupBy("id")
+        .agg(max_by(col("label"), struct(col("n"), -col("label"))).as("label"))
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))

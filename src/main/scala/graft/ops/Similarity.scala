@@ -806,7 +806,13 @@ object Similarity {
               x => x("cos")),
             lit(0.0), (acc, x) => acc + x) / count(lit(1))).as(avgOut))
 
-    val fwd = bruteForceTopK(queries, corpus, k)
+    // checkpoint: fwd is read four times (forward average, candidate ids,
+    // the backward pass via candIds, and the final pair join) — without
+    // the cut each reference re-ran the full forward brute-force scoring
+    // pass (r14 before-plan: the query×corpus cross-join scorer appeared
+    // four times). The frame is ≤ |queries|·k rows — the materialization
+    // is free next to one scoring pass.
+    val fwd = bruteForceTopK(queries, corpus, k).localCheckpoint(false)
     val avgF = rankOrderedAvg(fwd, "query_id", "avg_f")
     val candIds = fwd.select(col("neighbor_id").as("vec_id")).distinct()
     val bwd = bruteForceTopK(corpus.join(candIds, Seq("vec_id")), queries, k)

@@ -39,7 +39,12 @@ object TextStats {
                 k: Int = 3, scale: Long = 1000000L): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
+    // checkpoint: both the document-frequency aggregate and the scoring
+    // join read tf; without the cut each reference re-ran the full scan +
+    // explode + aggregate (r14 before-plan: documents.parquet scanned
+    // twice for tf alone)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfT, Seq("term"))

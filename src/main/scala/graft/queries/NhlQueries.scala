@@ -84,6 +84,17 @@ object NhlQueries extends QueryPack {
     * `Silver` build localCheckpoints eagerly, so touching the frames IS
     * the materialization; queries still run their own model logic on top.
     */
+  /** The materialized silver frames, for measurement tools (VProfile) —
+    * same instances the queries read, so a stage timed on these measures
+    * exactly what the corresponding query stage pays.
+    */
+  private[graft] def silverStgOdds(s: org.apache.spark.sql.SparkSession, dir: String) =
+    stgOdds(s, dir)
+  private[graft] def silverFpgs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    fpgs(s, dir)
+  private[graft] def silverXwalk(s: org.apache.spark.sql.SparkSession, dir: String) =
+    xwalk(s, dir)
+
   def materializeSilver(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     stgGames(s, dir); stgPlayers(s, dir); fpgs(s, dir); ftgs(s, dir)
     stgOdds(s, dir); stgOdds50(s, dir); xwalk(s, dir); v2(s, dir); fse(s, dir)
