@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotF, L2F, Shingles}
+import graft.expressions.{DotF, DotFD, DotL, L2F, Shingles}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT dot_f(a, b)")` works next to the
@@ -32,6 +32,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_f(arrayF, arrayF) takes 2 arguments")
         DotF(children.head, children(1))
+      }),
+    (new FunctionIdentifier("dot_fd"),
+      new ExpressionInfo(classOf[DotFD].getName, "dot_fd"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_fd(arrayF, arrayD) takes 2 arguments")
+        DotFD(children.head, children(1))
+      }),
+    (new FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotL].getName, "dot_l"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_l(arrayL, arrayL) takes 2 arguments")
+        DotL(children.head, children(1))
       }),
     (new FunctionIdentifier("l2_f"),
       new ExpressionInfo(classOf[L2F].getName, "l2_f"),

@@ -197,19 +197,34 @@ object Props {
 
     val sog = stgOdds.filter(col("market_key") === "player_shots_on_goal") // P8
 
-    // best line per (event, player, bet side): preferred bookmaker, then
-    // freshest update (W2)
-    val wBest = Window.partitionBy("event_id", "game_date", "odds_player_name", "bet_type")
-      .orderBy(BookmakerPreference.asc, col("last_update").desc, col("bookmaker_key").asc)
-    val best = sog.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-
-    // Over/Under pivot (A4: MAX(CASE ...))
-    val pivoted = best.groupBy("event_id", "game_date", "odds_player_name")
+    // best line per (event, player, bet side) + Over/Under pivot (W2 + A4),
+    // fused into ONE hash aggregation (r14): the old shape ranked every
+    // sog row through a (event, date, name, bet)-partitioned window sort
+    // and then re-exchanged the rank-1 rows for the pivot aggregate. A
+    // min_by per bet side picks the SAME winner — the key struct
+    // (preference, −unix_micros(last_update), bookmaker_key) minimizes in
+    // exactly the window's (pref ASC, last_update DESC, bookmaker ASC)
+    // total order, and min_by skips rows whose key is NULL, so each side's
+    // argmin ranges over precisely its own bet_type's rows — with map-side
+    // partial aggregation and no sort. bookmaker_key = greatest of the two
+    // winners' keys ≡ the old MAX over the group's best rows (the SOG
+    // market's sides are exactly Over/Under — stgOdds plants nothing else,
+    // and the reference pivot enumerates only these two CASE arms).
+    def sideKey(bt: String) = when(col("bet_type") === bt,
+      struct(BookmakerPreference.as("p"),
+        (-unix_micros(col("last_update"))).as("nlu"),
+        col("bookmaker_key").as("bk")))
+    def sidePayload(bt: String) = when(col("bet_type") === bt,
+      struct(col("line_value"), col("odds_american"), col("bookmaker_key")))
+    val pivoted = sog.groupBy("event_id", "game_date", "odds_player_name")
       .agg(
-        max(when(col("bet_type") === "Over", col("line_value"))).as("line_value"),
-        max(when(col("bet_type") === "Over", col("odds_american"))).as("over_odds"),
-        max(when(col("bet_type") === "Under", col("odds_american"))).as("under_odds"),
-        max(col("bookmaker_key")).as("bookmaker_key"))
+        min_by(sidePayload("Over"), sideKey("Over")).as("ov"),
+        min_by(sidePayload("Under"), sideKey("Under")).as("un"))
+      .select(col("event_id"), col("game_date"), col("odds_player_name"),
+        col("ov.line_value").as("line_value"),
+        col("ov.odds_american").as("over_odds"),
+        col("un.odds_american").as("under_odds"),
+        greatest(col("ov.bookmaker_key"), col("un.bookmaker_key")).as("bookmaker_key"))
 
     // 180-day active roster (P9) — injected anchor (SURVEY §7.4.5)
     val roster = factPlayerGameStats

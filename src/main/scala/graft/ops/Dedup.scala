@@ -438,7 +438,9 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val cx = shingleIndex(corpus, textCol, idCol, n)
       .select(col("id").as("corpus_id"), col("shingle"))
-    val px = shingleIndex(probes, textCol, idCol, n)
+    // checkpoint: the probe index feeds the size table AND the broadcast
+    // join side — without the cut each re-ran the probe scan + explode
+    val px = shingleIndex(probes, textCol, idCol, n).localCheckpoint(false)
     val pSizes = px.select(col("id").as("probe_id"), col("set_size").as("n_p")).distinct()
     val co = cx.join(broadcast(px.select(col("id").as("probe_id"), col("shingle"))),
         Seq("shingle"))

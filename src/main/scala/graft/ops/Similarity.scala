@@ -159,11 +159,19 @@ object Similarity {
     * into co-partitioned bucket-local scans.
     */
   def lshBuckets(df: DataFrame, planes: Array[Array[Double]]): DataFrame = {
-    val vec = col("embedding").cast("array<double>")
+    // plane projections through the codegen'd DotFD kernel: the previous
+    // aggregate(zip_with(...)) formulation is a HigherOrderFunction —
+    // interpreted, one closure dispatch per element, ×nPlanes per row —
+    // while DotFD keeps all nPlanes×dim multiply-adds in whole-stage
+    // codegen with BIT-IDENTICAL results (float→double widening then the
+    // same index-ordered IEEE sum), so bucket ids and every oracle that
+    // replicates them term-by-term are unchanged.
+    import org.apache.spark.sql.GraftSqlBridge
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*).cast("array<double>")
-      val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val d = GraftSqlBridge.column(graft.expressions.DotFD(
+        GraftSqlBridge.expression(col("embedding")),
+        GraftSqlBridge.expression(planeLit)))
       shiftleft(when(d >= 0, lit(1L)).otherwise(lit(0L)), i)
     }.reduce(_ bitwiseOR _)
     df.withColumn("bucket", bucket)
@@ -188,18 +196,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Corpus-side projection of a bucketed frame that already carries its
+    * norm as `nrm` (computed once, next to the bucket hash).
+    */
   private def corpusSide(bucketed: DataFrame): DataFrame =
     bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      l2Norm(col("embedding")).as("cn"), col("bucket"))
+      col("nrm").as("cn"), col("bucket"))
+
+  /** Buckets + norm in one pass, checkpointed: the query and corpus sides
+    * of every bucket-local self-join read this frame — without the cut
+    * each side re-ran the scan, the nPlanes×dim bucket projection, and the
+    * norm (r14 before-plan: embeddings.parquet scanned 4× per query).
+    */
+  private def bucketedWithNorm(df: DataFrame, planes: Array[Array[Double]]): DataFrame =
+    lshBuckets(df, planes)
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .localCheckpoint(false)
 
   /** Bucketed ANN top-k: candidates share an LSH bucket; exact cosine ranks
     * within bucket. Recall < 1 by construction (measured in ScalaTest
     * against [[bruteForceTopK]]); comparison cost drops by ~2^planes.
     */
   def lshTopK(df: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
-    val bucketed = lshBuckets(df, planes)
+    val bucketed = bucketedWithNorm(df, planes)
     val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      l2Norm(col("embedding")).as("qn"), col("bucket"))
+      col("nrm").as("qn"), col("bucket"))
     topKInBuckets(q, corpusSide(bucketed), k)
   }
 
@@ -217,7 +238,11 @@ object Similarity {
     val q = lshBuckets(queries, planes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         l2Norm(col("embedding")).as("qn"), col("bucket"))
-    topKInBuckets(q, corpusSide(lshBuckets(corpus, planes)), k)
+    // two distinct inputs — each side evaluates once, no checkpoint needed;
+    // the corpus side still computes its norm next to the bucket hash
+    topKInBuckets(q,
+      corpusSide(lshBuckets(corpus, planes)
+        .withColumn("nrm", l2Norm(col("embedding")))), k)
   }
 
   /** Multi-probe LSH ANN top-k: each query searches its own bucket AND the
@@ -228,11 +253,11 @@ object Similarity {
     * (×(nPlanes+1)), so the big side never duplicates.
     */
   def lshTopKMultiProbe(df: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
-    val bucketed = lshBuckets(df, planes)
+    val bucketed = bucketedWithNorm(df, planes)
     val probeBuckets = array((lit(0L) +:
       planes.indices.map(i => lit(1L << i))): _*)
     val q = bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      l2Norm(col("embedding")).as("qn"),
+      col("nrm").as("qn"),
       explode(transform(probeBuckets, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     topKInBuckets(q, corpusSide(bucketed), k)
   }
@@ -687,6 +712,9 @@ object Similarity {
   def int8TopK(df: DataFrame, planes: Array[Array[Double]], k: Int,
                oversample: Int = 3): DataFrame = {
     require(k >= 1 && oversample >= 1)
+    // checkpointed: both self-join sides read the quantized table —
+    // without the cut each side re-ran the scan + bucket projection +
+    // quantization (r14 before-plan: embeddings.parquet scanned 4×)
     val prep = lshBuckets(df, planes).select(
         col("vec_id"), col("embedding"), col("bucket"),
         greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))),
@@ -695,6 +723,7 @@ object Similarity {
       .withColumn("q8", transform(col("embedding"),
         x => floor(lit(127.0) * x.cast("double") / col("mx") + lit(0.5)).cast("long")))
       .withColumn("f", col("mx") / (lit(127.0) * col("nrm")))
+      .localCheckpoint(false)
     val a = fanOut(prep.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("q8").as("qa"), col("f").as("fa"), col("nrm").as("na_"), col("bucket")), col("bucket"))
     val b = prep.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
@@ -705,8 +734,17 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dq",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (s, x) => s + x))
+      // exact BIGINT dot through the codegen'd DotL kernel — this runs
+      // per bucket-local CANDIDATE PAIR (the hottest integer loop in the
+      // ANN surface); the aggregate(zip_with(...)) fold it replaces is
+      // interpreted, and DotL is value-identical (64-bit multiply-add,
+      // unreachable overflow at |q8| ≤ 127)
+      .withColumn("dq", {
+        import org.apache.spark.sql.GraftSqlBridge
+        GraftSqlBridge.column(graft.expressions.DotL(
+          GraftSqlBridge.expression(col("qa")),
+          GraftSqlBridge.expression(col("qb"))))
+      })
       .withColumn("approx", col("dq").cast("double") * col("fa") * col("fb"))
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= k * oversample)
@@ -832,19 +870,25 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, threshold: Double,
                      planes: Array[Array[Double]] = Array.empty): DataFrame = {
     if (planes.isEmpty) {
-      val a = fanOut(withNorm(df, "id_a", "va", "na_"))
-      val b = broadcast(withNorm(df, "id_b", "vb", "nb_"))
+      // checkpointed: both cross-join sides read the normed table — each
+      // previously re-ran the scan + norm
+      val src = withNorm(df, "vec_id", "v", "n_").localCheckpoint(false)
+      val a = fanOut(src.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("n_").as("na_")))
+      val b = broadcast(src.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("n_").as("nb_")))
       a.crossJoin(b)
         .filter(col("id_a") < col("id_b"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
         .filter(col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     } else {
-      val src = lshBuckets(df, planes)
+      // checkpointed: both bucket-join sides read the bucketed+normed table
+      val src = bucketedWithNorm(df, planes)
       val a = src.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        l2Norm(col("embedding")).as("na_"), col("bucket"))
+        col("nrm").as("na_"), col("bucket"))
       val b = src.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        l2Norm(col("embedding")).as("nb_"), col("bucket"))
+        col("nrm").as("nb_"), col("bucket"))
       fanOut(a, col("bucket")).join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na_") * col("nb_")))

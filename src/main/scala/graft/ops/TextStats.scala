@@ -74,10 +74,15 @@ object TextStats {
     */
   def pmiPairs(df: DataFrame, textCol: String, idCol: String,
                minCount: Long = 5L, scale: Long = 100L): DataFrame = {
+    // checkpoints: `toks` feeds the unigram AND bigram sides (each was
+    // re-scanning + re-splitting the corpus), and vocabulary-sized `uni`
+    // feeds the total plus both attach joins (three re-aggregations)
     val toks = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false)
     val uni = toks.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val nTok = uni.agg(sum(col("n")).as("n_total"))
     val bi = toks
       .select(explode(TextOps.gramsFromTokens(col("toks"), 2)).as("bg"))
@@ -107,9 +112,14 @@ object TextStats {
     */
   def domainShift(df: DataFrame, textCol: String, idCol: String,
                   sourceCol: String, scale: Long = 1000000L): DataFrame = {
+    // checkpoints: `toks` feeds the per-source AND global aggregates (each
+    // was re-scanning + re-splitting the corpus), and (source × vocab)-
+    // sized `bySrc` feeds its total plus the spine join
     val toks = df.select(col(sourceCol).as("source"),
       explode(TextOps.tokens(col(textCol))).as("t"))
+      .localCheckpoint(false)
     val bySrc = toks.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(false)
     val srcTot = bySrc.groupBy("source").agg(sum(col("c_st")).as("tot_s"))
     val global = toks.groupBy("t").agg(count(lit(1)).as("c_t"))
     val tot = global.agg(sum(col("c_t")).as("tot"))

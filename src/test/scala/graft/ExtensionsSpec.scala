@@ -81,4 +81,48 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("dotf") ||
       e.getMessage.toLowerCase.contains("array<float>"))
   }
+
+  test("dot_fd matches the interpreted cast+zip_with fold bit-for-bit (LSH plane projection)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Array.fill(64)((rng.nextFloat() - 0.5f) * math.pow(10, rng.nextInt(7) - 3).toFloat),
+      Array.fill(64)(rng.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<double>").as("b"))
+    val cmp = df.select(
+      expr("dot_fd(a, b)").as("fast"),
+      aggregate(zip_with(col("a").cast("array<double>"), col("b"), (x, y) => x * y),
+        lit(0.0), _ + _).as("slow"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // ragged -> NULL (zip_with parity)
+    val ragged = Seq((Array(1.0f), Array(1.0, 2.0))).toDF("a", "b")
+      .select(expr("dot_fd(a, b)").as("d")).collect()(0)
+    assert(ragged.isNullAt(0))
+  }
+
+  test("dot_l matches the interpreted zip_with fold exactly (int8 quantized dot)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val rng = new scala.util.Random(13)
+    val rows = Seq.fill(200)((
+      Array.fill(64)((rng.nextInt(255) - 127).toLong),
+      Array.fill(64)((rng.nextInt(255) - 127).toLong)))
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      expr("dot_l(a, b)").as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), _ + _).as("slow"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val ragged = Seq((Array(1L), Array(1L, 2L))).toDF("a", "b")
+      .select(expr("dot_l(a, b)").as("d")).collect()(0)
+    assert(ragged.isNullAt(0))
+  }
 }
