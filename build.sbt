@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// compact JSON. Two pieces of sbt decoration broke that in every prior
+// round (BENCH_r*.json parsed=null): the default LoggedOutput strategy
+// prefixes the forked app's stdout with "[info] ", and sbt appends an
+// "[success] Total time: ..." line after the run. Pass the child's stdout
+// through verbatim and drop the success/timing trailer so the bench's
+// final println IS the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,6 +46,14 @@ object Bench {
     // indexes otherwise squat on storage memory through the timed runs
     // (measured as multi-× noise on individual query times via GC churn)
     spark.catalog.clearCache()
+    // ... and every checkpoint BLOCK too: clearCache only empties the
+    // CacheManager; the warmup's localCheckpoint blocks (one per hot-path
+    // operator × 232 queries, at warmDir) live at the RDD level and would
+    // otherwise squat on storage memory until the ContextCleaner notices
+    // the GC'd references — the r14 verdict's prime suspect for 10–38 s
+    // in-run stalls. Safe here: warmDir frames are never re-executed
+    // (every timed run builds a fresh DataFrame at sfDir).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // pre-build the NHL Silver materializations for the TIMED sfDir (the
     // dbt-table build step, one-time per process): without this the first
     // timed touch of any nhl_* query pays the whole bronze→silver build —
@@ -58,6 +66,24 @@ object Bench {
       try { graft.queries.NhlQueries.materializeSilver(spark, sfDir); true }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] silver build failed: $e"); false }
+    // pre-build the IVF / IVF-PQ ANN indexes for the timed sfDir, same
+    // one-time-materialization contract as silver and DISCLOSED the same
+    // way ("ann_index_prebuilt" below): the r14 verdict flagged that the
+    // index memo silently survived the per-query cache isolation while
+    // only silver_prebuilt was surfaced. With the prebuild the timed
+    // ann_ivf*/recall numbers measure the probe against a built index (the
+    // deployment shape the index API advertises); without it (field
+    // false), the first timed invocation pays the full build inline.
+    val annPrebuilt =
+      try { graft.queries.LlmQueries.prebuildAnnIndex(spark, sfDir); true }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ann index build failed: $e"); false }
+    // Everything persisted from here back is the declared untimed prebuild
+    // (silver + ann index). Snapshot those RDD ids: per-query cleanup
+    // below drops every checkpoint block CREATED BY a timed run but must
+    // never touch the prebuilt frames (their lineage is truncated — an
+    // unpersisted prebuild block cannot be recomputed).
+    val prebuiltIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
     // a failing query must NOT median as a fast clean pass: record success
     // and failure separately; medians are computed over successful runs
@@ -67,6 +93,16 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // outside the timer; isolates queries
+      // drop the run's own localCheckpoint blocks NOW (outside the timer),
+      // not at the next GC: clearCache cannot see them, and 232 queries ×
+      // 4 passes of retained multi-MB checkpointed frames is exactly the
+      // "retained blocks squat on storage memory → GC-churn noise" failure
+      // documented above. Each run builds a fresh DataFrame, so blocks
+      // born in this run are dead after its action; the prebuilt
+      // silver/ann frames (prebuiltIds) are the only cross-run survivors.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!prebuiltIds.contains(id)) rdd.unpersist(blocking = true)
+      }
       (dt, ok)
     }
     // interleave rounds (run 1 of every query, then run 2, ...) rather than
@@ -94,6 +130,13 @@ object Bench {
           if (ok) samples(n) = dt :: samples(n) else failures(n) += 1
         }
       }
+      // storage must stay FLAT across rounds (prebuilt frames only): a
+      // growing count/byte total here means some query's checkpoint blocks
+      // escaped the per-run cleanup and are polluting later timings
+      val info = spark.sparkContext.getRDDStorageInfo
+      System.err.println(f"[bench] round $round done: ${info.length} persisted " +
+        f"RDDs, ${info.map(_.memSize).sum / 1e6}%.1f MB mem / " +
+        f"${info.map(_.diskSize).sum / 1e6}%.1f MB disk retained")
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -128,7 +171,7 @@ object Bench {
     def jarr(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.sum
     // full per-query detail first (humans / BENCH_NOTES), ...
-    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"primed":$prime,"silver_prebuilt":$silverPrebuilt,"failed":${jarr(failed)},"queries":${jmap(med, ok)},"queries_min":${jmap(minT, ok)},"spread":${jmap(spread, ok)},"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"primed":$prime,"silver_prebuilt":$silverPrebuilt,"ann_index_prebuilt":$annPrebuilt,"failed":${jarr(failed)},"queries":${jmap(med, ok)},"queries_min":${jmap(minT, ok)},"spread":${jmap(spread, ok)},"sf":"$sfDir"}"""
     println(detailLine)
     // ... persisted too: the driver's stdout tail truncates this line every
     // round (BENCH_r*.json parsed=null), and auditors then misread the
@@ -155,7 +198,7 @@ object Bench {
       "ta_e2e_pipeline",
       "nhl_fact_player_game_stats", "nhl_team_shot_metrics", "nhl_sog_props_v2"
     ).filter(med.contains)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nq":${names.size},"primed":$prime,"silver_prebuilt":$silverPrebuilt,"failed":${jarr(failed)},"queries":${jmap(med, headline)},"note":"headline subset; full map on total_detail line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nq":${names.size},"primed":$prime,"silver_prebuilt":$silverPrebuilt,"ann_index_prebuilt":$annPrebuilt,"failed":${jarr(failed)},"queries":${jmap(med, headline)},"note":"headline subset; full map on total_detail line","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,6 +71,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize the process-level frames (silver tables, ANN indexes)
+    // once up front, then snapshot their RDD ids: the per-query cleanup
+    // below must drop each query's own checkpoint blocks (232 queries'
+    // worth otherwise accumulate on storage memory — same failure mode the
+    // bench documents) without touching the shared lineage-truncated
+    // frames, which cannot be recomputed once unpersisted.
+    try graft.queries.NhlQueries.materializeSilver(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] silver build failed: $e") }
+    try graft.queries.LlmQueries.prebuildAnnIndex(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] ann index build failed: $e") }
+    val prebuiltIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     selected.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses every stage
       // upstream of the last exchange into one task — for broadcast-join
@@ -83,6 +96,10 @@ object Verify {
         df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!prebuiltIds.contains(id)) rdd.unpersist(blocking = true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
