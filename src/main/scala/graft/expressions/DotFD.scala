@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * everything downstream that the DuckDB oracle replicates term by term)
   * is bit-identical to the HOF formulation it replaces. Ragged inputs
   * return NULL (zip_with parity).
+  *
+  * PRECONDITION (narrower than full zip_with parity, ADVICE r14): array
+  * ELEMENTS must be non-null — element slots are read without isNullAt
+  * checks (the [[DotF]] precedent), so a null element contributes a
+  * garbage 0 where zip_with would return NULL. Holds for every caller
+  * (embeddings/hyperplane/q8 arrays are built element-non-null); a new
+  * caller with nullable elements must null-filter first.
   */
 case class DotFD(left: Expression, right: Expression) extends BinaryExpression {
 

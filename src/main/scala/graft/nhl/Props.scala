@@ -210,9 +210,14 @@ object Props {
     // winners' keys ≡ the old MAX over the group's best rows (the SOG
     // market's sides are exactly Over/Under — stgOdds plants nothing else,
     // and the reference pivot enumerates only these two CASE arms).
+    // coalesce: a null/unparseable last_update must stay LEAST preferred
+    // (a null struct FIELD sorts FIRST in min_by's ascending order, which
+    // would invert the old window's `desc NULLS LAST`; unreachable with
+    // the synthetic data but load-bearing if the data contract changes —
+    // ADVICE r14)
     def sideKey(bt: String) = when(col("bet_type") === bt,
       struct(BookmakerPreference.as("p"),
-        (-unix_micros(col("last_update"))).as("nlu"),
+        coalesce(-unix_micros(col("last_update")), lit(Long.MaxValue)).as("nlu"),
         col("bookmaker_key").as("bk")))
     def sidePayload(bt: String) = when(col("bet_type") === bt,
       struct(col("line_value"), col("odds_american"), col("bookmaker_key")))

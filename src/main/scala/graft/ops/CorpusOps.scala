@@ -203,9 +203,16 @@ object CorpusOps {
                 minCount: Int = 2): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val g = split(col("g"), " ")
+    // checkpoint: the trigram-type table feeds BOTH the (w1,w2) context
+    // window and the (w2,w3) continuation aggregate — without the cut each
+    // consumer re-ran the corpus scan + explode + trigram aggregation
+    // (r15 before-plan: documents.parquet scanned twice below the two
+    // branches). Trigram TYPES are sublinear in corpus tokens, so the
+    // checkpointed frame is small relative to the scan it saves.
     val tt = df.select(explode(TextOps.gramsFromTokens(toks, 3)).as("g"))
       .select(g.getItem(0).as("w1"), g.getItem(1).as("w2"), g.getItem(2).as("w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .localCheckpoint(false)
     val wCtx = Window.partitionBy("w1", "w2")
     val ctx = tt
       .withColumn("c12", sum("c3").over(wCtx))

@@ -40,9 +40,12 @@ object Dedup {
   /** (id, sh array, set_size) with tokens materialized before the shingle
     * lambda (see TextOps.shinglesFromTokens for why).
     */
-  private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
+  private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int,
+                                 carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("id") +: TextOps.tokens(col(textCol)).as("toks") +:
+        carry.map(col): _*)
+      .select(col("id") +: TextOps.shinglesFromTokens(col("toks"), n).as("sh") +:
+        carry.map(col): _*)
       .withColumn("set_size", size(col("sh")))
 
   /** Distinct-shingle inverted index: (id, shingle, setSize). */
@@ -155,17 +158,25 @@ object Dedup {
     */
   private def coOccurrencePairs(df: DataFrame, textCol: String, idCol: String,
                                 n: Int, maxDocFreq: Long): DataFrame = {
-    val ix0 = shingleIndex(df, textCol, idCol, n).localCheckpoint(false)
-    val freq = ix0.groupBy("shingle").count()
-      .filter(col("count") > 1 && col("count") <= maxDocFreq)
-      .select("shingle")
-    // the freq filter join recomputes per self-join side (both cheap scans
-    // of the ix0 checkpoint + a broadcast of the vocabulary-sized freq
-    // set); checkpointing the filtered index instead was measured SLOWER
-    // at sf0.1 (+0.5 s — an extra serial materialization barrier costs
-    // more than re-reading the checkpoint blocks twice)
-    val ix = ix0.join(freq, Seq("shingle"))
+    import org.apache.spark.sql.expressions.Window
+    // r15: the frequency filter is a shingle-partitioned window COUNT over
+    // the index itself (one row per (id, shingle), so the partition row
+    // count IS the document frequency) instead of a separate aggregate
+    // joined back — ONE pipeline and ONE checkpoint barrier where the r14
+    // shape had the ix0 checkpoint plus a freq join re-executed per
+    // self-join side. The checkpoint lands AFTER the window: its blocks
+    // are shingle-partitioned AND shingle-sorted, localCheckpoint
+    // preserves both, so the self-join below needs NO exchange and NO
+    // sort on either side (r14: exchange+sort twice). Two slower
+    // variants measured at sf0.1 and rejected: keeping the aggregate+
+    // broadcast-join and checkpointing the repartitioned filtered index
+    // (a SECOND barrier — 2.5 s vs 1.5 s on dd_ngram_jaccard), and the
+    // r14 shape itself (3.1 s).
+    val ix = shingleIndex(df, textCol, idCol, n)
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("dfreq") > 1 && col("dfreq") <= maxDocFreq)
       .select("id", "set_size", "shingle")
+      .localCheckpoint(false)
     // set sizes ride THROUGH the self-join and collapse in the same
     // partial aggregation as the co-occurrence count (they are constant
     // per id, so min() is exact): +8 bytes per partially-aggregated row
@@ -236,11 +247,19 @@ object Dedup {
     * slots but generate no candidates), so frequency pruning does not
     * disturb the lemma.
     */
+  /** `carry`: per-document columns of `df` that ride the (already
+    * checkpointed) sets frame through the verify joins and emerge as
+    * `<c>_a` / `<c>_b` on each pair — a caller that needs per-side
+    * attributes (dd_overlap_matrix's source rollup) then pays ZERO extra
+    * joins against the (possibly 100 TB) document table. Default Nil
+    * keeps the plan and output schema identical to the pre-r15 shape.
+    */
   def ngramPrefixPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.8,
-                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                       maxDocFreq: Long = Long.MaxValue,
+                       carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleSets(df, textCol, idCol, n).localCheckpoint(false)
+    val sets = shingleSets(df, textCol, idCol, n, carry).localCheckpoint(false)
     val ix0 = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
     // full document frequency (before any cap) — it defines the canonical
     // order, which must be the same for every document
@@ -252,6 +271,15 @@ object Dedup {
     val pos = row_number().over(
       Window.partitionBy("id").orderBy(col("dfreq"), col("shingle")))
     val prefixLen = col("set_size") - ceil(lit(threshold) * col("set_size") - lit(1e-9)) + 1
+    // NOTE (r15): two "obvious" improvements were measured SLOWER here at
+    // sf0.1 and rejected — (a) dfreq as a shingle-partitioned window COUNT
+    // (sorts the FULL index on shingle before the prefix cut: 2.5 s vs
+    // 2.0 s on dd_ngram_prefix) and (b) checkpointing the repartitioned+
+    // sorted prefix so the self-join goes exchange-free (the extra
+    // materialization barrier outweighs re-running the cheap chain per
+    // side: 3.0 s). The dfreq aggregate broadcasts at vocabulary size and
+    // the double-executed chain reads the sets checkpoint, so the r14
+    // shape stands.
     val prefix = ix0.join(docFreq, Seq("shingle"))
       .withColumn("pos", pos)
       .filter(col("pos") <= prefixLen)
@@ -269,13 +297,16 @@ object Dedup {
         least(col("n_a"), col("n_b")))
       .select("id_a", "id_b").distinct()
     candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
+        carry.map(c => col(c).as(s"${c}_a")): _*), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b") +: col("sh").as("sh_b") +:
+        carry.map(c => col(c).as(s"${c}_b")): _*), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(("id_a" +: "id_b" +: "jaccard" +:
+        carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col): _*)
   }
 
   /** MinHash signature as a single Column (k seeded slots over a shingle
@@ -847,7 +878,17 @@ object Dedup {
     val tf = df.select(col(idCol).as("id"), explode(grams).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
-    val norms = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("nrm2"))
+    // per-doc verify payload built FIRST (r15): its aggregation already
+    // computes sum(tf²), so it doubles as the norms table — the separate
+    // norms aggregate over tf (one more full pass + exchange) is gone, and
+    // the payload had to materialize for verification anyway.
+    val docVecs = tf.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("vec"),
+        sum(col("tf") * col("tf")).as("nrm2"))
+      .select(col("id"), col("vec.token").as("toks"), col("vec.tf").as("tfs"),
+        col("nrm2"))
+      .localCheckpoint(false)
+    val norms = docVecs.select("id", "nrm2")
     // corpus-wide attach: no broadcast hint — AQE broadcasts while norms
     // fits, falls back to a shuffle join at doc counts where it doesn't
     val wtf = tf
@@ -876,8 +917,8 @@ object Dedup {
       .join(index.select(col("id").as("id_b"), col("token")), Seq("token"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // per-doc verify payload: token-sorted parallel (keys, tfs) arrays,
-    // built once — candidates run the codegen'd sort-merge BIGINT dot
+    // verify payload notes: candidates run the codegen'd sort-merge BIGINT
+    // dot over docVecs' token-sorted parallel arrays
     // ([[graft.expressions.SortedDot]]; the HOF intersect+map-scan form
     // measured ~7 s for 460k candidates where this is O(n+m) in codegen).
     // The verify norm rides the SAME aggregation (sum(tf²) is one more
@@ -885,13 +926,8 @@ object Dedup {
     // before-plan showed the collect_list ObjectHashAggregate (a full
     // shuffle of the tf table) running TWICE — once per candidate join
     // side — plus two more separately-aggregated norm broadcasts; one
-    // aggregate + two checkpoint scans replaces all four.
-    val docVecs = tf.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("vec"),
-        sum(col("tf") * col("tf")).as("nrm2"))
-      .select(col("id"), col("vec.token").as("toks"), col("vec.tf").as("tfs"),
-        col("nrm2"))
-      .localCheckpoint(false)
+    // aggregate + two checkpoint scans replaces all four (and since r15
+    // the same aggregation also serves as the norms table above).
     import org.apache.spark.sql.GraftSqlBridge
     val dot = GraftSqlBridge.column(graft.expressions.SortedDot(
       GraftSqlBridge.expression(col("toks_a")),
@@ -993,8 +1029,15 @@ object Dedup {
     // comp₁ = min(own id, min neighbor id) — one groupBy over the (already
     // vertex-restricted) edge list instead of a comp₀ = id table plus a
     // whole propagation job.
+    // The init row count rides the checkpoint job as an observed metric
+    // (same mechanism as the loop's convergence test): an EMPTY edge set
+    // is trivially converged — without this, maxIters=1 threw even though
+    // the single fused round had already finished the (empty) propagation
+    // (ADVICE r14).
+    val initObs = org.apache.spark.sql.Observation()
     var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .observe(initObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     // one propagation hop: min over (own label, neighbors' labels, own
     // label's label). The pointer-jump (follow own label's label — comp
@@ -1014,7 +1057,7 @@ object Dedup {
           col("comp").as("prev"))
     }
     var iter = 1 // the fused init was round 1
-    var converged = false
+    var converged = initObs.get("n").asInstanceOf[Long] == 0L
     while (!converged && iter < maxIters) {
       // ONE hop per checkpointed round. (A fused two-hop round was
       // measured SLOWER at sf0.1 — the un-checkpointed inner hop is

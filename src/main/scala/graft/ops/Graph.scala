@@ -88,6 +88,17 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "iters >= 1")
+    // the argmax below breaks count ties with −label, which is only a
+    // total order for NUMERIC vertex ids: a string id would implicit-cast
+    // to double NULL and make ties nondeterministic (where the pre-r14
+    // row_number over (n desc, label asc) ordered any orderable type).
+    // Guard the contract instead of silently degrading (ADVICE r14).
+    Seq("src", "dst").foreach { c =>
+      require(edges.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"labelPropagation requires numeric vertex ids; '$c' is " +
+          s"${edges.schema(c).dataType.simpleString}")
+    }
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -108,6 +119,13 @@ object Graph {
       // (id, label, n) row; labels are vertex ids, so −label is exact)
       labels = cnt.groupBy("id")
         .agg(max_by(col("label"), struct(col("n"), -col("label"))).as("label"))
+        // per-round cut: each round reads `labels` TWICE (the edge join and
+        // the n=0 totality union), and the epilogue twice more (sizes +
+        // join) — without materialization the round-1 subtree executed
+        // 2^iters times (r15 before-plan: 8 copies at iters=3, the whole
+        // pipeline re-run per reference). Same no-leak lazy checkpoint as
+        // `e`/`verts` above.
+        .localCheckpoint(false)
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))

@@ -39,15 +39,18 @@ object TextStats {
                 k: Int = 3, scale: Long = 1000000L): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
-    // checkpoint: both the document-frequency aggregate and the scoring
-    // join read tf; without the cut each reference re-ran the full scan +
-    // explode + aggregate (r14 before-plan: documents.parquet scanned
-    // twice for tf alone)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfT, Seq("term"))
+    // document frequency as a term-partitioned window COUNT over the tf
+    // table itself — tf has exactly one row per (doc, term), so the
+    // partition row count IS df_t. One linear pipeline: r14 computed df_t
+    // as a separate aggregate joined back, which made tf a twice-read
+    // subtree and forced a checkpoint barrier (and before that, two full
+    // corpus scans); the window needs the same term-keyed exchange the
+    // join did, minus the join, the second read, and the barrier.
+    val wTerm = Window.partitionBy("term")
+    val scored = tf
+      .withColumn("df_t", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .withColumn("score_fp",
         col("tf") * expr(s"(n_docs * ${scale}L) div df_t"))

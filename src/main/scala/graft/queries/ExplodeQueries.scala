@@ -47,9 +47,23 @@ object ExplodeQueries extends QueryPack {
     "f4_nest_explode_roundtrip" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
-      val perOrder = li.groupBy("l_orderkey")
+      // r15: one exchange for BOTH nesting levels. The old shape shuffled
+      // lineitem mass twice — once on l_orderkey for the per-order
+      // collect_list, then again on o_custkey for the per-customer one
+      // (plus the join between them). Joining the flat tables first and
+      // repartitioning by the OUTER key lets both collect_list aggregates
+      // reuse the same partitioning: HashPartitioning(o_custkey) satisfies
+      // the (o_custkey, o_orderkey) clustering of the inner aggregate (a
+      // subset key co-locates every group), so neither groupBy adds an
+      // exchange. Same nested structure, same exploded relation (array
+      // element order differs; the roundtrip's output is order-free).
+      val flat = o.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_linenumber", "l_quantity"),
+          col("o_orderkey") === col("l_orderkey"))
+        .repartition(col("o_custkey"))
+      val nested = flat
+        .groupBy("o_custkey", "o_orderkey")
         .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
-      val nested = o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_custkey")
         .agg(collect_list(struct(col("o_orderkey"), col("items"))).as("orders"))
       nested

@@ -402,14 +402,16 @@ object LlmQueries extends QueryPack {
     // cost; source attachment is two id-equi-joins and the rollup groups
     // over a handful of (source, source) keys.
     "dd_overlap_matrix" -> { (s, dir) =>
+      // r15: `source` rides the pair stage's own sets checkpoint through
+      // the verify joins (Dedup.ngramPrefixPairs carry) instead of two
+      // post-hoc equi-joins against the document table — at 100 TB those
+      // joins re-shuffled a corpus-sized (doc_id, source) projection to
+      // decorate a pair list that is orders of magnitude smaller.
       val docs = Tables.documents(s, dir)
-      val src = docs.select(col("doc_id"), col("source"))
       Dedup.ngramPrefixPairs(docs, "text", "doc_id",
-          n = 3, threshold = JaccardThreshold)
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
-        .groupBy(least(col("sa"), col("sb")).as("source_lo"),
-          greatest(col("sa"), col("sb")).as("source_hi"))
+          n = 3, threshold = JaccardThreshold, carry = Seq("source"))
+        .groupBy(least(col("source_a"), col("source_b")).as("source_lo"),
+          greatest(col("source_a"), col("source_b")).as("source_hi"))
         .agg(count(lit(1)).as("n_pairs"))
     },
 
@@ -435,14 +437,17 @@ object LlmQueries extends QueryPack {
     // the inverted index's linear aggregate (one shuffle on shingle), and
     // the doc rollup joins on the same key — no quadratic pair stage.
     "ta_novelty" -> { (s, dir) =>
-      // checkpoint: the df aggregate and the doc rollup join both read the
-      // exploded index; without the cut each re-ran the scan + shingle
-      // explode (r14 before-plan: documents.parquet scanned twice)
+      // r15: document frequency as a shingle-partitioned window COUNT over
+      // the exploded index itself (one row per (doc, shingle), so the
+      // partition row count IS df) — one linear pipeline. The r14 shape
+      // computed df as a separate aggregate joined back, which made the
+      // index a twice-read subtree and forced a checkpoint barrier; the
+      // window needs the same shingle-keyed exchange the join did, minus
+      // the join, the second read, and the barrier.
+      import org.apache.spark.sql.expressions.Window
       val ex = Tables.documents(s, dir).select(col("doc_id"),
         explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)).as("sh"))
-        .localCheckpoint(false)
-      val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-      ex.join(dfreq, Seq("sh"))
+      ex.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"),

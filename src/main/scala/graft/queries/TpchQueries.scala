@@ -452,16 +452,26 @@ object TpchQueries extends QueryPack {
     // waiting" is "sole latest shipper" (max l_shipdate stands in).
     "tpch_q21" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
+      // r15: the grouped pass is now FOUR codegen'd min/max aggregates
+      // instead of one collect_set — the old ObjectHashAggregate ran
+      // outside whole-stage codegen and shuffled a growing set<struct>
+      // per order where these partials are 4 fixed-width scalars.
+      // Equivalences (exact, all-integer/timestamp):
+      //   nsupp > 1                 ⟺ min(sk) ≠ max(sk)
+      //   max_ship                  = max(struct(sd, sk)).sd  (sd leads)
+      //   exactly 1 supplier at max ⟺ min sk at max sd = max sk at max sd,
+      //     with max-sk-at-max-sd  = max(struct(sd, sk)).sk and
+      //          min-sk-at-max-sd  = −max(struct(sd, −sk)).nsk
+      //   late_supp (the sole one)  = max(struct(sd, sk)).sk
       val sole = li
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .groupBy("l_orderkey")
-        .agg(collect_set(struct(col("l_shipdate").as("sd"), col("l_suppkey").as("sk"))).as("ls"))
-        .withColumn("nsupp", size(array_distinct(transform(col("ls"), x => x("sk")))))
-        .withColumn("max_ship", array_max(transform(col("ls"), x => x("sd"))))
-        .withColumn("late_supps", array_distinct(
-          transform(filter(col("ls"), x => x("sd") === col("max_ship")), x => x("sk"))))
-        .filter(col("nsupp") > 1 && size(col("late_supps")) === 1)
-        .select(col("l_orderkey"), col("late_supps")(0).as("late_supp"))
+        .agg(min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"),
+          max(struct(col("l_shipdate").as("sd"), col("l_suppkey").as("sk"))).as("hi"),
+          max(struct(col("l_shipdate").as("sd"), (-col("l_suppkey")).as("nsk"))).as("hin"))
+        .filter(col("sk_min") =!= col("sk_max") &&
+          col("hi.sk") === -col("hin.nsk"))
+        .select(col("l_orderkey"), col("hi.sk").as("late_supp"))
       val fOrders = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F").select("o_orderkey")
       sole.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")

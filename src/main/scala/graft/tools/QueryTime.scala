@@ -39,14 +39,25 @@ object QueryTime {
         catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
+    // mirror Bench r15: drop the warmup's checkpoint blocks, run the
+    // declared untimed prebuilds, snapshot their RDD ids, and drop each
+    // timed run's own checkpoint blocks outside the timer
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     try graft.queries.NhlQueries.materializeSilver(spark, dir)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[qt] silver build failed: $e") }
+    try graft.queries.LlmQueries.prebuildAnnIndex(spark, dir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[qt] ann index build failed: $e") }
+    val prebuiltIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def timeOnce(n: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!prebuiltIds.contains(id)) rdd.unpersist(blocking = true)
+      }
       dt
     }
     val samples = collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)

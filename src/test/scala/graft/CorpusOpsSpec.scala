@@ -268,6 +268,17 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(comp(30L) == 30L)   // singleton
   }
 
+  test("nearDupComponents: empty pair set is trivially converged even at maxIters=1") {
+    // regression (ADVICE r14): the fused init counts as round 1, so with
+    // maxIters=1 the loop body never runs — an EMPTY edge set must still
+    // report convergence (all singletons), not throw
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(docs, "doc_id", none, maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("nearDupComponents: non-convergence fails loudly by default, opt-out warns") {
     // 40-vertex chain: diameter 39, far beyond what maxIters=1 can label
     val docs = (0L until 40L).toDF("doc_id")

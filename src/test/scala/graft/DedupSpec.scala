@@ -113,6 +113,22 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // non-vacuous: the corpus plants near-dups
   }
 
+  test("ngramPrefixPairs carry attaches per-side columns without changing the pairs") {
+    val withSrc = docs.withColumn("src", concat(lit("s"), col("doc_id") % 2))
+    val plain = Dedup.ngramPrefixPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(_.toSeq).toSet
+    val carried = Dedup.ngramPrefixPairs(withSrc, "text", "doc_id",
+      n = 3, threshold = 0.5, carry = Seq("src"))
+    assert(carried.columns.toSeq === Seq("id_a", "id_b", "jaccard", "src_a", "src_b"))
+    val rows = carried.collect()
+    assert(rows.map(r => Seq(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === plain)
+    // the carried values are exactly the per-id attributes
+    rows.foreach { r =>
+      assert(r.getString(3) === s"s${r.getLong(0) % 2}")
+      assert(r.getString(4) === s"s${r.getLong(1) % 2}")
+    }
+  }
+
   test("minhashLshPairs output equals exact ngram pairs at same threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -113,19 +113,23 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join planned in q17:\n$p")
   }
 
-  test("tpch_q21: decorrelated EXISTS/NOT-EXISTS — ONE lineitem scan, no self-join fanout") {
+  test("tpch_q21: decorrelated EXISTS/NOT-EXISTS — ONE lineitem scan, codegen aggregates") {
     // the naive q21 plan correlates lineitem against itself twice per row;
     // round 6's decorrelation still scanned lineitem twice into two grouped
-    // passes plus a join (three exchanges on l_orderkey). The current form
-    // is a single collect_set pass: lineitem must be scanned ONCE and
-    // aggregated map-side; any CartesianProduct / non-equi NLJ would be the
-    // O(n²) correlated shape leaking back in.
+    // passes plus a join (three exchanges on l_orderkey); round 14's form
+    // was a single collect_set pass (ObjectHashAggregate — outside
+    // whole-stage codegen, set<struct> partials on the shuffle). The r15
+    // form is four fixed-width min/max aggregates: lineitem scanned ONCE,
+    // map-side partial aggregation, NO object hash aggregate anywhere.
     val p = finalPlan("tpch_q21")
     assert(!p.contains("CartesianProduct"), s"correlated self-join shape planned:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi self-join planned:\n$p")
     val liScans = "lineitem\\.parquet".r.findAllIn(p).size
     assert(liScans === 1, s"lineitem scanned $liScans times — single-pass plan regressed:\n$p")
-    assert(p.contains("partial_collect_set"), "per-order set must aggregate map-side")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      "per-order min/max must aggregate map-side")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"non-codegen aggregate leaked back into q21:\n$p")
   }
 
   test("tpch_q9: fact joins orders on the shuffle key once; part/supplier/nation broadcast") {
