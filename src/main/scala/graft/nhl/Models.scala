@@ -122,31 +122,25 @@ object Models {
     * headshot URL (`dim_player.sql:77`).
     */
   def dimPlayer(stgPlayerGameStats: DataFrame): DataFrame = {
-    // ROW_NUMBER()=1 over (date DESC, id DESC, team ASC, pos ASC) as a
-    // MIN_BY on the equivalent composite key: a partial-aggregating hash
-    // agg (map-side combine) instead of a full-shuffle window — at scale
-    // the per-player rows combine within partitions before the exchange.
-    // Ties project identically (name/abbrev/type are functions of the tied
-    // keys), so the pick is deterministic either way.
-    val ord = struct(
-      // null game_date must LOSE (the row_number(date DESC) form this
-      // replaces sorts nulls last, as does the DuckDB twin): coalesce to
-      // a sentinel far in the past so the negated key sorts it biggest
-      (lit(0) - coalesce(
-        datediff(col("game_date"), lit("1970-01-01").cast("date")),
-        lit(-1000000))).as("d"),
-      (lit(0L) - col("game_id")).as("g"),
-      col("team_id").as("t"),
-      col("position").as("p"))
-    val row = struct(col("player_name"), col("position"), col("position_type"),
-      col("team_id"), col("team_abbrev"))
+    // ROW_NUMBER()=1 over (date DESC, id DESC, team ASC, pos ASC), the
+    // reference's own shape (r15): the rank-1 filter plans as a
+    // WindowGroupLimit, which prunes each map partition to one row per
+    // player BEFORE the exchange — strictly less shuffle than the r14
+    // min_by(struct, struct) form, whose struct buffers are not
+    // UnsafeRow-mutable and silently demoted the aggregate to a
+    // SortAggregate that sorted the whole scan map-side. Null game_date
+    // sorts last under `desc` (loses), matching the DuckDB twin.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("player_id")
+      .orderBy(col("game_date").desc, col("game_id").desc,
+        col("team_id").asc, col("position").asc)
     stgPlayerGameStats
-      .groupBy("player_id")
-      .agg(min_by(row, ord).as("r"))
-      .select(col("player_id"), col("r.player_name").as("player_name"),
-        col("r.position").as("position"), col("r.position_type").as("position_type"),
-        col("r.team_id").as("current_team_id"),
-        col("r.team_abbrev").as("current_team_abbrev"),
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("player_id"), col("player_name"),
+        col("position"), col("position_type"),
+        col("team_id").as("current_team_id"),
+        col("team_abbrev").as("current_team_abbrev"),
         concat(lit("https://assets.nhle.com/mugs/nhl/latest/"),
           col("player_id").cast("string"), lit(".png")).as("headshot_url"))
   }

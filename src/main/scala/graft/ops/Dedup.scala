@@ -397,8 +397,16 @@ object Dedup {
     // checkpointed on BOTH paths: the two sides of the band-keyed
     // self-join read this frame, and without the cut each side re-ran the
     // k-hash signature aggregate + banding at execution (r14 before-plan:
-    // the sigs exchange appeared twice, one copy per join side)
-    val banded = if (maxBandFreq == Long.MaxValue) banded0.localCheckpoint(false) else {
+    // the sigs exchange appeared twice, one copy per join side). r15: the
+    // uncapped path repartitions + sorts on the band key BEFORE the
+    // checkpoint — localCheckpoint preserves partitioning/ordering, so
+    // the self-join runs with no exchange and no sort on either side
+    // (one exchange of the banded table replaces two).
+    val banded = if (maxBandFreq == Long.MaxValue) {
+      banded0.repartition(col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh")
+        .localCheckpoint(false)
+    } else {
       val ck = banded0.localCheckpoint(false)
       val hot = ck.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > maxBandFreq)
@@ -716,8 +724,14 @@ object Dedup {
     // checkpointed on BOTH paths: the two sides of the band-keyed
     // self-join read this frame, and without the cut each side re-ran the
     // k-hash signature aggregate + banding at execution (r14 before-plan:
-    // the sigs exchange appeared twice, one copy per join side)
-    val banded = if (maxBandFreq == Long.MaxValue) banded0.localCheckpoint(false) else {
+    // the sigs exchange appeared twice, one copy per join side). r15:
+    // uncapped path pre-partitioned + sorted on the band key, so the
+    // self-join is exchange- and sort-free (see [[minhashLshPairs]]).
+    val banded = if (maxBandFreq == Long.MaxValue) {
+      banded0.repartition(col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh")
+        .localCheckpoint(false)
+    } else {
       val ck = banded0.localCheckpoint(false)
       val hot = ck.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > maxBandFreq)
@@ -1168,18 +1182,25 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
                    maxChunkFreq: Long = Long.MaxValue): DataFrame = {
-    // checkpoint: both sides of the chunk-keyed self-join read the SimHash
-    // table; without the cut each side re-ran the full tokenize + 64-bit
-    // vote aggregate at execution (r14 before-plan: the parquet scan and
-    // the per-id vote exchange each appeared twice)
-    val withSim = simhashTable(df, textCol, idCol).localCheckpoint(false)
+    // r15: the materialization point moves from the SimHash table to the
+    // CHUNKED table, repartitioned + sorted on the chunk key — both sides
+    // of the self-join then read pre-partitioned, pre-sorted blocks (no
+    // exchange, no sort, r14 shape: exchange+sort per side), and the
+    // tokenize + 64-bit vote aggregate still runs exactly once per
+    // execution (it feeds only this frame, so its separate checkpoint
+    // was a redundant barrier).
+    val withSim = simhashTable(df, textCol, idCol)
     val chunked0 = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
       }: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk"), col("cc.cv"))
-    val chunked = if (maxChunkFreq == Long.MaxValue) chunked0 else {
+    val chunked = if (maxChunkFreq == Long.MaxValue) {
+      chunked0.repartition(col("chunk"), col("cv"))
+        .sortWithinPartitions("chunk", "cv")
+        .localCheckpoint(false)
+    } else {
       // checkpoint once: feeds the frequency count AND the anti-join below
       val ck = chunked0.localCheckpoint(false)
       val hot = ck.groupBy("chunk", "cv").agg(count(lit(1)).as("n"))

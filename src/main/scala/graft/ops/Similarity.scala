@@ -434,16 +434,23 @@ object Similarity {
   def ivfQueryIndex(centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
                     k: Int, nprobe: Int = 6): DataFrame = {
     val q = queries.select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    // top-nprobe centroids per query via a rank window — same total order
+    // as the old slice(array_sort(collect_list(struct(−score, cid)))):
+    // (−score asc, cid asc). The rank-≤-nprobe filter plans as a
+    // WindowGroupLimit, pruning to nprobe rows per query map-side BEFORE
+    // the exchange, where the collect_list ObjectHashAggregate shipped
+    // every (query × centroid) row — with the 64-float query vector
+    // riding each one — through the shuffle to build arrays it then
+    // sliced (§2.3 shuffle fewer bytes; §4 codegen aggregates only).
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy((-col("score")).asc, col("cid").asc)
     val probes = fanOut(q).withColumn("qn", l2Norm(col("v")))
       .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
       .withColumn("score", dot(col("v"), col("c")) / (col("qn") * col("cn")))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("qv"), first(col("qn")).as("qn"),
-        slice(array_sort(collect_list(
-          struct((-col("score")).as("ns"), col("cid").as("cid")))),
-          1, nprobe).as("probe"))
-      .select(col("vec_id").as("query_id"), col("qv"), col("qn"),
-        explode(col("probe.cid")).as("cid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"),
+        col("cid"))
     val corp = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("vn").as("cn"), col("cid"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -661,16 +668,17 @@ object Similarity {
                       fullVecs: DataFrame, queries: DataFrame, k: Int,
                       nprobe: Int, oversample: Int = 8): DataFrame = {
     val q = normalized(queries)
+    // rank-window probe selection, same rationale and identical total
+    // order as [[ivfQueryIndex]] (WindowGroupLimit map-side pruning
+    // instead of a collect_list ObjectHashAggregate)
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy((-col("score")).asc, col("cid").asc)
     val probes = fanOut(q).withColumn("qn", l2Norm(col("v")))
       .crossJoin(broadcast(centroids.withColumn("cn", l2Norm(col("c")))))
       .withColumn("score", dot(col("v"), col("c")) / (col("qn") * col("cn")))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("qv"),
-        slice(array_sort(collect_list(
-          struct((-col("score")).as("ns"), col("cid").as("cid")))),
-          1, nprobe).as("probe"))
-      .select(col("vec_id").as("query_id"), col("qv"),
-        explode(col("probe.cid")).as("cid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val survivors = probes

@@ -363,10 +363,14 @@ object TpchQueries extends QueryPack {
         .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_4")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
+      // r15 checkpoint: `vals` feeds the total AND the threshold filter —
+      // without the cut the lineitem semi-join + aggregation subtree
+      // executed once per reference (two full lineitem passes)
       val vals = Tables.lineitem(s, dir)
         .join(broadcast(n4), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("value_c"))
+        .localCheckpoint(false)
       val total = vals.agg(sum("value_c").as("total_c"))
       vals.crossJoin(broadcast(total))
         .filter(col("value_c") * 1000 > col("total_c"))
@@ -378,12 +382,16 @@ object TpchQueries extends QueryPack {
     // a 1-row broadcast, equality join back (ties all surface, like the
     // spec's view formulation). Exact-cents revenue both sides.
     "tpch_q15" -> { (s, dir) =>
+      // r15 checkpoint: `rev` feeds the MAX AND the equality join-back —
+      // without the cut the filtered lineitem aggregation executed once
+      // per reference (two full lineitem passes)
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
           .cast("long")).as("rev_c"))
+        .localCheckpoint(false)
       val maxRev = rev.agg(max("rev_c").as("max_c"))
       rev.crossJoin(broadcast(maxRev))
         .filter(col("rev_c") === col("max_c"))
@@ -452,26 +460,32 @@ object TpchQueries extends QueryPack {
     // waiting" is "sole latest shipper" (max l_shipdate stands in).
     "tpch_q21" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
-      // r15: the grouped pass is now FOUR codegen'd min/max aggregates
-      // instead of one collect_set — the old ObjectHashAggregate ran
-      // outside whole-stage codegen and shuffled a growing set<struct>
-      // per order where these partials are 4 fixed-width scalars.
-      // Equivalences (exact, all-integer/timestamp):
-      //   nsupp > 1                 ⟺ min(sk) ≠ max(sk)
-      //   max_ship                  = max(struct(sd, sk)).sd  (sd leads)
-      //   exactly 1 supplier at max ⟺ min sk at max sd = max sk at max sd,
-      //     with max-sk-at-max-sd  = max(struct(sd, sk)).sk and
-      //          min-sk-at-max-sd  = −max(struct(sd, −sk)).nsk
-      //   late_supp (the sole one)  = max(struct(sd, sk)).sk
-      val sole = li
+      // r15: ONE exchange of the projected lineitem rows, everything in
+      // whole-stage codegen. The r14 collect_set ObjectHashAggregate (no
+      // codegen, growing set<struct> partials) and the struct-min/max
+      // variant (SortAggregate fallback — struct buffers are not
+      // UnsafeRow-mutable, so the ENTIRE scan sorts map-side) both lose
+      // to: repartition by order, then the (order, supplier) max-shipdate
+      // hash aggregate, the per-order window, and the final hash
+      // aggregate all reuse that single partitioning (subset-key
+      // clustering). Semantics, exactly Q21's: suppliers-per-order > 1,
+      // keep orders where exactly ONE distinct supplier shipped at the
+      // order's latest ship date; that supplier is late_supp.
+      import org.apache.spark.sql.expressions.Window
+      val perSupp = li
         .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("l_shipdate")).as("sd"))
+      val wOrd = Window.partitionBy("l_orderkey")
+      val sole = perSupp
+        .withColumn("nsupp", count(lit(1)).over(wOrd))
+        .withColumn("max_ship", max(col("sd")).over(wOrd))
+        .filter(col("nsupp") > 1 && col("sd") === col("max_ship"))
         .groupBy("l_orderkey")
-        .agg(min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"),
-          max(struct(col("l_shipdate").as("sd"), col("l_suppkey").as("sk"))).as("hi"),
-          max(struct(col("l_shipdate").as("sd"), (-col("l_suppkey")).as("nsk"))).as("hin"))
-        .filter(col("sk_min") =!= col("sk_max") &&
-          col("hi.sk") === -col("hin.nsk"))
-        .select(col("l_orderkey"), col("hi.sk").as("late_supp"))
+        .agg(count(lit(1)).as("n_late"), max(col("l_suppkey")).as("late_supp"))
+        .filter(col("n_late") === 1)
+        .select("l_orderkey", "late_supp")
       val fOrders = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F").select("o_orderkey")
       sole.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")

@@ -118,18 +118,20 @@ class PlanGuardSpec extends SparkTestBase {
     // round 6's decorrelation still scanned lineitem twice into two grouped
     // passes plus a join (three exchanges on l_orderkey); round 14's form
     // was a single collect_set pass (ObjectHashAggregate — outside
-    // whole-stage codegen, set<struct> partials on the shuffle). The r15
-    // form is four fixed-width min/max aggregates: lineitem scanned ONCE,
-    // map-side partial aggregation, NO object hash aggregate anywhere.
+    // whole-stage codegen, set<struct> partials on the shuffle); a struct-
+    // min/max variant fell to SortAggregate (struct buffers are not
+    // UnsafeRow-mutable). The r15 form repartitions by order once and runs
+    // hash aggregates + a per-order window on that single partitioning:
+    // lineitem scanned ONCE, no object/sort aggregate anywhere.
     val p = finalPlan("tpch_q21")
     assert(!p.contains("CartesianProduct"), s"correlated self-join shape planned:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi self-join planned:\n$p")
     val liScans = "lineitem\\.parquet".r.findAllIn(p).size
     assert(liScans === 1, s"lineitem scanned $liScans times — single-pass plan regressed:\n$p")
-    assert(p.contains("partial_min") && p.contains("partial_max"),
-      "per-order min/max must aggregate map-side")
     assert(!p.contains("ObjectHashAggregate"),
       s"non-codegen aggregate leaked back into q21:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"sort-aggregate fallback leaked back into q21:\n$p")
   }
 
   test("tpch_q9: fact joins orders on the shuffle key once; part/supplier/nation broadcast") {
